@@ -1,0 +1,213 @@
+"""BAM + BAI writing.
+
+Used by the test-fixture generators (the reference repo ships no test
+data, SURVEY.md §4) and available as a general utility. The BAI builder
+follows the SAMv1 spec binning scheme so htslib-based tools accept the
+index.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pandepth_tpu.io.bgzf import BGZF_EOF
+import zlib
+
+_OP_CHARS = "MIDNSHP=X"
+_OP_OF = {c: i for i, c in enumerate(_OP_CHARS)}
+_SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_REF_CONSUME = {0, 2, 3, 7, 8}
+
+
+def cigar_str_to_ops(cig: str) -> List[Tuple[int, int]]:
+    ops: List[Tuple[int, int]] = []
+    num = ""
+    for ch in cig:
+        if ch.isdigit():
+            num += ch
+        else:
+            ops.append((_OP_OF[ch], int(num)))
+            num = ""
+    return ops
+
+
+def ref_span(ops: Sequence[Tuple[int, int]]) -> int:
+    return sum(l for op, l in ops if op in _REF_CONSUME)
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """SAMv1 spec 5.3 bin function for a 0-based half-open interval."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def encode_record(tid: int, pos: int, flag: int, mapq: int, cigar: str,
+                  qname: str = "r", seq: Optional[str] = None) -> bytes:
+    ops = cigar_str_to_ops(cigar) if cigar and cigar != "*" else []
+    read_len = sum(l for op, l in ops if op in (0, 1, 4, 7, 8))
+    if seq is None and read_len:
+        seq = "A" * read_len
+    seq = seq or ""
+    span = ref_span(ops)
+    end = pos + span if span > 0 else pos + 1
+    name_b = qname.encode() + b"\x00"
+    rec = struct.pack("<iiBBHHHiiii", tid, pos, len(name_b), mapq,
+                      reg2bin(pos, end) if tid >= 0 else 4680,
+                      len(ops), flag, len(seq), -1, -1, 0)
+    rec += name_b
+    for op, l in ops:
+        rec += struct.pack("<I", (l << 4) | op)
+    packed = bytearray()
+    for i in range(0, len(seq), 2):
+        hi = _SEQ_NT16.get(seq[i].upper(), 15) << 4
+        lo = _SEQ_NT16.get(seq[i + 1].upper(), 15) if i + 1 < len(seq) else 0
+        packed.append(hi | lo)
+    rec += bytes(packed)
+    rec += b"\xff" * len(seq)  # qual: missing
+    return struct.pack("<i", len(rec)) + rec
+
+
+class _BlockTrackingBgzf:
+    """BGZF writer that records (uncompressed_start, file_offset) per block
+    so virtual file offsets can be reconstructed for the BAI."""
+
+    MAX_PAYLOAD = 0xFF00
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._buf = bytearray()
+        self.blocks: List[Tuple[int, int]] = []  # (u_start, file_off)
+        self._u_written = 0
+
+    @property
+    def u_pos(self) -> int:
+        return self._u_written + len(self._buf)
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self.MAX_PAYLOAD:
+            self._flush(bytes(self._buf[: self.MAX_PAYLOAD]))
+            del self._buf[: self.MAX_PAYLOAD]
+
+    def flush_block(self) -> None:
+        if self._buf:
+            self._flush(bytes(self._buf))
+            self._buf.clear()
+
+    def _flush(self, payload: bytes) -> None:
+        self.blocks.append((self._u_written, self._fh.tell()))
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(payload) + co.flush()
+        bsize = len(cdata) + 26
+        hdr = struct.pack("<4BI2BH2BH H", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
+                          0x42, 0x43, 2, bsize - 1)
+        self._fh.write(hdr + cdata +
+                       struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                                   len(payload)))
+        self._u_written += len(payload)
+
+    def close(self) -> None:
+        self.flush_block()
+        self._fh.write(BGZF_EOF)
+
+    def voffset(self, u: int) -> int:
+        """Virtual offset for uncompressed position ``u`` (requires the
+        block containing ``u`` to be flushed or be the next to flush)."""
+        for u_start, foff in reversed(self.blocks):
+            if u >= u_start:
+                return (foff << 16) | (u - u_start)
+        return 0
+
+
+def write_bam(path: str, names: Sequence[str], lengths: Sequence[int],
+              records: Sequence[Tuple], header_text: Optional[str] = None,
+              make_index: bool = True) -> None:
+    """Write a BAM (+ .bai) file.
+
+    ``records``: tuples (tid, pos0, flag, mapq, cigar_str) sorted however
+    the caller wants; pass coordinate-sorted input when ``make_index``.
+    """
+    if header_text is None:
+        header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+            f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(names, lengths))
+    hdr = b"BAM\x01"
+    tb = header_text.encode()
+    hdr += struct.pack("<i", len(tb)) + tb
+    hdr += struct.pack("<i", len(names))
+    for n, l in zip(names, lengths):
+        nb = n.encode() + b"\x00"
+        hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+
+    rec_marks: List[Tuple[int, int, int, int, int]] = []  # tid,pos,end,u0,u1
+    with open(path, "wb") as fh:
+        w = _BlockTrackingBgzf(fh)
+        w.write(hdr)
+        w.flush_block()  # records start on a block boundary (htslib-style)
+        for tid, pos, flag, mapq, cigar, *rest in records:
+            qname = rest[0] if rest else f"r{len(rec_marks)}"
+            u0 = w.u_pos
+            w.write(encode_record(tid, pos, flag, mapq, cigar, qname=qname))
+            span = ref_span(cigar_str_to_ops(cigar)) if cigar != "*" else 0
+            end = pos + span if span > 0 else pos + 1
+            rec_marks.append((tid, pos, end, u0, w.u_pos))
+        w.close()
+
+        if make_index:
+            _write_bai(path + ".bai", len(names), rec_marks, w)
+
+
+def _write_bai(path: str, n_ref: int,
+               rec_marks: Sequence[Tuple[int, int, int, int, int]],
+               w: _BlockTrackingBgzf) -> None:
+    per_ref_bins: List[Dict[int, List[Tuple[int, int]]]] = \
+        [dict() for _ in range(n_ref)]
+    per_ref_lin: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+    for tid, pos, end, u0, u1 in rec_marks:
+        if tid < 0:
+            continue
+        v0, v1 = w.voffset(u0), w.voffset(u1)
+        b = reg2bin(pos, end)
+        chunks = per_ref_bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == v0:
+            chunks[-1] = (chunks[-1][0], v1)
+        else:
+            chunks.append((v0, v1))
+        lin = per_ref_lin[tid]
+        for k in range(pos >> 14, ((max(end - 1, pos)) >> 14) + 1):
+            if k not in lin or v0 < lin[k]:
+                lin[k] = v0
+
+    out = bytearray(b"BAI\x01" + struct.pack("<i", n_ref))
+    for tid in range(n_ref):
+        bins = per_ref_bins[tid]
+        out += struct.pack("<i", len(bins))
+        for b in sorted(bins):
+            chunks = bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for v0, v1 in chunks:
+                out += struct.pack("<QQ", v0, v1)
+        lin = per_ref_lin[tid]
+        if lin:
+            n_intv = max(lin) + 1
+            ioff = []
+            prev = 0
+            for k in range(n_intv):
+                prev = lin.get(k, prev)
+                ioff.append(prev)
+            out += struct.pack("<i", n_intv)
+            out += b"".join(struct.pack("<Q", v) for v in ioff)
+        else:
+            out += struct.pack("<i", 0)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
