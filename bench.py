@@ -1,0 +1,119 @@
+"""Benchmark: aligned reads/s per chip, end-to-end (BAM -> stat table).
+
+Prints ONE JSON line:
+  {"metric": "aligned_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+``vs_baseline`` is our throughput relative to the reference pandepth
+binary run on the *same* input on this host (built from
+/root/reference when available; the recorded constant is used
+otherwise). The metric follows BASELINE.md: reads/s with chr-mode
+stat-table production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_DIR = os.environ.get("PANDEPTH_BENCH_DIR", "/tmp/pandepth_bench")
+N_READS = int(os.environ.get("PANDEPTH_BENCH_READS", 1_000_000))
+GENOME = [("chr1", 12_000_000), ("chr2", 8_000_000), ("chr3", 4_000_000)]
+REF_BIN = "/tmp/refbin/pandepth"
+REF_SRC = "/root/reference/src/PanDepth.cpp"
+# reference wall measured once on the dev host for this fixture; used
+# only when the binary can't be rebuilt here
+FALLBACK_REF_WALL = None
+
+
+def ensure_fixture() -> str:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    bam = os.path.join(BENCH_DIR, f"bench_{N_READS}.bam")
+    if os.path.exists(bam):
+        return bam
+    sys.stderr.write(f"bench: generating {N_READS}-read fixture...\n")
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_bam
+
+    rng = np.random.RandomState(42)
+    n = N_READS
+    lens = np.array([g[1] for g in GENOME])
+    tid = rng.randint(0, len(GENOME), n)
+    pos = (rng.rand(n) * (lens[tid] - 200)).astype(np.int64)
+    order = np.lexsort((pos, tid))
+    tid, pos = tid[order], pos[order]
+    mapq = rng.choice([0, 10, 30, 60], n)
+    flag = np.where(rng.rand(n) < 0.05, 1024, 0)
+    rlen = rng.randint(100, 151, n)
+    recs = [(int(tid[i]), int(pos[i]), int(flag[i]), int(mapq[i]),
+             f"{rlen[i]}M") for i in range(n)]
+    write_bam(bam, [g[0] for g in GENOME], [g[1] for g in GENOME], recs,
+              make_index=True)
+    return bam
+
+
+def ensure_reference() -> str | None:
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    if not os.path.exists(REF_SRC):
+        return None
+    os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "--std=c++11", "-O3", "-o", REF_BIN, REF_SRC,
+             "-I/root/reference/include", "-L/root/reference/lib",
+             "-lhts", "-ldeflate", "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=600)
+        return REF_BIN
+    except Exception:
+        return None
+
+
+def time_reference(bam: str) -> float | None:
+    ref = ensure_reference()
+    if ref is None:
+        return FALLBACK_REF_WALL
+    out = os.path.join(BENCH_DIR, "refout")
+    t0 = time.perf_counter()
+    subprocess.run([ref, "-i", bam, "-o", out], check=True,
+                   capture_output=True)
+    return time.perf_counter() - t0
+
+
+def time_ours(bam: str) -> float:
+    from pandepth_tpu.cli import main as cli_main
+
+    out = os.path.join(BENCH_DIR, "ourout")
+    t0 = time.perf_counter()
+    rc = cli_main(["pandepth", "-i", bam, "-o", out])
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    return wall
+
+
+def main() -> None:
+    bam = ensure_fixture()
+    ref_wall = time_reference(bam)
+    # warm once (jit compile paths populate the persistent cache), then
+    # measure
+    time_ours(bam)
+    our_wall = time_ours(bam)
+    reads_per_s = N_READS / our_wall
+    vs = (ref_wall / our_wall) if ref_wall else None
+    sys.stderr.write(
+        f"bench: ours {our_wall:.2f}s, reference "
+        f"{ref_wall if ref_wall else float('nan'):.2f}s\n")
+    print(json.dumps({
+        "metric": "aligned_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

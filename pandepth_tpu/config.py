@@ -65,6 +65,11 @@ class RunConfig:
     max_ops_per_batch: int = 1 << 20
     verbose: bool = False
     device_kind: Optional[str] = None  # force 'cpu' for tests
+    # Documented divergence (quirk Q4): the reference clears RefBase
+    # before the mode-6 window writer runs, so its GC(%) column reads
+    # freed memory — nondeterministic garbage (src/PanDepth.cpp:4094 vs
+    # :4327). We compute real GC by default; True emits 0.00 instead.
+    quirk_mode6_gc_zero: bool = False
 
     @property
     def mapq_filter_active(self) -> bool:

@@ -1,0 +1,189 @@
+"""CoverageEngine: batches in, per-segment statistics out.
+
+Single-chip orchestration of the device pipeline:
+
+    ReadBatch --extract_events--> (pos, delta) events   [per batch, jit]
+    all events --sort + scan-----> sweep state          [finalize, jit]
+    segment boundaries --gather--> CoveredSite/TotalDepth per segment
+
+Replaces the reference's thread-sharded per-base counting engines
+(ProDealChrBambai* family, src/PanDepth.cpp:350-801). Multi-sample
+accumulation (BamList_main, src/PanDepth.cpp:2029-3410) is free: keep
+feeding batches from more files before finalizing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pandepth_tpu.device.events import extract_events, pad_pow2, SENTINEL
+from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.device import sweep as sweep_mod
+from pandepth_tpu.io.bam import ReadBatch
+
+
+@dataclasses.dataclass
+class SegmentStats:
+    cover: np.ndarray      # int64 per segment
+    depth_sum: np.ndarray  # int64 per segment
+
+
+class CoverageEngine:
+    """Accumulates coverage events for one genome layout."""
+
+    def __init__(self, layout: GenomeLayout, flags_mask: int = 1796,
+                 min_mapq: int = -1, min_dep: int = 1,
+                 wrap18: bool = False):
+        self.layout = layout
+        self.flags_mask = int(flags_mask)
+        self.min_mapq = int(min_mapq)
+        self.min_dep = max(int(min_dep), 1)
+        self.wrap18 = bool(wrap18)
+        self._offsets = jnp.asarray(layout.offsets)
+        self._limits = jnp.asarray(layout.limits)
+        self._chunks: List[Tuple[jax.Array, jax.Array]] = []
+        self._state = None  # cached sweep state after finalize
+        self.n_reads_seen = 0
+
+    # ------------------------------------------------------------------
+    def add_batch(self, batch: ReadBatch) -> None:
+        n = batch.n_reads
+        m = batch.n_total_ops
+        if n == 0:
+            return
+        self.n_reads_seen += n
+        np_, mp = pad_pow2(n), pad_pow2(max(m, 1))
+
+        def padi(a, size, fill):
+            out = np.full(size, fill, np.int32)
+            out[: a.shape[0]] = a
+            return out
+
+        ev_pos, ev_delta = extract_events(
+            jnp.asarray(padi(batch.tid, np_, -1)),
+            jnp.asarray(padi(batch.pos, np_, 0)),
+            jnp.asarray(padi(batch.flag, np_, 0)),
+            jnp.asarray(padi(batch.mapq, np_, 0)),
+            jnp.asarray(padi(batch.op_code, mp, 0)),
+            jnp.asarray(padi(batch.op_len, mp, 0)),
+            jnp.asarray(padi(batch.op_read, mp, n - 1)),
+            self._offsets, self._limits,
+            flags_mask=self.flags_mask, min_mapq=self.min_mapq)
+        self._chunks.append((ev_pos, ev_delta))
+        self._state = None
+
+    def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
+                      end0: np.ndarray) -> None:
+        """Append depth +1 over 0-based half-open [start0, end0) intervals
+        (PAF path). Clamped into each contig's padded range."""
+        if tid.shape[0] == 0:
+            return
+        lay = self.layout
+        floor = lay.offsets[tid]
+        limit = lay.limits[tid]
+        s = np.clip(floor + start0, floor, limit)
+        e = np.clip(floor + end0, floor, limit)
+        live = e > s
+        pos = np.concatenate([np.where(live, s, int(SENTINEL)),
+                              np.where(live, e, int(SENTINEL))])
+        delta = np.concatenate([live.astype(np.int32),
+                                -live.astype(np.int32)])
+        self.add_events(pos, delta)
+
+    def add_events(self, pos: np.ndarray, delta: np.ndarray) -> None:
+        """Directly append pre-built events (PAF path, tests)."""
+        if pos.shape[0] == 0:
+            return
+        m = pad_pow2(pos.shape[0])
+        p = np.full(m, int(SENTINEL), np.int64)
+        d = np.zeros(m, np.int32)
+        p[: pos.shape[0]] = pos
+        d[: delta.shape[0]] = delta
+        self._chunks.append((jnp.asarray(p), jnp.asarray(d)))
+        self._state = None
+
+    # ------------------------------------------------------------------
+    def _events(self) -> Tuple[jax.Array, jax.Array]:
+        if not self._chunks:
+            z = jnp.full((1,), SENTINEL, jnp.int64)
+            return z, jnp.zeros((1,), jnp.int32)
+        pos = jnp.concatenate([c[0] for c in self._chunks])
+        delta = jnp.concatenate([c[1] for c in self._chunks])
+        # pad the total to a power of two: keeps the sort/scan jit cache
+        # to O(log E) distinct shapes
+        e = pos.shape[0]
+        ep = pad_pow2(e)
+        if ep != e:
+            pos = jnp.concatenate(
+                [pos, jnp.full((ep - e,), SENTINEL, jnp.int64)])
+            delta = jnp.concatenate(
+                [delta, jnp.zeros((ep - e,), jnp.int32)])
+        return pos, delta
+
+    def sweep_state(self):
+        """(pos_sorted, depth, c_cov, c_sum); cached until new events."""
+        if self._state is None:
+            pos, delta = self._events()
+            full = sweep_mod.sort_events(
+                pos, delta, min_dep=self.min_dep, wrap18=self.wrap18)
+            # keep only the sorted events (later adds re-merge cheaply)
+            self._chunks = [(full[0], full[4])]
+            self._state = full[:4]
+        return self._state
+
+    def segment_stats(self, seg_tid: np.ndarray, seg_start: np.ndarray,
+                      seg_end: np.ndarray,
+                      chunk: int = 1 << 20) -> SegmentStats:
+        """Stats for 1-based inclusive [seg_start, seg_end] segments.
+
+        Boundaries are clamped into each contig's padded range exactly
+        like the depth writes are, so a BED region overhanging a contig
+        reads the same slack cells the reference's arrays expose.
+        """
+        lay = self.layout
+        lo = lay.offsets[seg_tid] + np.maximum(seg_start - 1, 0)
+        hi = lay.offsets[seg_tid] + np.asarray(seg_end, np.int64)
+        lo = np.minimum(lo, lay.limits[seg_tid])
+        hi = np.minimum(hi, lay.limits[seg_tid])
+        hi = np.maximum(hi, lo)
+
+        pos_s, depth, c_cov, c_sum = self.sweep_state()
+        md = jnp.int32(self.min_dep)
+        b = lo.shape[0]
+        cover = np.empty(b, np.int64)
+        dsum = np.empty(b, np.int64)
+        for i in range(0, b, chunk):
+            j = min(i + chunk, b)
+            bp = pad_pow2(j - i, floor=256)
+            lo_c = np.zeros(bp, np.int64)
+            hi_c = np.zeros(bp, np.int64)
+            lo_c[: j - i] = lo[i:j]
+            hi_c[: j - i] = hi[i:j]
+            ql_c, ql_s = sweep_mod.eval_boundaries(
+                pos_s, depth, c_cov, c_sum, md, jnp.asarray(lo_c))
+            qh_c, qh_s = sweep_mod.eval_boundaries(
+                pos_s, depth, c_cov, c_sum, md, jnp.asarray(hi_c))
+            cover[i:j] = np.asarray(qh_c - ql_c)[: j - i]
+            dsum[i:j] = np.asarray(qh_s - ql_s)[: j - i]
+        return SegmentStats(cover=cover, depth_sum=dsum)
+
+    def dense_depth(self, tid: int, start0: int = 0,
+                    end0: Optional[int] = None) -> np.ndarray:
+        """Per-base depth for one contig (0-based half-open range)."""
+        lay = self.layout
+        if end0 is None:
+            end0 = int(lay.lengths[tid])
+        pos_s, depth, _, _ = self.sweep_state()
+        pos_np = np.asarray(pos_s)
+        depth_np = np.asarray(depth)
+        lo = int(lay.offsets[tid]) + start0
+        hi = int(lay.offsets[tid]) + end0
+        idx = np.searchsorted(pos_np, np.arange(lo, hi, dtype=np.int64),
+                              side="right")
+        d = np.where(idx > 0, depth_np[np.maximum(idx - 1, 0)], 0)
+        return d.astype(np.int32)

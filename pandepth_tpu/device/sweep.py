@@ -1,0 +1,113 @@
+"""Position-sorted event sweep: depth reconstruction + region statistics.
+
+Depth as a function of genome position is piecewise constant with
+breakpoints exactly at the coverage events, so instead of materializing
+a per-base array (the reference's SiteInfo arrays / window buffers,
+src/PanDepth.cpp:4129-4145, :715-723) we:
+
+1. sort events by position (one ``lax.sort`` — O(E log E), vectorized),
+2. running-sum the deltas -> depth of every inter-event piece,
+3. prefix-sum each piece's contribution to CoveredSite and TotalDepth
+   (a site counts iff ``depth >= minDep``, src/PanDepth.cpp:319-324),
+4. evaluate those prefix integrals at arbitrary region boundaries with
+   a batched binary search.
+
+Every target segment's stats are then two gathers, and stats are
+*additive across disjoint position ranges*, which is what makes genome
+range-sharding across chips a plain ``psum`` (see sharding/).
+
+``wrap18`` replicates the reference's 18-bit SiteInfo depth cells
+(include/DataClass.h:84-87, quirk Q1) for the code paths that use them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pandepth_tpu.device.events import SENTINEL
+
+WRAP18_MASK = 0x3FFFF
+
+
+@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18"))
+def sort_events(ev_pos, ev_delta, min_dep: int = 1, wrap18: bool = False):
+    """Sort events and precompute the sweep state.
+
+    Returns (pos_sorted, depth, c_cov, c_sum, delta_sorted):
+      pos_sorted:   (E,) int64 ascending (sentinels last)
+      depth:        (E,) int32 depth on piece [pos[i], pos[i+1])
+      c_cov:        (E,) int64 inclusive prefix of covered-length per piece
+      c_sum:        (E,) int64 inclusive prefix of depth-sum per piece
+      delta_sorted: (E,) int32 (kept so more events can be merged later)
+    """
+    pos_s, delta_s = jax.lax.sort_key_val(ev_pos, ev_delta)
+    depth = jnp.cumsum(delta_s, dtype=jnp.int32)
+    if wrap18:
+        depth = depth & WRAP18_MASK
+    covered = depth >= min_dep
+    nxt = jnp.concatenate([pos_s[1:], jnp.full((1,), SENTINEL, jnp.int64)])
+    plen = jnp.where(covered, nxt - pos_s, 0)  # covered piece lengths only
+    c_cov = jnp.cumsum(plen)
+    c_sum = jnp.cumsum(plen * depth.astype(jnp.int64))
+    return pos_s, depth, c_cov, c_sum, delta_s
+
+
+@jax.jit
+def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
+    """Evaluate Q_cov(x), Q_sum(x) = integrals of covered-indicator and
+    covered-depth over [0, x) for a batch of boundaries ``x`` (int64).
+
+    ``min_dep`` is a traced int32 scalar (same value the prefixes were
+    built with). Piece i spans [pos_s[i], pos_s[i+1]); a query splits
+    piece r-1 (r = first event index with position >= x) into a fully
+    counted prefix (c_* up to piece r-2) plus a partial remainder.
+    """
+    r = jnp.searchsorted(pos_s, x, side="left").astype(jnp.int32)
+    e = pos_s.shape[0]
+    i_full = jnp.clip(r - 2, 0, e - 1)
+    i_part = jnp.clip(r - 1, 0, e - 1)
+    full_cov = jnp.where(r >= 2, c_cov[i_full], 0)
+    full_sum = jnp.where(r >= 2, c_sum[i_full], 0)
+    ind = (depth[i_part] >= min_dep).astype(jnp.int64)
+    part_len = jnp.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
+    q_cov = full_cov + part_len
+    q_sum = full_sum + part_len * depth[i_part].astype(jnp.int64)
+    return q_cov, q_sum
+
+
+@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18"))
+def segment_stats(ev_pos, ev_delta, seg_lo, seg_hi,
+                  min_dep: int = 1, wrap18: bool = False):
+    """CoveredSite and TotalDepth per segment.
+
+    seg_lo/seg_hi: (B,) int64 0-based half-open global coordinates.
+    Returns (cover, depth_sum) int64 arrays of shape (B,).
+    """
+    pos_s, depth, c_cov, c_sum, _ = sort_events(ev_pos, ev_delta,
+                                                min_dep=min_dep,
+                                                wrap18=wrap18)
+    md = jnp.int32(min_dep)
+    ql_cov, ql_sum = eval_boundaries(pos_s, depth, c_cov, c_sum, md, seg_lo)
+    qh_cov, qh_sum = eval_boundaries(pos_s, depth, c_cov, c_sum, md, seg_hi)
+    return qh_cov - ql_cov, qh_sum - ql_sum
+
+
+def dense_depth(pos_s, delta_s, lo: int, hi: int,
+                wrap18: bool = False):
+    """Host-side dense per-base depth over [lo, hi) from sorted events.
+
+    numpy implementation for the ``-a`` SiteDepth dump, which is
+    dominated by gzip text output anyway (src/PanDepth.cpp:4264-4284).
+    """
+    import numpy as np
+
+    cum = np.cumsum(delta_s, dtype=np.int64)
+    idx = np.searchsorted(pos_s, np.arange(lo, hi, dtype=np.int64),
+                          side="right")
+    d = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+    if wrap18:
+        d = d & WRAP18_MASK
+    return d.astype(np.int32)

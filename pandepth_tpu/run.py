@@ -1,0 +1,246 @@
+"""End-to-end run orchestration (the reference's ``main`` /
+``paf_main`` / ``BamList_main`` engines, src/PanDepth.cpp:3441-5134,
+:852-2024, :2029-3410 — implemented once, not cloned per engine).
+
+Dispatch (src/PanDepth.cpp:3452-3480, List_main :3413-3438):
+- more than one input file: multi-sample accumulation; ``.paf[.gz]``
+  extension on the first file selects the PAF engine;
+- single ``.paf[.gz]``: PAF engine;
+- otherwise SAM/BAM/CRAM single-file engine.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pandepth_tpu.config import (MODE_CHR, MODE_WIN_SMALL, RunConfig)
+from pandepth_tpu.device.engine import CoverageEngine
+from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.io.bam import BamHeader, BamReader
+from pandepth_tpu.io.fasta import gc_count_ranges, load_ref_bases
+from pandepth_tpu.io.paf import iter_paf_events, paf_contig_table
+from pandepth_tpu.io.sam_text import SamReader
+from pandepth_tpu.stats.tables import (aggregate_genes, mode6_window_rows,
+                                       output_prefix, table_path,
+                                       write_site_depth, write_tables)
+from pandepth_tpu.targets.model import TargetSet
+from pandepth_tpu.targets.parse import parse_targets
+from pandepth_tpu.targets.windows import synthesize_default_targets
+
+
+def _strip_gz(path: str) -> str:
+    return path[:-3] if path.endswith(".gz") else path
+
+
+def _ext(path: str) -> str:
+    base = os.path.basename(path)
+    return base.rsplit(".", 1)[1] if "." in base else ""
+
+
+def is_paf(path: str) -> bool:
+    return _ext(_strip_gz(path)).lower() == "paf"
+
+
+def open_alignment(path: str):
+    """Sniff BAM (BGZF) vs SAM text; CRAM raises until the decoder
+    lands."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic[:4] == b"CRAM":
+        from pandepth_tpu.io.cram import CramReader
+        return CramReader(path)
+    if magic[:2] == b"\x1f\x8b":
+        # could be BAM-in-BGZF or gzipped SAM; BamReader sniffs content
+        try:
+            return BamReader(path)
+        except ValueError:
+            return SamReader(path)
+    return SamReader(path)
+
+
+def index_present(path: str) -> bool:
+    return any(os.path.exists(path + suf)
+               for suf in (".bai", ".csi", ".crai"))
+
+
+def run(config: RunConfig) -> int:
+    if not config.inputs or not config.out_prefix:
+        print("Error: lack argument -i or -o ", file=sys.stderr)
+        return 1
+    if len(config.inputs) > 1:
+        print("INFO: Run multi-file data ")
+        if is_paf(config.inputs[0]):
+            return run_paf(config)
+        return run_alignment(config)
+    if is_paf(config.inputs[0]):
+        print("INFO: Run paf Format data ")
+        return run_paf(config)
+    return run_alignment(config)
+
+
+# ----------------------------------------------------------------------
+def _prepare_targets(config: RunConfig, names: List[str],
+                     lengths: np.ndarray, chr2tid: Dict[str, int],
+                     ref_bases) -> Tuple[int, TargetSet]:
+    mode = config.mode
+    targets: Optional[TargetSet] = None
+    if mode != MODE_CHR and config.target_file:
+        targets = parse_targets(config.target_file, mode, chr2tid,
+                                feature=config.feature_type,
+                                ref_bases=ref_bases)
+    if targets is None or targets.n_genes == 0:
+        # reference falls back to default tiling whenever the merged
+        # region map is empty (src/PanDepth.cpp:3975-4051)
+        mode, targets = synthesize_default_targets(
+            names, lengths, config.win_size, ref_bases)
+    return mode, targets
+
+
+def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
+                        mode: int, targets: TargetSet, names: List[str],
+                        lengths: np.ndarray, gc_cols: bool,
+                        ref_bases) -> None:
+    prefix = output_prefix(config.out_prefix)
+    seg = engine.segment_stats(targets.gene_tid[targets.seg_gene],
+                               np.asarray(targets.seg_start),
+                               np.asarray(targets.seg_end))
+    gene_cover, gene_dsum = aggregate_genes(targets, seg.cover,
+                                            seg.depth_sum)
+
+    win6_rows = None
+    if mode == MODE_WIN_SMALL:
+        def stats_fn(seg_tid, s, e):
+            st = engine.segment_stats(seg_tid, s, e)
+            return st.cover, st.depth_sum
+
+        gc_fn = None
+        if gc_cols and not config.quirk_mode6_gc_zero:
+            def gc_fn(tid, s, e):
+                seq = (ref_bases or {}).get(int(tid), b"")
+                return gc_count_ranges(seq, s, e)
+        win6_rows = mode6_window_rows(names, lengths,
+                                      targets.tids_with_regions(),
+                                      config.win_size, stats_fn, gc_fn)
+
+    write_tables(table_path(prefix, mode), mode, gc_cols, names, targets,
+                 gene_cover, gene_dsum, win6_rows)
+
+    if config.site_output:
+        write_site_depth(prefix + ".SiteDepth.gz", names, lengths,
+                         targets.tids_with_regions(), engine.dense_depth)
+
+
+def run_alignment(config: RunConfig) -> int:
+    reader = open_alignment(config.inputs[0])
+    header: BamHeader = reader.header
+    names, lengths = header.names, header.lengths
+    chr2tid = header.name_to_tid()
+
+    ref_bases = None
+    gc_cols = False
+    if config.gc:
+        if not config.reference:
+            print("Error: lack reference sequence (-r) for GC parse",
+                  file=sys.stderr)
+            return 1
+        ref_bases = load_ref_bases(config.reference, chr2tid)
+        gc_cols = True
+
+    mode, targets = _prepare_targets(config, names, lengths, chr2tid,
+                                     ref_bases)
+
+    # the reference's SiteInfo whole-genome arrays wrap depth at 18 bits
+    # (quirk Q1); they are used when dumping sites, in small-window mode,
+    # without a usable index, and in multi-file mode
+    has_index = index_present(config.inputs[0]) and config.use_index
+    wrap18 = (config.site_output or mode == MODE_WIN_SMALL
+              or not has_index or len(config.inputs) > 1)
+
+    engine = CoverageEngine(GenomeLayout(lengths),
+                            flags_mask=config.flags,
+                            min_mapq=config.min_mapq,
+                            min_dep=config.min_depth, wrap18=wrap18)
+
+    n_targets = len(names)
+    for i, path in enumerate(config.inputs):
+        r = reader if i == 0 else open_alignment(path)
+        for batch in r.batches(max_reads=config.max_reads_per_batch):
+            # multi-sample mode indexes the FIRST file's contig space
+            # with each file's raw tids (quirk Q5); out-of-range tids
+            # would be UB in the reference — we drop them
+            if i > 0:
+                batch.tid[batch.tid >= n_targets] = -1
+            engine.add_batch(batch)
+
+    print("INFO: Input data read done")
+    _finalize_and_write(config, engine, mode, targets, names, lengths,
+                        gc_cols, ref_bases)
+    return 0
+
+
+def run_paf(config: RunConfig) -> int:
+    ref_bases = None
+    if config.reference:
+        # -r alone enables GC columns in the PAF engine (RefIn=true at
+        # src/PanDepth.cpp:881). Documented divergence: without -c the
+        # reference reads freed kseq buffers for those GC counts (UB
+        # garbage); we always compute real GC from the fasta.
+        ref_bases = load_ref_bases_paf(config.reference)
+        names, lengths, chr2tid = paf_contigs_from_fasta(config.reference)
+        gc_cols = True
+    else:
+        if config.gc:
+            print("Error: lack reference sequence (-r) for GC parse",
+                  file=sys.stderr)
+            return 1
+        # the reference scans only the FIRST file for the contig table
+        # (src/PanDepth.cpp:919-943); later files' unknown contigs fall
+        # into tid 0 like any unknown name
+        names, lengths = paf_contig_table(config.inputs[:1])
+        chr2tid = {n: i for i, n in enumerate(names)}
+        gc_cols = False
+
+    ref_by_tid = None
+    if ref_bases is not None:
+        ref_by_tid = {chr2tid[n]: s for n, s in ref_bases.items()
+                      if n in chr2tid}
+
+    mode, targets = _prepare_targets(config, names, lengths, chr2tid,
+                                     ref_by_tid)
+
+    engine = CoverageEngine(GenomeLayout(lengths),
+                            flags_mask=config.flags,
+                            min_mapq=config.min_mapq,
+                            min_dep=config.min_depth, wrap18=True)
+
+    for path in config.inputs:
+        for tid, s, e in iter_paf_events(path, chr2tid, config.flags,
+                                         config.min_mapq):
+            engine.add_intervals(tid, s, e)
+
+    print("INFO: Input data read done")
+    _finalize_and_write(config, engine, mode, targets, names, lengths,
+                        gc_cols, ref_by_tid)
+    return 0
+
+
+def paf_contigs_from_fasta(path: str):
+    from pandepth_tpu.io.fasta import iter_fasta
+
+    names: List[str] = []
+    lengths: List[int] = []
+    for name, seq in iter_fasta(path):
+        names.append(name)
+        lengths.append(len(seq))
+    chr2tid = {n: i for i, n in enumerate(names)}
+    return names, np.asarray(lengths, np.int64), chr2tid
+
+
+def load_ref_bases_paf(path: str) -> Dict[str, bytes]:
+    from pandepth_tpu.io.fasta import iter_fasta
+
+    return {name: seq for name, seq in iter_fasta(path)}

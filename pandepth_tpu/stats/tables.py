@@ -1,0 +1,223 @@
+"""Stat-table assembly and gzip TSV writers, byte-compatible with the
+reference's output (src/PanDepth.cpp:4057-4112 naming/headers,
+:4879-5134 row writers, :4264-4417 site/mode-6 writers).
+
+Formatting contract (parity-critical, SURVEY.md §6):
+- floats printed with C++ ``fixed setprecision(2)`` == Python ``:.2f``;
+- rows grouped by ascending tid; within a chromosome sorted by region
+  start, ties sub-ordered by region id (C++ map<string> byte order);
+- every table ends with a ``##RegionLength: ...`` footer;
+- chr mode aggregates the 10 Mb pseudo-genes per chromosome;
+- mode 6 (windows < 150 bp) re-tiles whole contigs at stat time and
+  prints GC(%) as 0.00 because the reference clears the reference bases
+  before this writer runs (quirk Q4, src/PanDepth.cpp:4094 vs :4327).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from pandepth_tpu.config import (MODE_BED3, MODE_BED4, MODE_CHR, MODE_GFF,
+                                 MODE_GTF, MODE_WIN_BIG, MODE_WIN_SMALL)
+from pandepth_tpu.io.text import GzTextWriter, add_gz_suffix
+from pandepth_tpu.targets.model import TargetSet
+from pandepth_tpu.targets.windows import small_window_tiling
+
+
+def output_prefix(out_arg: str) -> str:
+    """Reference naming dance: force .gz, strip it, strip a trailing
+    .stat/.bed extension (src/PanDepth.cpp:4057-4067)."""
+    p = add_gz_suffix(out_arg)[:-3]
+    root, ext = os.path.splitext(p)
+    if ext in (".stat", ".bed"):
+        p = root
+    return p
+
+
+def table_path(prefix: str, mode: int) -> str:
+    if mode in (MODE_BED3, MODE_BED4):
+        return prefix + ".bed.stat.gz"
+    if mode in (MODE_WIN_BIG, MODE_WIN_SMALL):
+        return prefix + ".win.stat.gz"
+    if mode == MODE_CHR:
+        return prefix + ".chr.stat.gz"
+    return prefix + ".gene.stat.gz"
+
+
+def table_header(mode: int, gc: bool) -> str:
+    id_col = "GeneID"
+    if mode == MODE_BED3:
+        id_col = "RegionID"
+    gc_col = "GC(%)\t" if gc else ""
+    if mode in (MODE_WIN_BIG, MODE_WIN_SMALL):
+        return (f"#Chr\tStart\tEnd\tLength\tCoveredSite\tTotalDepth\t"
+                f"{gc_col}Coverage(%)\tMeanDepth\n")
+    if mode == MODE_CHR:
+        return (f"#Chr\tLength\tCoveredSite\tTotalDepth\t"
+                f"{gc_col}Coverage(%)\tMeanDepth\n")
+    return (f"#Chr\tStart\tEnd\t{id_col}\tLength\tCoveredSite\tTotalDepth\t"
+            f"{gc_col}Coverage(%)\tMeanDepth\n")
+
+
+def _footer(ss_len: int, ss_cov: int, ss_total: int, gc: bool,
+            ss_gc: int) -> str:
+    coverage = ss_cov * 100.0 / ss_len if ss_len else float("nan")
+    mean = ss_total * 1.0 / ss_len if ss_len else float("nan")
+    if gc:
+        gcr = ss_gc * 100.0 / ss_len if ss_len else float("nan")
+        return (f"##RegionLength: {ss_len}\tCoveredSite: {ss_cov}\t"
+                f"GC(%): {gcr:.2f}\tCoverage(%): {coverage:.2f}\t"
+                f"MeanDepth: {mean:.2f}\n")
+    return (f"##RegionLength: {ss_len}\tCoveredSite: {ss_cov}\t"
+            f"Coverage(%): {coverage:.2f}\tMeanDepth: {mean:.2f}\n")
+
+
+def aggregate_genes(targets: TargetSet, seg_cover: np.ndarray,
+                    seg_dsum: np.ndarray):
+    """Sum per-segment stats into per-gene CoveredSite/TotalDepth."""
+    n = targets.n_genes
+    cover = np.zeros(n, np.int64)
+    dsum = np.zeros(n, np.int64)
+    np.add.at(cover, targets.seg_gene, seg_cover)
+    np.add.at(dsum, targets.seg_gene, seg_dsum)
+    return cover, dsum
+
+
+def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
+                 targets: TargetSet, gene_cover: np.ndarray,
+                 gene_dsum: np.ndarray,
+                 win6_rows: Optional[List[tuple]] = None) -> None:
+    """Write the stat table for any mode.
+
+    ``win6_rows``: for mode 6 only — list of (tid, start1, end1, length,
+    cover, dsum, gc_count) rows already in output order.
+    """
+    with GzTextWriter(path) as out:
+        out.write(table_header(mode, gc))
+        ss_len = ss_cov = ss_total = ss_gc = 0
+
+        if mode == MODE_WIN_SMALL:
+            for tid, start1, end1, length, cov, dsum, gcc in win6_rows:
+                coverage = cov * 100.0 / length
+                mean = dsum * 1.0 / length
+                if gc:
+                    gcr = gcc * 100.0 / length
+                    out.write(f"{names[tid]}\t{start1}\t{end1}\t{length}\t"
+                              f"{cov}\t{dsum}\t{gcr:.2f}\t{coverage:.2f}\t"
+                              f"{mean:.2f}\n")
+                else:
+                    out.write(f"{names[tid]}\t{start1}\t{end1}\t{length}\t"
+                              f"{cov}\t{dsum}\t{coverage:.2f}\t"
+                              f"{mean:.2f}\n")
+                ss_len += length
+                ss_cov += cov
+                ss_total += dsum
+                ss_gc += gcc
+            out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+            return
+
+        order = np.lexsort((
+            np.array([i.encode() for i in targets.gene_id]),
+            targets.gene_start, targets.gene_tid))
+
+        if mode == MODE_CHR:
+            # per-chromosome aggregation of the 10 Mb pseudo-genes
+            # (src/PanDepth.cpp:5053-5085)
+            for tid in np.unique(targets.gene_tid):
+                sel = targets.gene_tid == tid
+                c_len = int(targets.gene_length[sel].sum())
+                c_cov = int(gene_cover[sel].sum())
+                c_tot = int(gene_dsum[sel].sum())
+                c_gc = int(targets.gene_gc[sel].sum())
+                coverage = c_cov * 100.0 / c_len
+                mean = c_tot * 1.0 / c_len
+                if gc:
+                    gcr = c_gc * 100.0 / c_len
+                    out.write(f"{names[tid]}\t{c_len}\t{c_cov}\t{c_tot}\t"
+                              f"{gcr:.2f}\t{coverage:.2f}\t{mean:.2f}\n")
+                else:
+                    out.write(f"{names[tid]}\t{c_len}\t{c_cov}\t{c_tot}\t"
+                              f"{coverage:.2f}\t{mean:.2f}\n")
+                ss_len += c_len
+                ss_cov += c_cov
+                ss_total += c_tot
+                ss_gc += c_gc
+            out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+            return
+
+        with_id = mode in (MODE_GFF, MODE_GTF, MODE_BED3, MODE_BED4)
+        for g in order:
+            tid = int(targets.gene_tid[g])
+            length = int(targets.gene_length[g])
+            cov = int(gene_cover[g])
+            dsum = int(gene_dsum[g])
+            gcc = int(targets.gene_gc[g])
+            coverage = cov * 100.0 / length
+            mean = dsum * 1.0 / length
+            row = (f"{names[tid]}\t{int(targets.gene_start[g])}\t"
+                   f"{int(targets.gene_end[g])}\t")
+            if with_id:
+                row += f"{targets.gene_id[g]}\t"
+            row += f"{length}\t{cov}\t{dsum}\t"
+            if gc:
+                row += f"{gcc * 100.0 / length:.2f}\t"
+            row += f"{coverage:.2f}\t{mean:.2f}\n"
+            out.write(row)
+            ss_len += length
+            ss_cov += cov
+            ss_total += dsum
+            ss_gc += gcc
+        out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+
+
+def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
+                     tids_with_regions: np.ndarray, dense_depth_fn) -> None:
+    """``.SiteDepth.gz``: chr, 0-based pos, depth for every base of every
+    chromosome that has regions (src/PanDepth.cpp:4264-4284)."""
+    with GzTextWriter(path) as out:
+        region_set = set(int(t) for t in tids_with_regions)
+        for tid in range(len(names)):
+            if tid not in region_set:
+                continue
+            d = dense_depth_fn(tid)
+            name = names[tid]
+            chunk = 1 << 20
+            for i in range(0, d.shape[0], chunk):
+                block = d[i: i + chunk]
+                out.write("".join(
+                    f"{name}\t{i + k}\t{v}\n"
+                    for k, v in enumerate(block.tolist())))
+
+
+def mode6_window_rows(names: Sequence[str], lengths: np.ndarray,
+                      tids_with_regions: np.ndarray, win_size: int,
+                      stats_fn, gc_counts_fn=None) -> List[tuple]:
+    """Build mode-6 rows: re-tile each regioned contig with the small
+    window size (src/PanDepth.cpp:4313-4317).
+
+    ``stats_fn(seg_tid, seg_start, seg_end) -> (cover, dsum)`` and
+    ``gc_counts_fn(tid, starts, ends) -> int64 array`` (or None for the
+    reference's cleared-RefBase 0.00 behavior, quirk Q4).
+    """
+    rows: List[tuple] = []
+    region_set = set(int(t) for t in tids_with_regions)
+    for tid in range(len(names)):
+        if tid not in region_set:
+            continue
+        tiling = small_window_tiling(int(lengths[tid]), win_size)
+        if tiling.shape[0] == 0:
+            continue
+        seg_tid = np.full(tiling.shape[0], tid, np.int32)
+        cover, dsum = stats_fn(seg_tid, tiling[:, 0], tiling[:, 1])
+        if gc_counts_fn is not None:
+            gcc = gc_counts_fn(tid, tiling[:, 0], tiling[:, 1])
+        else:
+            gcc = np.zeros(tiling.shape[0], np.int64)
+        for i in range(tiling.shape[0]):
+            s, e = int(tiling[i, 0]), int(tiling[i, 1])
+            rows.append((tid, s, e, e - s + 1, int(cover[i]),
+                         int(dsum[i]), int(gcc[i])))
+    return rows

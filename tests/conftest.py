@@ -1,0 +1,41 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+mesh/sharding tests run without TPU hardware (SURVEY.md §4.4)."""
+
+import os
+import shutil
+import subprocess
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the axon site hook overrides JAX_PLATFORMS at interpreter start, so
+# the env var alone is not enough — force it through jax.config too
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+REF_SRC = "/root/reference/src/PanDepth.cpp"
+ORACLE = "/tmp/refbin/pandepth"
+
+
+@pytest.fixture(scope="session")
+def oracle_bin():
+    """Path to the reference pandepth binary (built once per machine),
+    or skip when the reference tree isn't available."""
+    if os.path.exists(ORACLE):
+        return ORACLE
+    if not os.path.exists(REF_SRC) or shutil.which("g++") is None:
+        pytest.skip("reference oracle unavailable")
+    os.makedirs(os.path.dirname(ORACLE), exist_ok=True)
+    subprocess.run(
+        ["g++", "--std=c++11", "-O2", "-o", ORACLE, REF_SRC,
+         "-I/root/reference/include", "-L/root/reference/lib",
+         "-lhts", "-ldeflate", "-lz", "-lpthread"],
+        check=True)
+    return ORACLE

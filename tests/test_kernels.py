@@ -1,0 +1,115 @@
+"""Device kernel tests against numpy oracles (SURVEY.md §4.3)."""
+
+import numpy as np
+import pytest
+
+from pandepth_tpu.device.engine import CoverageEngine
+from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.device.sweep import WRAP18_MASK
+from pandepth_tpu.io.bam import ReadBatch
+from pandepth_tpu.io.bam_writer import cigar_str_to_ops
+
+from tests.fixtures import CONTIGS, naive_depth, random_reads
+
+
+def batch_from_recs(recs):
+    tid, pos, flag, mapq, n_ops = [], [], [], [], []
+    opc, opl, opr = [], [], []
+    for r, (t, p, f, q, cig) in enumerate(recs):
+        tid.append(t)
+        pos.append(p)
+        flag.append(f)
+        mapq.append(q)
+        ops = cigar_str_to_ops(cig) if cig != "*" else []
+        n_ops.append(len(ops))
+        for o, ln in ops:
+            opc.append(o)
+            opl.append(ln)
+            opr.append(r)
+    a = lambda x: np.asarray(x, np.int32)  # noqa: E731
+    return ReadBatch(a(tid), a(pos), a(flag), a(mapq), a(n_ops), a(opc),
+                     a(opl), a(opr))
+
+
+def naive_seg_stats(depth, tid, s1, e1, min_dep):
+    cover, dsum = [], []
+    for t, s, e in zip(tid, s1, e1):
+        d = depth[t][max(s - 1, 0): e]
+        sel = d >= min_dep
+        cover.append(int(sel.sum()))
+        dsum.append(int(d[sel].sum()))
+    return np.array(cover), np.array(dsum)
+
+
+@pytest.mark.parametrize("min_dep,min_mapq,flags", [
+    (1, -1, 1796), (2, -1, 1796), (1, 30, 1796), (3, 10, 0),
+])
+def test_segment_stats_vs_naive(min_dep, min_mapq, flags):
+    recs = random_reads(n=600, seed=5)
+    layout = GenomeLayout(np.array([c[1] for c in CONTIGS]))
+    eng = CoverageEngine(layout, flags_mask=flags, min_mapq=min_mapq,
+                         min_dep=min_dep)
+    # split into several batches to exercise accumulation
+    for i in range(0, len(recs), 211):
+        eng.add_batch(batch_from_recs(recs[i: i + 211]))
+
+    depth = naive_depth(CONTIGS, recs, flags, min_mapq)
+
+    rng = np.random.RandomState(3)
+    seg_tid = rng.randint(0, len(CONTIGS), 60).astype(np.int32)
+    s1 = np.array([rng.randint(1, CONTIGS[t][1] + 40) for t in seg_tid])
+    e1 = np.array([s + rng.randint(0, 900) for s in s1])
+
+    st = eng.segment_stats(seg_tid, s1, e1)
+    exp_cov, exp_sum = naive_seg_stats(depth, seg_tid, s1, e1, min_dep)
+    np.testing.assert_array_equal(st.cover, exp_cov)
+    np.testing.assert_array_equal(st.depth_sum, exp_sum)
+
+
+def test_dense_depth_matches_naive():
+    recs = random_reads(n=400, seed=9)
+    layout = GenomeLayout(np.array([c[1] for c in CONTIGS]))
+    eng = CoverageEngine(layout)
+    eng.add_batch(batch_from_recs(recs))
+    depth = naive_depth(CONTIGS, recs)
+    for t, (_, ln) in enumerate(CONTIGS):
+        np.testing.assert_array_equal(eng.dense_depth(t), depth[t][:ln])
+
+
+def test_interval_events_and_wrap18():
+    layout = GenomeLayout(np.array([100]))
+    eng = CoverageEngine(layout, wrap18=True)
+    n = WRAP18_MASK + 5  # enough overlapping intervals to wrap 18 bits
+    tid = np.zeros(n, np.int32)
+    s = np.full(n, 10, np.int64)
+    e = np.full(n, 20, np.int64)
+    eng.add_intervals(tid, s, e)
+    d = eng.dense_depth(0)
+    assert d[10] == (n & WRAP18_MASK)
+    assert d[9] == 0 and d[20] == 0
+
+    st = eng.segment_stats(np.array([0], np.int32), np.array([1]),
+                           np.array([100]))
+    assert st.cover[0] == 10
+    assert st.depth_sum[0] == 10 * (n & WRAP18_MASK)
+
+
+def test_empty_engine():
+    layout = GenomeLayout(np.array([50, 60]))
+    eng = CoverageEngine(layout)
+    st = eng.segment_stats(np.array([0, 1], np.int32), np.array([1, 10]),
+                           np.array([50, 20]))
+    np.testing.assert_array_equal(st.cover, [0, 0])
+    np.testing.assert_array_equal(st.depth_sum, [0, 0])
+    assert (eng.dense_depth(0) == 0).all()
+
+
+def test_overhanging_read_lands_in_slack():
+    layout = GenomeLayout(np.array([100]))
+    eng = CoverageEngine(layout)
+    eng.add_batch(batch_from_recs([(0, 90, 0, 60, "50M")]))
+    # bases 90..139 covered; segment beyond contig end must see slack
+    st = eng.segment_stats(np.array([0], np.int32), np.array([95]),
+                           np.array([130]))
+    assert st.cover[0] == 36
+    assert st.depth_sum[0] == 36

@@ -1,0 +1,182 @@
+"""Golden-file parity against the reference pandepth binary
+(SURVEY.md §4.1): run both tools on the same synthetic inputs and
+byte-compare every decompressed output table."""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.fixtures import (CONTIGS, gunzip_bytes, make_bam, make_bed,
+                            make_fasta, make_gff, make_gtf)
+
+from pandepth_tpu.cli import main as cli_main
+
+
+def run_ours(workdir, args):
+    rc = cli_main(["pandepth"] + list(args))
+    assert rc == 0
+
+
+def compare_outputs(tmp, ref_prefix, our_prefix):
+    ref_files = sorted(glob.glob(os.path.join(tmp, ref_prefix + "*.gz")))
+    assert ref_files, "oracle produced no output"
+    for rf in ref_files:
+        of = rf.replace(ref_prefix, our_prefix, 1)
+        assert os.path.exists(of), f"missing output {of}"
+        assert gunzip_bytes(of) == gunzip_bytes(rf), \
+            f"table mismatch: {os.path.basename(rf)}"
+
+
+def _setup(tmp, n=800, seed=11):
+    bam = os.path.join(tmp, "t.bam")
+    make_bam(bam, n=n, seed=seed)
+    return bam
+
+
+def _both(tmp, oracle, extra, n=800, seed=11, bam=None):
+    bam = bam or _setup(tmp, n, seed)
+    ref_out = os.path.join(tmp, "ref")
+    our_out = os.path.join(tmp, "ours")
+    subprocess.run([oracle, "-i", bam, "-o", ref_out] + extra,
+                   check=True, capture_output=True)
+    run_ours(tmp, ["-i", bam, "-o", our_out] + extra)
+    compare_outputs(tmp, "ref", "ours")
+
+
+def test_chr_mode(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, [])
+
+
+def test_chr_mode_no_index(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    bam = os.path.join(tmp, "t.bam")
+    make_bam(bam, n=500, seed=2, make_index=False)
+    _both(tmp, oracle_bin, [], bam=bam)
+
+
+def test_window_mode_big(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-w", "500"])
+
+
+def test_window_mode_small(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-w", "100"])
+
+
+def test_window_mode_tiny(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-w", "7"])
+
+
+def test_gff_mode(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    gff = os.path.join(tmp, "t.gff")
+    make_gff(gff)
+    _both(tmp, oracle_bin, ["-g", gff])
+
+
+def test_gff_gz_exon_feature(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    gff = os.path.join(tmp, "t.gff.gz")
+    make_gff(gff, feature="exon", gz=True)
+    _both(tmp, oracle_bin, ["-g", gff, "-f", "exon"])
+
+
+def test_gtf_mode(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    gtf = os.path.join(tmp, "t.gtf")
+    make_gtf(gtf)
+    _both(tmp, oracle_bin, ["-g", gtf])
+
+
+def test_bed3_mode(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    bed = os.path.join(tmp, "t.bed")
+    make_bed(bed)
+    _both(tmp, oracle_bin, ["-b", bed])
+
+
+def test_bed4_mode(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    bed = os.path.join(tmp, "t4.bed")
+    make_bed(bed, four_col=True)
+    _both(tmp, oracle_bin, ["-b", bed])
+
+
+def test_mapq_and_flag_filters(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-q", "30", "-x", "260"])
+
+
+def test_min_depth(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-d", "3"])
+
+
+def test_site_output(tmp_path, oracle_bin):
+    _both(str(tmp_path), oracle_bin, ["-a"], n=300, seed=4)
+
+
+def test_gc_mode_chr(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    fa = os.path.join(tmp, "ref.fa")
+    make_fasta(fa)
+    _both(tmp, oracle_bin, ["-c", "-r", fa])
+
+
+def test_gc_mode_gene(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    fa = os.path.join(tmp, "ref.fa")
+    gff = os.path.join(tmp, "t.gff")
+    make_fasta(fa)
+    # overhanging segments make the reference read GC out of bounds (UB)
+    make_gff(gff, overhang=False)
+    _both(tmp, oracle_bin, ["-g", gff, "-c", "-r", fa])
+
+
+def test_gc_mode_windows(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    fa = os.path.join(tmp, "ref.fa")
+    make_fasta(fa)
+    _both(tmp, oracle_bin, ["-w", "200", "-c", "-r", fa])
+
+
+def test_gc_mode_small_windows_documented_divergence(tmp_path, oracle_bin):
+    # The reference's mode-6 GC column reads freed memory (quirk Q4 —
+    # nondeterministic garbage), so we compute *real* GC and compare
+    # every other column byte-for-byte.
+    tmp = str(tmp_path)
+    fa = os.path.join(tmp, "ref.fa")
+    make_fasta(fa)
+    bam = _setup(tmp)
+    ref_out = os.path.join(tmp, "ref")
+    our_out = os.path.join(tmp, "ours")
+    args = ["-w", "50", "-c", "-r", fa]
+    subprocess.run([oracle_bin, "-i", bam, "-o", ref_out] + args,
+                   check=True, capture_output=True)
+    run_ours(tmp, ["-i", bam, "-o", our_out] + args)
+    from tests.fixtures import drop_gc_column
+
+    ref = drop_gc_column(gunzip_bytes(os.path.join(tmp,
+                                                   "ref.win.stat.gz")))
+    ours = drop_gc_column(gunzip_bytes(os.path.join(tmp,
+                                                    "ours.win.stat.gz")))
+    assert ref == ours
+
+
+def test_multi_file_list(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    bam1 = os.path.join(tmp, "a.bam")
+    bam2 = os.path.join(tmp, "b.bam")
+    # the reference's multi-file arrays only have +100 slack cells and
+    # heap-overflow past that, so keep read overhang under it
+    make_bam(bam1, n=300, seed=21, end_slack=90)
+    make_bam(bam2, n=300, seed=22, end_slack=90)
+    lst = os.path.join(tmp, "in.list")
+    with open(lst, "w") as fh:
+        fh.write(bam1 + "\n" + bam2 + "\n")
+    ref_out = os.path.join(tmp, "ref")
+    our_out = os.path.join(tmp, "ours")
+    subprocess.run([oracle_bin, "-i", lst, "-o", ref_out], check=True,
+                   capture_output=True)
+    run_ours(tmp, ["-i", lst, "-o", our_out])
+    compare_outputs(tmp, "ref", "ours")

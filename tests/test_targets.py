@@ -1,0 +1,118 @@
+"""Unit tests for target parsing semantics (SURVEY.md §4.2)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from pandepth_tpu.config import (MODE_BED3, MODE_BED4, MODE_CHR, MODE_GFF,
+                                 MODE_GTF, MODE_WIN_BIG, MODE_WIN_SMALL)
+from pandepth_tpu.targets.parse import (detect_bed_mode, detect_gff_mode,
+                                        parse_targets)
+from pandepth_tpu.targets.windows import (small_window_tiling,
+                                          synthesize_default_targets)
+
+CHR2TID = {"chr1": 0, "chr2": 1}
+
+
+def w(tmp_path, name, text):
+    p = os.path.join(str(tmp_path), name)
+    if name.endswith(".gz"):
+        with gzip.open(p, "wt") as fh:
+            fh.write(text)
+    else:
+        with open(p, "w") as fh:
+            fh.write(text)
+    return p
+
+
+def test_detect_gff_vs_gtf(tmp_path):
+    assert detect_gff_mode(w(tmp_path, "a.gff",
+                             "chr1\tx\tCDS\t1\t5\t.\t+\t0\tID=a;Parent=b\n"
+                             )) == MODE_GFF
+    assert detect_gff_mode(w(tmp_path, "a.gtf",
+                             'chr1\tx\tCDS\t1\t5\t.\t+\t0\tgene_id "g"; '
+                             'transcript_id "t";\n')) == MODE_GTF
+    # last informative line wins
+    assert detect_gff_mode(w(tmp_path, "b.gff",
+                             "chr1\tx\ty\t1\t2\t.\t+\t.\tParent=a\n"
+                             "chr1\tx\ty\t1\t2\t.\t+\t.\ttranscript_id q\n"
+                             )) == MODE_GTF
+    assert detect_gff_mode(w(tmp_path, "c.gff", "#comment\n\n")) == 0
+
+
+def test_detect_bed_mode(tmp_path):
+    assert detect_bed_mode(w(tmp_path, "a.bed",
+                             "chr1\t1\t10\nchr1\t5\t20\n")) == MODE_BED3
+    assert detect_bed_mode(w(tmp_path, "b.bed",
+                             "chr1\t1\t10\tr1\n")) == MODE_BED4
+    assert detect_bed_mode(w(tmp_path, "c.bed",
+                             "chr1\t1\t10\nchr1\t5\t20\tr2\n")) == MODE_BED4
+
+
+def test_gff_parent_id_extraction(tmp_path):
+    p = w(tmp_path, "t.gff",
+          "chr1\ts\tCDS\t10\t20\t.\t+\t0\tID=cds1;Parent=mr1\n"
+          "chr1\ts\tCDS\t30\t40\t.\t+\t0\tID=cds2,Parent=mr1\n"
+          "chr1\ts\tCDS\t50\t60\t.\t+\t0\tID=cds3\n"
+          "chr1\ts\texon\t70\t80\t.\t+\t0\tID=skipme;Parent=mr1\n")
+    t = parse_targets(p, MODE_GFF, CHR2TID)
+    assert t.gene_id == ["mr1", "cds3"]
+    assert t.n_segments == 3
+    # merged gene: span 10-40, length = 11 + 11
+    assert t.gene_start[0] == 10 and t.gene_end[0] == 40
+    assert t.gene_length[0] == 22
+
+
+def test_gtf_token10_quirk(tmp_path):
+    p = w(tmp_path, "t.gtf",
+          'chr1\ts\tCDS\t10\t20\t.\t+\t0\tgene_id "gX"; '
+          'transcript_id "tY";\n')
+    t = parse_targets(p, MODE_GTF, CHR2TID)
+    # quirk Q3: id is attribute token 10 (the gene_id VALUE), never
+    # the transcript_id
+    assert t.gene_id == ["gX"]
+
+
+def test_bed3_string_ids_and_merge(tmp_path):
+    p = w(tmp_path, "t.bed",
+          "chr1\t007\t20\n"        # id keeps the original "007" string
+          "chr1\t007\t20\n"        # duplicate row doubles the length
+          "chr2\t30\t10\n"         # start > end: skipped
+          "chrX\t1\t5\n")          # unknown contig: skipped
+    t = parse_targets(p, MODE_BED3, CHR2TID)
+    assert t.gene_id == ["chr1_007_20"]
+    assert t.gene_length[0] == 28  # (20-7+1) * 2
+    assert t.n_segments == 2
+
+
+def test_bed4_ids(tmp_path):
+    p = w(tmp_path, "t.bed", "chr1\t5\t9\tA\nchr1\t20\t30\tA\n"
+                             "chr2\t1\t4\tB\n")
+    t = parse_targets(p, MODE_BED4, CHR2TID)
+    assert t.gene_id == ["A", "B"]
+    assert t.gene_length[0] == 5 + 11
+    assert t.gene_start[0] == 5 and t.gene_end[0] == 30
+
+
+def test_window_synthesis_modes():
+    names = ["c1", "c2"]
+    lengths = np.array([250, 1])
+    mode, t = synthesize_default_targets(names, lengths, 0)
+    assert mode == MODE_CHR
+    assert t.n_genes == 1          # len-1 contig gets no region
+    mode, t = synthesize_default_targets(names, lengths, 100)
+    assert mode == MODE_WIN_SMALL
+    mode, t = synthesize_default_targets(names, lengths, 200)
+    assert mode == MODE_WIN_BIG
+    assert [int(x) for x in t.gene_start] == [1, 201]
+    assert [int(x) for x in t.gene_end] == [200, 250]
+
+
+def test_small_window_tiling_drops_last_base_quirk():
+    tw = small_window_tiling(5, 2)
+    # j in {1, 3} only (j < CC strictly): base 5 is dropped
+    assert tw.tolist() == [[1, 2], [3, 4]]
+    tw = small_window_tiling(6, 2)
+    assert tw.tolist() == [[1, 2], [3, 4], [5, 6]]
