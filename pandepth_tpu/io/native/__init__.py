@@ -1,0 +1,167 @@
+"""ctypes bindings for libpancov_io (the C++ host decode library).
+
+Builds the shared library on first use with the system g++ (the
+toolchain is a baked-in dependency; pybind11 is not, so the library
+exposes a plain C ABI). Set ``PANDEPTH_NO_NATIVE=1`` to force the pure
+Python decoders.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pancov_io.cpp")
+_LIB_DIR = os.environ.get("PANDEPTH_NATIVE_BUILD",
+                          os.path.join(_HERE, "_build"))
+_LIB = os.path.join(_LIB_DIR, "libpancov_io.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+           "-fPIC", "-o", _LIB, _SRC, "-lz", "-lpthread"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=300)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        return str(e)
+    if r.returncode != 0:
+        return r.stderr[-2000:]
+    return None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and load libpancov_io; None when unavailable."""
+    global _lib, _build_error
+    if os.environ.get("PANDEPTH_NO_NATIVE") == "1":
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_error is not None:
+            return None
+        if not os.path.exists(_LIB) or (
+                os.path.exists(_SRC) and
+                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+            _build_error = _build()
+            if _build_error is not None:
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.pancov_bam_open.restype = ctypes.c_void_p
+        lib.pancov_bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_char_p, ctypes.c_int]
+        for name, res, args in [
+            ("pancov_bam_n_targets", ctypes.c_int64, [ctypes.c_void_p]),
+            ("pancov_bam_name_len", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64]),
+            ("pancov_bam_name", None,
+             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]),
+            ("pancov_bam_target_len", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64]),
+            ("pancov_bam_text_len", ctypes.c_int64, [ctypes.c_void_p]),
+            ("pancov_bam_text", None, [ctypes.c_void_p, ctypes.c_char_p]),
+            ("pancov_bam_n_records", ctypes.c_int64, [ctypes.c_void_p]),
+            ("pancov_bam_total_ops", ctypes.c_int64, [ctypes.c_void_p]),
+            ("pancov_bam_count_ops", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]),
+            ("pancov_bam_close", None, [ctypes.c_void_p]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = args
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.pancov_bam_decode.restype = ctypes.c_int64
+        lib.pancov_bam_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+        _lib = lib
+        return _lib
+
+
+def build_error() -> Optional[str]:
+    return _build_error
+
+
+class NativeBamReader:
+    """Drop-in replacement for io.bam.BamReader backed by libpancov_io."""
+
+    def __init__(self, path: str, threads: int = 0):
+        from pandepth_tpu.io.bam import BamHeader
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                f"libpancov_io unavailable: {build_error()}")
+        self._lib = lib
+        if threads <= 0:
+            threads = min(os.cpu_count() or 1, 16)
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.pancov_bam_open(path.encode(), threads, err,
+                                      len(err))
+        if not self._h:
+            raise ValueError(
+                f"pancov_bam_open({path}): {err.value.decode()}")
+        n = lib.pancov_bam_n_targets(self._h)
+        names = []
+        lengths = np.zeros(n, np.int64)
+        for i in range(n):
+            ln = lib.pancov_bam_name_len(self._h, i)
+            buf = ctypes.create_string_buffer(ln)
+            lib.pancov_bam_name(self._h, i, buf)
+            names.append(buf.raw[:ln].decode())
+            lengths[i] = lib.pancov_bam_target_len(self._h, i)
+        tl = lib.pancov_bam_text_len(self._h)
+        tbuf = ctypes.create_string_buffer(max(tl, 1))
+        if tl:
+            lib.pancov_bam_text(self._h, tbuf)
+        self.header = BamHeader(text=tbuf.raw[:tl].decode("utf-8",
+                                                          "replace"),
+                                names=names, lengths=lengths)
+        self.n_records = int(lib.pancov_bam_n_records(self._h))
+
+    def batches(self, max_reads: int = 1 << 18) -> Iterator:
+        from pandepth_tpu.io.bam import ReadBatch
+
+        lib, h = self._lib, self._h
+        r0 = 0
+        while r0 < self.n_records:
+            r1 = min(r0 + max_reads, self.n_records)
+            n = r1 - r0
+            m = int(lib.pancov_bam_count_ops(h, r0, r1))
+            tid = np.empty(n, np.int32)
+            pos = np.empty(n, np.int32)
+            flag = np.empty(n, np.int32)
+            mapq = np.empty(n, np.int32)
+            n_ops = np.empty(n, np.int32)
+            opc = np.empty(max(m, 1), np.int32)
+            opl = np.empty(max(m, 1), np.int32)
+            opr = np.empty(max(m, 1), np.int32)
+            wrote = lib.pancov_bam_decode(h, r0, r1, tid, pos, flag,
+                                          mapq, n_ops, opc, opl, opr)
+            assert wrote == m, (wrote, m)
+            yield ReadBatch(tid=tid, pos=pos, flag=flag, mapq=mapq,
+                            n_ops=n_ops, op_code=opc[:m], op_len=opl[:m],
+                            op_read=opr[:m])
+            r0 = r1
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pancov_bam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

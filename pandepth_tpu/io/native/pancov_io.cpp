@@ -1,0 +1,291 @@
+// libpancov_io: host-side alignment decode for pandepth_tpu.
+//
+// TPU-era replacement for the role htslib plays in the reference
+// (BGZF block inflate + BAM record decode + decode thread pool,
+// consumed at src/PanDepth.cpp:3482-3507 and the ProDealChrBambai*
+// workers). The TPU is useless if the host feed starves (SURVEY.md §8
+// hard part #1), so this library:
+//
+//   * scans BGZF block boundaries via the BSIZE extra field (SAMv1
+//     §4.1) without inflating,
+//   * inflates all blocks in parallel with a std::thread pool (zlib
+//     raw deflate per block; ISIZE trailer gives each block's output
+//     offset up front, so threads write disjoint slices of one
+//     buffer),
+//   * walks BAM records once to index boundaries, then fills
+//     caller-provided columnar arrays (tid/pos/flag/mapq + flattened
+//     CIGAR stream) — exactly the ReadBatch layout the device engine
+//     consumes (pandepth_tpu/io/bam.py).
+//
+// Exposed as a plain C ABI for ctypes; no Python headers needed.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct Block {
+  size_t in_off;     // compressed payload offset
+  size_t in_len;     // compressed payload length
+  size_t out_off;    // offset in decompressed buffer
+  uint32_t out_len;  // ISIZE
+};
+
+struct BamFile {
+  std::vector<uint8_t> data;  // decompressed stream
+  std::string error;
+  std::string text;                    // SAM header text
+  std::vector<std::string> names;
+  std::vector<int64_t> lengths;
+  std::vector<size_t> rec_off;         // per record: first field offset
+  std::vector<int32_t> rec_ncigar;
+  int64_t total_ops = 0;
+};
+
+bool read_file(const char* path, std::vector<uint8_t>& out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out.resize((size_t)n);
+  size_t got = n ? std::fread(out.data(), 1, (size_t)n, f) : 0;
+  std::fclose(f);
+  return got == (size_t)n;
+}
+
+uint16_t le16(const uint8_t* p) { return (uint16_t)(p[0] | p[1] << 8); }
+uint32_t le32(const uint8_t* p) {
+  return (uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 |
+         (uint32_t)p[3] << 24;
+}
+
+// Scan BGZF member headers; returns false on malformed framing.
+bool scan_blocks(const std::vector<uint8_t>& raw, std::vector<Block>& blocks,
+                 size_t& total_out) {
+  size_t off = 0, n = raw.size();
+  total_out = 0;
+  while (off + 18 <= n) {
+    const uint8_t* p = raw.data() + off;
+    if (p[0] != 0x1f || p[1] != 0x8b) return false;
+    if (!(p[3] & 4)) return false;  // FEXTRA required for BGZF
+    uint16_t xlen = le16(p + 10);
+    size_t xp = off + 12, xend = xp + xlen;
+    if (xend > n) return false;
+    long bsize = -1;
+    while (xp + 4 <= xend) {
+      uint8_t si1 = raw[xp], si2 = raw[xp + 1];
+      uint16_t slen = le16(raw.data() + xp + 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2)
+        bsize = (long)le16(raw.data() + xp + 4) + 1;
+      xp += 4 + slen;
+    }
+    if (bsize < 0 || off + (size_t)bsize > n) return false;
+    size_t payload = xend;
+    size_t payload_len = off + bsize - 8 - payload;
+    uint32_t isize = le32(raw.data() + off + bsize - 4);
+    blocks.push_back({payload, payload_len, total_out, isize});
+    total_out += isize;
+    off += (size_t)bsize;
+  }
+  return off == n;
+}
+
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
+                   uint32_t dst_len) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)src_len;
+  zs.next_out = dst;
+  zs.avail_out = dst_len;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.avail_out == 0;
+}
+
+bool inflate_all(const std::vector<uint8_t>& raw, int n_threads,
+                 std::vector<uint8_t>& out) {
+  std::vector<Block> blocks;
+  size_t total = 0;
+  if (!scan_blocks(raw, blocks, total)) return false;
+  out.resize(total);
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  if (n_threads < 1) n_threads = 1;
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || !ok.load()) break;
+      const Block& b = blocks[i];
+      if (b.out_len &&
+          !inflate_block(raw.data() + b.in_off, b.in_len,
+                         out.data() + b.out_off, b.out_len))
+        ok.store(false);
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  return ok.load();
+}
+
+bool parse_header(BamFile* bf, size_t& off) {
+  const auto& d = bf->data;
+  if (d.size() < 12 || std::memcmp(d.data(), "BAM\x01", 4) != 0) {
+    bf->error = "not a BAM stream";
+    return false;
+  }
+  uint32_t l_text = le32(d.data() + 4);
+  off = 8;
+  if (off + l_text + 4 > d.size()) return false;
+  const char* tp = (const char*)d.data() + off;
+  bf->text.assign(tp, strnlen(tp, l_text));
+  off += l_text;
+  uint32_t n_ref = le32(d.data() + off);
+  off += 4;
+  bf->names.reserve(n_ref);
+  bf->lengths.reserve(n_ref);
+  for (uint32_t i = 0; i < n_ref; i++) {
+    if (off + 4 > d.size()) return false;
+    uint32_t l_name = le32(d.data() + off);
+    off += 4;
+    if (off + l_name + 4 > d.size()) return false;
+    bf->names.emplace_back((const char*)d.data() + off, l_name - 1);
+    off += l_name;
+    bf->lengths.push_back((int32_t)le32(d.data() + off));
+    off += 4;
+  }
+  return true;
+}
+
+bool index_records(BamFile* bf, size_t off) {
+  const auto& d = bf->data;
+  size_t n = d.size();
+  while (off + 4 <= n) {
+    uint32_t block_size = le32(d.data() + off);
+    if (off + 4 + block_size > n || block_size < 32) {
+      bf->error = "truncated BAM record";
+      return false;
+    }
+    size_t r = off + 4;
+    uint16_t n_cigar = le16(d.data() + r + 12);
+    bf->rec_off.push_back(r);
+    bf->rec_ncigar.push_back(n_cigar);
+    bf->total_ops += n_cigar;
+    off += 4 + (size_t)block_size;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pancov_bam_open(const char* path, int n_threads, char* err,
+                      int err_len) {
+  auto* bf = new BamFile();
+  std::vector<uint8_t> raw;
+  auto fail = [&](const char* msg) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", msg);
+    delete bf;
+    return nullptr;
+  };
+  if (!read_file(path, raw)) return fail("cannot read file");
+  if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (!inflate_all(raw, n_threads, bf->data))
+      return fail("BGZF inflate failed");
+  } else {
+    bf->data = std::move(raw);
+  }
+  size_t off = 0;
+  if (!parse_header(bf, off))
+    return fail(bf->error.empty() ? "bad BAM header" : bf->error.c_str());
+  if (!index_records(bf, off)) return fail(bf->error.c_str());
+  return bf;
+}
+
+int64_t pancov_bam_n_targets(void* h) {
+  return (int64_t)((BamFile*)h)->names.size();
+}
+
+int64_t pancov_bam_name_len(void* h, int64_t i) {
+  return (int64_t)((BamFile*)h)->names[i].size();
+}
+
+void pancov_bam_name(void* h, int64_t i, char* dst) {
+  const auto& s = ((BamFile*)h)->names[i];
+  std::memcpy(dst, s.data(), s.size());
+}
+
+int64_t pancov_bam_target_len(void* h, int64_t i) {
+  return ((BamFile*)h)->lengths[i];
+}
+
+int64_t pancov_bam_text_len(void* h) {
+  return (int64_t)((BamFile*)h)->text.size();
+}
+
+void pancov_bam_text(void* h, char* dst) {
+  const auto& s = ((BamFile*)h)->text;
+  std::memcpy(dst, s.data(), s.size());
+}
+
+int64_t pancov_bam_n_records(void* h) {
+  return (int64_t)((BamFile*)h)->rec_off.size();
+}
+
+int64_t pancov_bam_total_ops(void* h) { return ((BamFile*)h)->total_ops; }
+
+// Count CIGAR ops in records [r0, r1) so callers can size buffers.
+int64_t pancov_bam_count_ops(void* h, int64_t r0, int64_t r1) {
+  auto* bf = (BamFile*)h;
+  int64_t m = 0;
+  for (int64_t r = r0; r < r1; r++) m += bf->rec_ncigar[r];
+  return m;
+}
+
+// Fill columnar arrays for records [r0, r1). Buffers must hold
+// (r1-r0) reads and pancov_bam_count_ops(r0, r1) ops. Returns ops
+// written.
+int64_t pancov_bam_decode(void* h, int64_t r0, int64_t r1, int32_t* tid,
+                          int32_t* pos, int32_t* flag, int32_t* mapq,
+                          int32_t* n_ops, int32_t* op_code,
+                          int32_t* op_len, int32_t* op_read) {
+  auto* bf = (BamFile*)h;
+  const uint8_t* d = bf->data.data();
+  int64_t m = 0;
+  for (int64_t r = r0; r < r1; r++) {
+    const uint8_t* p = d + bf->rec_off[r];
+    int64_t i = r - r0;
+    tid[i] = (int32_t)le32(p);
+    pos[i] = (int32_t)le32(p + 4);
+    uint8_t l_read_name = p[8];
+    mapq[i] = p[9];
+    int32_t nc = bf->rec_ncigar[r];
+    n_ops[i] = nc;
+    flag[i] = le16(p + 14);
+    const uint8_t* cig = p + 32 + l_read_name;
+    for (int32_t k = 0; k < nc; k++) {
+      uint32_t v = le32(cig + 4 * k);
+      op_code[m] = (int32_t)(v & 0xF);
+      op_len[m] = (int32_t)(v >> 4);
+      op_read[m] = (int32_t)i;
+      m++;
+    }
+  }
+  return m;
+}
+
+void pancov_bam_close(void* h) { delete (BamFile*)h; }
+
+}  // extern "C"

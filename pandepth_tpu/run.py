@@ -45,16 +45,24 @@ def is_paf(path: str) -> bool:
     return _ext(_strip_gz(path)).lower() == "paf"
 
 
-def open_alignment(path: str):
-    """Sniff BAM (BGZF) vs SAM text; CRAM raises until the decoder
-    lands."""
+def open_alignment(path: str, threads: int = 0):
+    """Sniff BAM (BGZF) vs SAM text vs CRAM and return a reader with a
+    ``.header`` and ``.batches()``. BAM prefers the native C++ decoder
+    (libpancov_io) and falls back to the pure Python one."""
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic[:4] == b"CRAM":
         from pandepth_tpu.io.cram import CramReader
         return CramReader(path)
     if magic[:2] == b"\x1f\x8b":
-        # could be BAM-in-BGZF or gzipped SAM; BamReader sniffs content
+        # could be BAM-in-BGZF or gzipped SAM; readers sniff content
+        try:
+            from pandepth_tpu.io.native import (NativeBamReader,
+                                                load_library)
+            if load_library() is not None:
+                return NativeBamReader(path, threads=threads)
+        except (ValueError, RuntimeError, OSError):
+            pass
         try:
             return BamReader(path)
         except ValueError:
@@ -135,7 +143,7 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
 
 
 def run_alignment(config: RunConfig) -> int:
-    reader = open_alignment(config.inputs[0])
+    reader = open_alignment(config.inputs[0], threads=config.threads)
     header: BamHeader = reader.header
     names, lengths = header.names, header.lengths
     chr2tid = header.name_to_tid()
@@ -167,7 +175,8 @@ def run_alignment(config: RunConfig) -> int:
 
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
-        r = reader if i == 0 else open_alignment(path)
+        r = reader if i == 0 else open_alignment(path,
+                                                 threads=config.threads)
         for batch in r.batches(max_reads=config.max_reads_per_batch):
             # multi-sample mode indexes the FIRST file's contig space
             # with each file's raw tids (quirk Q5); out-of-range tids
