@@ -20,8 +20,9 @@ import sys
 import time
 
 BENCH_DIR = os.environ.get("PANDEPTH_BENCH_DIR", "/tmp/pandepth_bench")
-N_READS = int(os.environ.get("PANDEPTH_BENCH_READS", 1_000_000))
-GENOME = [("chr1", 12_000_000), ("chr2", 8_000_000), ("chr3", 4_000_000)]
+N_READS = int(os.environ.get("PANDEPTH_BENCH_READS", 4_000_000))
+GENOME = [("chr1", 30_000_000), ("chr2", 20_000_000),
+          ("chr3", 10_000_000)]
 REF_BIN = "/tmp/refbin/pandepth"
 REF_SRC = "/root/reference/src/PanDepth.cpp"
 # reference wall measured once on the dev host for this fixture; used
@@ -37,22 +38,22 @@ def ensure_fixture() -> str:
     sys.stderr.write(f"bench: generating {N_READS}-read fixture...\n")
     import numpy as np
 
-    from pandepth_tpu.io.bam_writer import write_bam
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
 
     rng = np.random.RandomState(42)
     n = N_READS
     lens = np.array([g[1] for g in GENOME])
-    tid = rng.randint(0, len(GENOME), n)
-    pos = (rng.rand(n) * (lens[tid] - 200)).astype(np.int64)
+    tid = rng.randint(0, len(GENOME), n).astype(np.int32)
+    pos = (rng.rand(n) * (lens[tid] - 200)).astype(np.int32)
     order = np.lexsort((pos, tid))
     tid, pos = tid[order], pos[order]
-    mapq = rng.choice([0, 10, 30, 60], n)
-    flag = np.where(rng.rand(n) < 0.05, 1024, 0)
-    rlen = rng.randint(100, 151, n)
-    recs = [(int(tid[i]), int(pos[i]), int(flag[i]), int(mapq[i]),
-             f"{rlen[i]}M") for i in range(n)]
-    write_bam(bam, [g[0] for g in GENOME], [g[1] for g in GENOME], recs,
-              make_index=True)
+    mapq = rng.choice([0, 10, 30, 60], n).astype(np.uint8)
+    flag = np.where(rng.rand(n) < 0.05, 1024, 0).astype(np.uint16)
+    tmp = bam + ".tmp"
+    write_uniform_bam(tmp, [g[0] for g in GENOME],
+                      [g[1] for g in GENOME], tid, pos, flag, mapq)
+    os.replace(tmp + ".bai", bam + ".bai")
+    os.replace(tmp, bam)  # atomic: a killed run never leaves a torn BAM
     return bam
 
 

@@ -61,7 +61,7 @@ class RunConfig:
 
     # --- engine knobs (no reference equivalent) ---
     tile_size: int = 1 << 20        # genome scan tile (device)
-    max_reads_per_batch: int = 1 << 18
+    max_reads_per_batch: int = 1 << 20
     max_ops_per_batch: int = 1 << 20
     verbose: bool = False
     device_kind: Optional[str] = None  # force 'cpu' for tests

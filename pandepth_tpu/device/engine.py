@@ -27,6 +27,15 @@ from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch
 
 
+@jax.jit
+def _pack_events(starts, ends):
+    pos = jnp.concatenate([starts, ends])
+    delta = jnp.concatenate([
+        (starts < SENTINEL).astype(jnp.int32),
+        -(ends < SENTINEL).astype(jnp.int32)])
+    return pos, delta
+
+
 @dataclasses.dataclass
 class SegmentStats:
     cover: np.ndarray      # int64 per segment
@@ -75,6 +84,23 @@ class CoverageEngine:
             self._offsets, self._limits,
             flags_mask=self.flags_mask, min_mapq=self.min_mapq)
         self._chunks.append((ev_pos, ev_delta))
+        self._state = None
+
+    def add_start_end(self, starts: np.ndarray, ends: np.ndarray) -> None:
+        """Append pre-extracted, pre-filtered global [start, end) event
+        pairs (the native C++ fast path). Padding slots must already be
+        SENTINEL; deltas are synthesized on-device so only positions
+        cross the host->device link."""
+        m = starts.shape[0]
+        if m == 0:
+            return
+        mp = pad_pow2(m)
+        s = np.full(mp, int(SENTINEL), np.int64)
+        e = np.full(mp, int(SENTINEL), np.int64)
+        s[:m] = starts
+        e[:m] = ends
+        pos, delta = _pack_events(jnp.asarray(s), jnp.asarray(e))
+        self._chunks.append((pos, delta))
         self._state = None
 
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
@@ -164,12 +190,13 @@ class CoverageEngine:
             hi_c = np.zeros(bp, np.int64)
             lo_c[: j - i] = lo[i:j]
             hi_c[: j - i] = hi[i:j]
-            ql_c, ql_s = sweep_mod.eval_boundaries(
-                pos_s, depth, c_cov, c_sum, md, jnp.asarray(lo_c))
-            qh_c, qh_s = sweep_mod.eval_boundaries(
-                pos_s, depth, c_cov, c_sum, md, jnp.asarray(hi_c))
-            cover[i:j] = np.asarray(qh_c - ql_c)[: j - i]
-            dsum[i:j] = np.asarray(qh_s - ql_s)[: j - i]
+            # few queries -> binary search; many -> ride the TPU sort
+            method = "scan_unrolled" if bp <= 4096 else "sort"
+            qc, qs = sweep_mod.eval_pair(
+                pos_s, depth, c_cov, c_sum, md, jnp.asarray(lo_c),
+                jnp.asarray(hi_c), method=method)
+            cover[i:j] = np.asarray(qc)[: j - i]
+            dsum[i:j] = np.asarray(qs)[: j - i]
         return SegmentStats(cover=cover, depth_sum=dsum)
 
     def dense_depth(self, tid: int, start0: int = 0,

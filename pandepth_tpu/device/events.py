@@ -30,7 +30,9 @@ REF_CONSUME_MASK = 0b110001101
 # bit i set <=> CIGAR op i adds depth (M = X)
 DEPTH_MASK = 0b110000001
 
-SENTINEL = jnp.int64(1) << 62
+# plain Python int: a device scalar here would initialize the backend
+# at import time and force a device sync at every host-side use
+SENTINEL = 1 << 62
 
 
 @functools.partial(jax.jit, static_argnames=("flags_mask", "min_mapq"))

@@ -55,6 +55,28 @@ def sort_events(ev_pos, ev_delta, min_dep: int = 1, wrap18: bool = False):
     return pos_s, depth, c_cov, c_sum, delta_s
 
 
+@functools.partial(jax.jit, static_argnames=("method",))
+def eval_pair(pos_s, depth, c_cov, c_sum, min_dep, lo, hi,
+              method: str = "sort"):
+    """Fused (Q(hi) - Q(lo)) for segment batches: one searchsorted over
+    the concatenated boundaries (one TPU sort instead of two), one
+    dispatch."""
+    b = lo.shape[0]
+    x = jnp.concatenate([lo, hi])
+    r = jnp.searchsorted(pos_s, x, side="left",
+                         method=method).astype(jnp.int32)
+    e = pos_s.shape[0]
+    i_full = jnp.clip(r - 2, 0, e - 1)
+    i_part = jnp.clip(r - 1, 0, e - 1)
+    full_cov = jnp.where(r >= 2, c_cov[i_full], 0)
+    full_sum = jnp.where(r >= 2, c_sum[i_full], 0)
+    ind = (depth[i_part] >= min_dep).astype(jnp.int64)
+    part_len = jnp.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
+    q_cov = full_cov + part_len
+    q_sum = full_sum + part_len * depth[i_part].astype(jnp.int64)
+    return q_cov[b:] - q_cov[:b], q_sum[b:] - q_sum[:b]
+
+
 @jax.jit
 def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
     """Evaluate Q_cov(x), Q_sum(x) = integrals of covered-indicator and
@@ -65,7 +87,10 @@ def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
     piece r-1 (r = first event index with position >= x) into a fully
     counted prefix (c_* up to piece r-2) plus a partial remainder.
     """
-    r = jnp.searchsorted(pos_s, x, side="left").astype(jnp.int32)
+    # method='sort' rides the fast TPU sort instead of a serial binary-
+    # search scan (~20x faster for large query batches)
+    r = jnp.searchsorted(pos_s, x, side="left",
+                         method="sort").astype(jnp.int32)
     e = pos_s.shape[0]
     i_full = jnp.clip(r - 2, 0, e - 1)
     i_part = jnp.clip(r - 1, 0, e - 1)

@@ -167,6 +167,164 @@ def write_bam(path: str, names: Sequence[str], lengths: Sequence[int],
             _write_bai(path + ".bai", len(names), rec_marks, w)
 
 
+def write_uniform_bam(path: str, names: Sequence[str],
+                      lengths: Sequence[int], tid, pos, flag, mapq,
+                      read_len: int = 150, make_index: bool = True,
+                      compresslevel: int = 1, threads: int = 4) -> None:
+    """Fast vectorized writer for benchmark-scale fixtures: every record
+    has the same read length and a single ``<read_len>M`` CIGAR, so the
+    record block is built with one numpy reshape and BGZF-compressed on
+    a thread pool (zlib releases the GIL)."""
+    import concurrent.futures
+
+    import numpy as np
+
+    tid = np.asarray(tid, np.int32)
+    pos = np.asarray(pos, np.int32)
+    flag = np.asarray(flag, np.uint16)
+    mapq = np.asarray(mapq, np.uint8)
+    n = tid.shape[0]
+
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{nm}\tLN:{ln}\n" for nm, ln in zip(names, lengths))
+    hdr = b"BAM\x01"
+    tb = header_text.encode()
+    hdr += struct.pack("<i", len(tb)) + tb + struct.pack("<i", len(names))
+    for nm, ln in zip(names, lengths):
+        nb = nm.encode() + b"\x00"
+        hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+
+    qname_len = 9  # "rXXXXXXX\0"
+    seq_bytes = (read_len + 1) // 2
+    body = 32 + qname_len + 4 + seq_bytes + read_len
+    rec_size = 4 + body
+    end = pos + read_len
+
+    # vectorized reg2bin for typical short intervals
+    b = np.full(n, 0, np.uint16)
+    e1 = end - 1
+    for shift, base in ((14, 4681), (17, 585), (20, 73), (23, 9),
+                        (26, 1)):
+        hit = (pos >> shift) == (e1 >> shift)
+        b = np.where((b == 0) & hit, base + (pos >> shift), b)
+    qnames = np.char.add(
+        "r", np.char.zfill(np.arange(n).astype("U7"), 7))
+
+    rec = np.zeros((n, rec_size), np.uint8)
+
+    def put_le(col, arr, width):
+        a = np.ascontiguousarray(arr)
+        raw = a.view(np.uint8).reshape(n, a.itemsize)[:, :width]
+        rec[:, col: col + width] = raw
+
+    put_le(0, np.full(n, body, np.int32), 4)
+    put_le(4, tid, 4)
+    put_le(8, pos, 4)
+    rec[:, 12] = qname_len
+    rec[:, 13] = mapq
+    put_le(14, b.astype(np.uint16), 2)
+    put_le(16, np.full(n, 1, np.uint16), 2)       # n_cigar
+    put_le(18, flag, 2)
+    put_le(20, np.full(n, read_len, np.int32), 4)
+    put_le(24, np.full(n, -1, np.int32), 4)
+    put_le(28, np.full(n, -1, np.int32), 4)
+    # tlen stays 0
+    qn = qnames.astype(f"S{qname_len - 1}").view(np.uint8)
+    rec[:, 36: 36 + qname_len - 1] = qn.reshape(n, qname_len - 1)
+    put_le(36 + qname_len, np.full(n, (read_len << 4) | 0, np.uint32), 4)
+    rec[:, 40 + qname_len: 40 + qname_len + seq_bytes] = 0x11  # "AA.."
+    rec[:, 40 + qname_len + seq_bytes:] = 0xFF                 # no qual
+
+    payload = hdr + rec.tobytes()
+    del rec
+    chunk = 0xFF00
+    pieces = [payload[i: i + chunk] for i in range(0, len(payload), chunk)]
+
+    def bgzf_block(pl: bytes) -> bytes:
+        co = zlib.compressobj(compresslevel, zlib.DEFLATED, -15)
+        cdata = co.compress(pl) + co.flush()
+        bsize = len(cdata) + 26
+        return (struct.pack("<4BI2BH2BH H", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF,
+                            6, 0x42, 0x43, 2, bsize - 1) + cdata +
+                struct.pack("<II", zlib.crc32(pl) & 0xFFFFFFFF, len(pl)))
+
+    with concurrent.futures.ThreadPoolExecutor(threads) as ex:
+        blocks = list(ex.map(bgzf_block, pieces))
+    with open(path, "wb") as fh:
+        block_offs = []
+        off = 0
+        for blk in blocks:
+            block_offs.append(off)
+            off += len(blk)
+        fh.write(b"".join(blocks) + BGZF_EOF)
+
+    if make_index:
+        # map each record's uncompressed offset to a virtual offset
+        u0 = len(hdr) + np.arange(n, dtype=np.int64) * rec_size
+        u1 = u0 + rec_size
+        blk_idx0 = u0 // chunk
+        blk_idx1 = u1 // chunk
+        boffs = np.asarray(block_offs, np.int64)
+        v0 = (boffs[blk_idx0] << 16) | (u0 % chunk)
+        v1 = (boffs[np.minimum(blk_idx1, len(boffs) - 1)] << 16) | \
+            (u1 % chunk)
+        _write_bai_from_voffsets(path + ".bai", len(names), tid, pos,
+                                 end, b, v0, v1)
+
+
+def _write_bai_from_voffsets(path: str, n_ref: int, tid, pos, end,
+                             bins, v0, v1) -> None:
+    """Vectorized-ish BAI assembly from precomputed virtual offsets."""
+    import numpy as np
+
+    out = bytearray(b"BAI\x01" + struct.pack("<i", n_ref))
+    for t in range(n_ref):
+        sel = np.nonzero(tid == t)[0]
+        if sel.size == 0:
+            out += struct.pack("<ii", 0, 0)
+            continue
+        tb = bins[sel]
+        order = np.argsort(tb, kind="stable")
+        sel_s = sel[order]
+        tb_s = tb[order]
+        uniq, starts = np.unique(tb_s, return_index=True)
+        out += struct.pack("<i", len(uniq))
+        for k, bval in enumerate(uniq):
+            lo = starts[k]
+            hi = starts[k + 1] if k + 1 < len(uniq) else len(sel_s)
+            idxs = sel_s[lo:hi]
+            # merge runs of records whose chunks touch (vectorized)
+            a = v0[idxs].astype(np.int64)
+            bb = v1[idxs].astype(np.int64)
+            brk = np.nonzero(bb[:-1] != a[1:])[0]
+            si = np.concatenate(([0], brk + 1))
+            ei = np.concatenate((brk, [len(idxs) - 1]))
+            pairs = np.empty((len(si), 2), "<u8")
+            pairs[:, 0] = a[si]
+            pairs[:, 1] = bb[ei]
+            out += struct.pack("<Ii", int(bval), len(si))
+            out += pairs.tobytes()
+        # linear index (reads span at most 2 of the 16 kb windows here)
+        k0 = (pos[sel] >> 14).astype(np.int64)
+        k1 = (np.maximum(end[sel] - 1, pos[sel]) >> 14).astype(np.int64)
+        n_intv = int(k1.max()) + 1
+        big = np.iinfo(np.int64).max
+        lin = np.full(n_intv, big, np.int64)
+        vv = v0[sel].astype(np.int64)
+        np.minimum.at(lin, k0, vv)
+        np.minimum.at(lin, k1, vv)
+        filled = np.where(lin == big, 0, lin)
+        # forward-fill empty windows with the previous offset
+        mask = lin != big
+        idx = np.where(mask, np.arange(n_intv), 0)
+        np.maximum.accumulate(idx, out=idx)
+        ioffs = np.where(mask[idx], filled[idx], 0)
+        out += struct.pack("<i", n_intv)
+        out += ioffs.astype("<u8").tobytes()
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
 def _write_bai(path: str, n_ref: int,
                rec_marks: Sequence[Tuple[int, int, int, int, int]],
                w: _BlockTrackingBgzf) -> None:

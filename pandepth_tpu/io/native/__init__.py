@@ -81,16 +81,110 @@ def load_library() -> Optional[ctypes.CDLL]:
             fn.restype = res
             fn.argtypes = args
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.pancov_bam_decode.restype = ctypes.c_int64
         lib.pancov_bam_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+        lib.pancov_bam_events.restype = ctypes.c_int64
+        lib.pancov_bam_events.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_int32, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int, i64p, i64p]
+        lib.pancov_bam_load.restype = ctypes.c_void_p
+        lib.pancov_bam_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.pancov_load_n_events.restype = ctypes.c_int64
+        lib.pancov_load_n_events.argtypes = [ctypes.c_void_p]
+        lib.pancov_load_events.restype = None
+        lib.pancov_load_events.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.pancov_load_bam.restype = ctypes.c_void_p
+        lib.pancov_load_bam.argtypes = [ctypes.c_void_p]
+        lib.pancov_load_close.restype = None
+        lib.pancov_load_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
 
 def build_error() -> Optional[str]:
     return _build_error
+
+
+class NativeBamLoad:
+    """One-shot pipelined load: BGZF inflate runs on worker threads
+    while a chaser thread indexes records and extracts filtered,
+    clamped coverage events in the same pass. The whole host side runs
+    at inflate speed."""
+
+    def __init__(self, path: str, flags_mask: int, min_mapq: int,
+                 pad: int = 512, threads: int = 0,
+                 ext_offsets: Optional[np.ndarray] = None,
+                 ext_limits: Optional[np.ndarray] = None):
+        from pandepth_tpu.io.bam import BamHeader
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                f"libpancov_io unavailable: {build_error()}")
+        self._lib = lib
+        if threads <= 0:
+            threads = min(os.cpu_count() or 1, 16)
+        err = ctypes.create_string_buffer(256)
+        if ext_offsets is not None:
+            eo = np.ascontiguousarray(ext_offsets, np.int64)
+            el = np.ascontiguousarray(ext_limits, np.int64)
+            self._keep = (eo, el)  # keep alive during the call
+            op, lp, ne = eo.ctypes.data, el.ctypes.data, eo.shape[0]
+        else:
+            op = lp = None
+            ne = 0
+        self._h = lib.pancov_bam_load(path.encode(), threads,
+                                      flags_mask, min_mapq, pad, op, lp,
+                                      ne, err, len(err))
+        if not self._h:
+            raise ValueError(
+                f"pancov_bam_load({path}): {err.value.decode()}")
+        bam_h = lib.pancov_load_bam(self._h)
+        n = lib.pancov_bam_n_targets(bam_h)
+        names = []
+        lengths = np.zeros(n, np.int64)
+        for i in range(n):
+            ln = lib.pancov_bam_name_len(bam_h, i)
+            buf = ctypes.create_string_buffer(max(ln, 1))
+            lib.pancov_bam_name(bam_h, i, buf)
+            names.append(buf.raw[:ln].decode())
+            lengths[i] = lib.pancov_bam_target_len(bam_h, i)
+        tl = lib.pancov_bam_text_len(bam_h)
+        tbuf = ctypes.create_string_buffer(max(tl, 1))
+        if tl:
+            lib.pancov_bam_text(bam_h, tbuf)
+        self.header = BamHeader(text=tbuf.raw[:tl].decode("utf-8",
+                                                          "replace"),
+                                names=names, lengths=lengths)
+        self.n_records = int(lib.pancov_bam_n_records(bam_h))
+
+    def events(self):
+        """(starts, ends) int64 arrays of all extracted events."""
+        m = int(self._lib.pancov_load_n_events(self._h))
+        starts = np.empty(max(m, 1), np.int64)
+        ends = np.empty(max(m, 1), np.int64)
+        if m:
+            self._lib.pancov_load_events(self._h, starts, ends)
+        return starts[:m], ends[:m]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pancov_load_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeBamReader:
@@ -153,6 +247,32 @@ class NativeBamReader:
             yield ReadBatch(tid=tid, pos=pos, flag=flag, mapq=mapq,
                             n_ops=n_ops, op_code=opc[:m], op_len=opl[:m],
                             op_read=opr[:m])
+            r0 = r1
+
+    def event_batches(self, offsets: np.ndarray, limits: np.ndarray,
+                      flags_mask: int, min_mapq: int,
+                      max_reads: int = 1 << 20,
+                      threads: int = 0) -> Iterator:
+        """Yield (starts, ends) int64 global coverage-event arrays —
+        the FLAG/MAPQ-filtered, clamped M/=/X segments of each batch,
+        extracted by the threaded C++ path (event order is irrelevant,
+        the device sweep sorts)."""
+        lib, h = self._lib, self._h
+        if threads <= 0:
+            threads = min(os.cpu_count() or 1, 16)
+        offsets = np.ascontiguousarray(offsets, np.int64)
+        limits = np.ascontiguousarray(limits, np.int64)
+        n_targets = offsets.shape[0]
+        r0 = 0
+        while r0 < self.n_records:
+            r1 = min(r0 + max_reads, self.n_records)
+            cap = max(int(lib.pancov_bam_count_ops(h, r0, r1)), 1)
+            starts = np.empty(cap, np.int64)
+            ends = np.empty(cap, np.int64)
+            m = lib.pancov_bam_events(h, r0, r1, flags_mask,
+                                      min_mapq, offsets, limits,
+                                      n_targets, threads, starts, ends)
+            yield starts[:m], ends[:m]
             r0 = r1
 
     def close(self) -> None:

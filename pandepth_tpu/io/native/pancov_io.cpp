@@ -19,8 +19,10 @@
 //
 // Exposed as a plain C ABI for ctypes; no Python headers needed.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <memory>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -38,8 +40,24 @@ struct Block {
   uint32_t out_len;  // ISIZE
 };
 
+// uninitialized byte buffer: std::vector<uint8_t>::resize zero-fills,
+// which costs ~0.5 ms/MB before inflate overwrites every byte anyway
+struct RawBuf {
+  uint8_t* p = nullptr;
+  size_t n = 0;
+  ~RawBuf() { delete[] p; }
+  void alloc(size_t size) {
+    delete[] p;
+    p = new uint8_t[size];
+    n = size;
+  }
+  uint8_t* data() { return p; }
+  const uint8_t* data() const { return p; }
+  size_t size() const { return n; }
+};
+
 struct BamFile {
-  std::vector<uint8_t> data;  // decompressed stream
+  RawBuf data;  // decompressed stream
   std::string error;
   std::string text;                    // SAM header text
   std::vector<std::string> names;
@@ -113,11 +131,11 @@ bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
 }
 
 bool inflate_all(const std::vector<uint8_t>& raw, int n_threads,
-                 std::vector<uint8_t>& out) {
+                 RawBuf& out) {
   std::vector<Block> blocks;
   size_t total = 0;
   if (!scan_blocks(raw, blocks, total)) return false;
-  out.resize(total);
+  out.alloc(total);
   std::atomic<size_t> next(0);
   std::atomic<bool> ok(true);
   if (n_threads < 1) n_threads = 1;
@@ -171,6 +189,9 @@ bool parse_header(BamFile* bf, size_t& off) {
 bool index_records(BamFile* bf, size_t off) {
   const auto& d = bf->data;
   size_t n = d.size();
+  size_t guess = (n - off) / 100 + 16;  // typical short-read record
+  bf->rec_off.reserve(guess);
+  bf->rec_ncigar.reserve(guess);
   while (off + 4 <= n) {
     uint32_t block_size = le32(d.data() + off);
     if (off + 4 + block_size > n || block_size < 32) {
@@ -205,7 +226,8 @@ void* pancov_bam_open(const char* path, int n_threads, char* err,
     if (!inflate_all(raw, n_threads, bf->data))
       return fail("BGZF inflate failed");
   } else {
-    bf->data = std::move(raw);
+    bf->data.alloc(raw.size());
+    std::memcpy(bf->data.data(), raw.data(), raw.size());
   }
   size_t off = 0;
   if (!parse_header(bf, off))
@@ -287,5 +309,315 @@ int64_t pancov_bam_decode(void* h, int64_t r0, int64_t r1, int32_t* tid,
 }
 
 void pancov_bam_close(void* h) { delete (BamFile*)h; }
+
+namespace {
+
+// CIGAR op class masks (SAMv1 §4.2; same semantics as the reference
+// hot loop at src/PanDepth.cpp:440-459)
+constexpr uint32_t kRefConsume = 0b110001101;  // M D N = X
+constexpr uint32_t kAddsDepth = 0b110000001;   // M = X
+
+struct EvChunk {
+  std::vector<int64_t> starts, ends;
+};
+
+void extract_chunk(const BamFile* bf, int64_t r0, int64_t r1,
+                   uint32_t flags_mask, int32_t min_mapq,
+                   const int64_t* offsets, const int64_t* limits,
+                   int64_t n_targets, EvChunk* out) {
+  const uint8_t* d = bf->data.data();
+  for (int64_t r = r0; r < r1; r++) {
+    const uint8_t* p = d + bf->rec_off[r];
+    int32_t tid = (int32_t)le32(p);
+    if (tid < 0 || tid >= n_targets) continue;
+    uint16_t flag = le16(p + 14);
+    if (flag & flags_mask) continue;
+    if (min_mapq >= 1 && p[9] < min_mapq) continue;
+    int32_t nc = bf->rec_ncigar[r];
+    if (!nc) continue;
+    int64_t cur = offsets[tid] + (int32_t)le32(p + 4);
+    int64_t floor = offsets[tid], limit = limits[tid];
+    const uint8_t* cig = p + 32 + p[8];
+    for (int32_t k = 0; k < nc; k++) {
+      uint32_t v = le32(cig + 4 * k);
+      uint32_t op = v & 0xF;
+      int64_t len = v >> 4;
+      if ((kAddsDepth >> op) & 1) {
+        int64_t s = cur < floor ? floor : (cur > limit ? limit : cur);
+        int64_t e = cur + len;
+        e = e < floor ? floor : (e > limit ? limit : e);
+        if (e > s) {
+          out->starts.push_back(s);
+          out->ends.push_back(e);
+        }
+      }
+      if ((kRefConsume >> op) & 1) cur += len;
+    }
+  }
+}
+
+}  // namespace
+
+// Extract coverage events for records [r0, r1): every kept M/=/X
+// segment emits its clamped global [start, end). Threaded over record
+// ranges (event order is irrelevant — the device sorts). Buffers must
+// hold pancov_bam_count_ops(r0, r1) entries; returns events written.
+int64_t pancov_bam_events(void* h, int64_t r0, int64_t r1,
+                          uint32_t flags_mask, int32_t min_mapq,
+                          const int64_t* offsets, const int64_t* limits,
+                          int64_t n_targets, int n_threads,
+                          int64_t* starts, int64_t* ends) {
+  auto* bf = (BamFile*)h;
+  if (n_threads < 1) n_threads = 1;
+  int64_t span = r1 - r0;
+  if (span <= 0) return 0;
+  int t = (int)std::min<int64_t>(n_threads, (span + 4095) / 4096);
+  std::vector<EvChunk> chunks(t);
+  std::vector<std::thread> ts;
+  int64_t per = (span + t - 1) / t;
+  for (int i = 0; i < t; i++) {
+    int64_t a = r0 + i * per;
+    int64_t b = std::min(r1, a + per);
+    if (a >= b) continue;
+    ts.emplace_back(extract_chunk, bf, a, b, flags_mask, min_mapq,
+                    offsets, limits, n_targets, &chunks[i]);
+  }
+  for (auto& th : ts) th.join();
+  int64_t m = 0;
+  for (auto& c : chunks) {
+    std::memcpy(starts + m, c.starts.data(),
+                c.starts.size() * sizeof(int64_t));
+    std::memcpy(ends + m, c.ends.data(),
+                c.ends.size() * sizeof(int64_t));
+    m += (int64_t)c.starts.size();
+  }
+  return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fully pipelined load: parallel BGZF inflate with an index+extract
+// walker chasing the inflated frontier — one pass over the record
+// bytes produces both the record index and the coverage events, so the
+// whole host side runs at inflate speed.
+
+namespace {
+
+struct LoadedBam {
+  BamFile bam;
+  std::vector<int64_t> ev_starts, ev_ends;
+  std::vector<int64_t> offsets, limits;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ext_offsets/ext_limits (may be null with n_ext=0): externally imposed
+// genome layout (multi-sample mode uses the FIRST file's contig space,
+// reference quirk Q5, src/PanDepth.cpp:2041-2061). Otherwise the layout
+// is derived from this file's header with `pad` slack cells per contig.
+void* pancov_bam_load(const char* path, int n_threads,
+                      uint32_t flags_mask, int32_t min_mapq, int64_t pad,
+                      const int64_t* ext_offsets,
+                      const int64_t* ext_limits, int64_t n_ext,
+                      char* err, int err_len) {
+  auto* lb = new LoadedBam();
+  BamFile* bf = &lb->bam;
+  auto fail = [&](const char* msg) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", msg);
+    delete lb;
+    return nullptr;
+  };
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return fail("cannot read file");
+
+  bool bgzf = raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b;
+  std::vector<Block> blocks;
+  size_t total = 0;
+  std::unique_ptr<std::atomic<uint32_t>[]> done;
+  std::vector<std::thread> workers;
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+
+  if (bgzf) {
+    if (!scan_blocks(raw, blocks, total)) return fail("bad BGZF framing");
+    bf->data.alloc(total);
+    done.reset(new std::atomic<uint32_t>[blocks.size() + 1]);
+    for (size_t i = 0; i <= blocks.size(); i++) done[i].store(0);
+    int t = n_threads > 1 ? n_threads - 1 : 1;
+    for (int i = 0; i < t; i++)
+      workers.emplace_back([&]() {
+        for (;;) {
+          size_t k = next.fetch_add(1);
+          if (k >= blocks.size() || !ok.load()) break;
+          const Block& b = blocks[k];
+          if (b.out_len &&
+              !inflate_block(raw.data() + b.in_off, b.in_len,
+                             bf->data.data() + b.out_off, b.out_len))
+            ok.store(false);
+          done[k].store(1, std::memory_order_release);
+        }
+      });
+  } else {
+    bf->data.alloc(raw.size());
+    std::memcpy(bf->data.data(), raw.data(), raw.size());
+    total = raw.size();
+  }
+
+  // frontier: how many contiguous bytes from the start are ready
+  size_t frontier_block = 0;
+  size_t ready = bgzf ? 0 : total;
+  auto wait_ready = [&](size_t need) -> bool {
+    while (ready < need) {
+      if (!ok.load()) return false;
+      if (frontier_block < blocks.size() &&
+          done[frontier_block].load(std::memory_order_acquire)) {
+        ready += blocks[frontier_block].out_len;
+        frontier_block++;
+      } else {
+        std::this_thread::yield();
+      }
+    }
+    return true;
+  };
+
+  auto finish = [&]() {
+    ok.store(false);
+    next.store(blocks.size() + 1);
+    for (auto& w : workers) w.join();
+  };
+
+  // header: parse incrementally, never reading past the inflated
+  // frontier (bytes beyond it are uninitialized)
+  size_t off = 0;
+  {
+    if (total < 12 || !wait_ready(12)) {
+      finish();
+      return fail("not a BAM stream");
+    }
+    if (std::memcmp(bf->data.data(), "BAM\x01", 4) != 0) {
+      finish();
+      return fail("not a BAM stream");
+    }
+    uint32_t l_text = le32(bf->data.data() + 4);
+    if (8 + (size_t)l_text + 4 > total ||
+        !wait_ready(8 + (size_t)l_text + 4)) {
+      finish();
+      return fail("truncated BAM header");
+    }
+    const char* tp = (const char*)bf->data.data() + 8;
+    bf->text.assign(tp, strnlen(tp, l_text));
+    off = 8 + l_text;
+    uint32_t n_ref = le32(bf->data.data() + off);
+    off += 4;
+    for (uint32_t i = 0; i < n_ref; i++) {
+      if (off + 4 > total || !wait_ready(off + 4)) {
+        finish();
+        return fail("truncated BAM header");
+      }
+      uint32_t l_name = le32(bf->data.data() + off);
+      off += 4;
+      if (off + l_name + 4 > total || !wait_ready(off + l_name + 4)) {
+        finish();
+        return fail("truncated BAM header");
+      }
+      bf->names.emplace_back((const char*)bf->data.data() + off,
+                             l_name ? l_name - 1 : 0);
+      off += l_name;
+      bf->lengths.push_back((int32_t)le32(bf->data.data() + off));
+      off += 4;
+    }
+  }
+
+  // genome layout
+  int64_t n_targets;
+  if (n_ext > 0) {
+    lb->offsets.assign(ext_offsets, ext_offsets + n_ext);
+    lb->limits.assign(ext_limits, ext_limits + n_ext);
+    n_targets = n_ext;
+  } else {
+    int64_t acc = 0;
+    for (size_t i = 0; i < bf->lengths.size(); i++) {
+      lb->offsets.push_back(acc);
+      acc += bf->lengths[i] + pad;
+      lb->limits.push_back(acc);
+    }
+    n_targets = (int64_t)bf->lengths.size();
+  }
+
+  // chase: index + extract in one walk
+  size_t guess = (total - off) / 100 + 16;
+  bf->rec_off.reserve(guess);
+  bf->rec_ncigar.reserve(guess);
+  lb->ev_starts.reserve(guess);
+  lb->ev_ends.reserve(guess);
+  const uint8_t* d = bf->data.data();
+  while (off + 4 <= total) {
+    if (!wait_ready(std::min(total, off + 4))) break;
+    uint32_t block_size = le32(d + off);
+    if (off + 4 + block_size > total || block_size < 32) {
+      finish();
+      return fail("truncated BAM record");
+    }
+    if (!wait_ready(off + 4 + block_size)) break;
+    const uint8_t* p = d + off + 4;
+    uint16_t nc = le16(p + 12);
+    bf->rec_off.push_back(off + 4);
+    bf->rec_ncigar.push_back(nc);
+    bf->total_ops += nc;
+
+    int32_t tid = (int32_t)le32(p);
+    bool keep = tid >= 0 && tid < n_targets && nc > 0;
+    if (keep) {
+      uint16_t flag = le16(p + 14);
+      if (flag & flags_mask) keep = false;
+      if (keep && min_mapq >= 1 && p[9] < min_mapq) keep = false;
+    }
+    if (keep) {
+      int64_t cur = lb->offsets[tid] + (int32_t)le32(p + 4);
+      int64_t floor = lb->offsets[tid], limit = lb->limits[tid];
+      const uint8_t* cig = p + 32 + p[8];
+      for (uint16_t k = 0; k < nc; k++) {
+        uint32_t v = le32(cig + 4 * k);
+        uint32_t op = v & 0xF;
+        int64_t len = v >> 4;
+        if ((kAddsDepth >> op) & 1) {
+          int64_t s = cur < floor ? floor : (cur > limit ? limit : cur);
+          int64_t e = cur + len;
+          e = e < floor ? floor : (e > limit ? limit : e);
+          if (e > s) {
+            lb->ev_starts.push_back(s);
+            lb->ev_ends.push_back(e);
+          }
+        }
+        if ((kRefConsume >> op) & 1) cur += len;
+      }
+    }
+    off += 4 + (size_t)block_size;
+  }
+  bool good = ok.load();
+  for (auto& w : workers) w.join();
+  if (!good) return fail("BGZF inflate failed");
+  return lb;
+}
+
+int64_t pancov_load_n_events(void* h) {
+  return (int64_t)((LoadedBam*)h)->ev_starts.size();
+}
+
+void pancov_load_events(void* h, int64_t* starts, int64_t* ends) {
+  auto* lb = (LoadedBam*)h;
+  std::memcpy(starts, lb->ev_starts.data(),
+              lb->ev_starts.size() * sizeof(int64_t));
+  std::memcpy(ends, lb->ev_ends.data(),
+              lb->ev_ends.size() * sizeof(int64_t));
+}
+
+// the embedded BamFile supports all pancov_bam_* accessors
+void* pancov_load_bam(void* h) { return &((LoadedBam*)h)->bam; }
+
+void pancov_load_close(void* h) { delete (LoadedBam*)h; }
 
 }  // extern "C"

@@ -142,8 +142,34 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                          targets.tids_with_regions(), engine.dense_depth)
 
 
+def _try_native_load(path: str, config: RunConfig,
+                     ext_offsets=None, ext_limits=None):
+    """NativeBamLoad when the file is BAM and the library builds."""
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+    except OSError:
+        raise
+    if magic[:2] != b"\x1f\x8b":
+        return None
+    try:
+        from pandepth_tpu.io.native import NativeBamLoad, load_library
+        if load_library() is None:
+            return None
+        return NativeBamLoad(path, config.flags, config.min_mapq,
+                             threads=config.threads,
+                             ext_offsets=ext_offsets,
+                             ext_limits=ext_limits)
+    except (ValueError, RuntimeError, OSError):
+        return None
+
+
 def run_alignment(config: RunConfig) -> int:
-    reader = open_alignment(config.inputs[0], threads=config.threads)
+    # native pipelined path: one C++ call inflates, indexes and
+    # extracts events in overlapping threads
+    reader = _try_native_load(config.inputs[0], config)
+    if reader is None:
+        reader = open_alignment(config.inputs[0], threads=config.threads)
     header: BamHeader = reader.header
     names, lengths = header.names, header.lengths
     chr2tid = header.name_to_tid()
@@ -175,12 +201,33 @@ def run_alignment(config: RunConfig) -> int:
 
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
-        r = reader if i == 0 else open_alignment(path,
-                                                 threads=config.threads)
-        for batch in r.batches(max_reads=config.max_reads_per_batch):
+        if i == 0:
+            r = reader
+        else:
             # multi-sample mode indexes the FIRST file's contig space
-            # with each file's raw tids (quirk Q5); out-of-range tids
-            # would be UB in the reference — we drop them
+            # (quirk Q5): impose its layout on every later file
+            r = _try_native_load(path, config,
+                                 ext_offsets=engine.layout.offsets,
+                                 ext_limits=engine.layout.limits)
+            if r is None:
+                r = open_alignment(path, threads=config.threads)
+        if hasattr(r, "events"):
+            starts, ends = r.events()
+            engine.add_start_end(starts, ends)
+            engine.n_reads_seen += r.n_records
+            r.close()
+            continue
+        if hasattr(r, "event_batches"):
+            # FLAG/MAPQ filtering, CIGAR walk and clamping in C++
+            for starts, ends in r.event_batches(
+                    engine.layout.offsets, engine.layout.limits,
+                    config.flags, config.min_mapq,
+                    max_reads=config.max_reads_per_batch):
+                engine.add_start_end(starts, ends)
+            engine.n_reads_seen += r.n_records
+            continue
+        for batch in r.batches(max_reads=config.max_reads_per_batch):
+            # out-of-range tids would be UB in the reference — drop
             if i > 0:
                 batch.tid[batch.tid >= n_targets] = -1
             engine.add_batch(batch)
