@@ -1,0 +1,789 @@
+"""CRAM 3.0 container decoding and encoding.
+
+The reference consumes CRAM through htslib with
+``CRAM_OPT_REQUIRED_FIELDS = FLAG|RNAME|POS|MAPQ|CIGAR`` and MD/NM
+decode off (src/PanDepth.cpp:3488-3491), i.e. coverage needs only the
+placement fields and the feature list that reconstructs CIGAR — never
+the bases, so no external reference fasta is required for decoding
+here.
+
+This module implements the container/slice/record layer of the CRAM
+3.0 spec from scratch:
+
+- ITF8/LTF8 varints, block framing with raw/gzip/bzip2/lzma and rANS
+  4x8 (order 0 and 1) codecs,
+- compression-header preservation map + data-series encodings,
+- codecs: EXTERNAL, canonical HUFFMAN (incl. the 0-bit constant case),
+  BETA, GAMMA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP,
+- record decode with CIGAR reconstruction from read features,
+- a conforming writer (everything EXTERNAL + gzip, one slice per
+  container) used for fixtures and as a general BAM->CRAM exporter;
+  htslib (inside the reference binary) accepts its output, which the
+  parity tests exploit as an interop oracle.
+"""
+
+from __future__ import annotations
+
+import bz2
+import dataclasses
+import gzip
+import lzma
+import struct
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from pandepth_tpu.io.bam import BamHeader, ReadBatch
+from pandepth_tpu.io.rans4x8 import rans_decode, rans_encode
+
+CRAM_MAGIC = b"CRAM"
+
+BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = range(5)
+CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER, CT_RESERVED, \
+    CT_EXTERNAL, CT_CORE = range(6)
+
+# CIGAR op codes
+M, I, D, N, S, H, P, EQ, X = range(9)
+
+
+# ----------------------------------------------------------------------
+# varints
+def itf8_read(buf: bytes, off: int) -> Tuple[int, int]:
+    b0 = buf[off]
+    if b0 < 0x80:
+        return b0, off + 1
+    if b0 < 0xC0:
+        v = ((b0 & 0x3F) << 8) | buf[off + 1]
+        return v, off + 2
+    if b0 < 0xE0:
+        v = ((b0 & 0x1F) << 16) | (buf[off + 1] << 8) | buf[off + 2]
+        return v, off + 3
+    if b0 < 0xF0:
+        v = ((b0 & 0x0F) << 24) | (buf[off + 1] << 16) | \
+            (buf[off + 2] << 8) | buf[off + 3]
+        return v, off + 4
+    v = ((b0 & 0x0F) << 28) | (buf[off + 1] << 20) | \
+        (buf[off + 2] << 12) | (buf[off + 3] << 4) | (buf[off + 4] & 0x0F)
+    if v & 0x80000000:
+        v -= 1 << 32
+    return v, off + 5
+
+
+def itf8_write(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF,
+                      (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF,
+                  (v >> 12) & 0xFF, (v >> 4) & 0xFF, v & 0x0F])
+
+
+def ltf8_read(buf: bytes, off: int) -> Tuple[int, int]:
+    b0 = buf[off]
+    n_extra = 0
+    mask = 0x80
+    while n_extra < 8 and (b0 & mask):
+        n_extra += 1
+        mask >>= 1
+    if n_extra == 0:
+        return b0, off + 1
+    if n_extra < 8:
+        v = b0 & ((1 << (7 - n_extra)) - 1)
+    else:
+        v = 0
+    for i in range(n_extra):
+        v = (v << 8) | buf[off + 1 + i]
+    if n_extra == 8 and v & (1 << 63):
+        v -= 1 << 64
+    return v, off + 1 + n_extra
+
+
+def ltf8_write(v: int) -> bytes:
+    v &= (1 << 64) - 1
+    if v < 0x80:
+        return bytes([v])
+    for n_extra in range(1, 8):
+        if v < (1 << (7 * (n_extra + 1))):
+            prefix = (0xFF << (8 - n_extra)) & 0xFF
+            head = prefix | (v >> (8 * n_extra))
+            body = [(v >> (8 * (n_extra - 1 - i))) & 0xFF
+                    for i in range(n_extra)]
+            return bytes([head] + body)
+    return bytes([0xFF] + [(v >> (8 * (7 - i))) & 0xFF for i in range(8)])
+
+
+# ----------------------------------------------------------------------
+# blocks
+def _compress(method: int, data: bytes) -> bytes:
+    if method == BLOCK_RAW:
+        return data
+    if method == BLOCK_GZIP:
+        return gzip.compress(data, compresslevel=6)
+    if method == BLOCK_BZIP2:
+        return bz2.compress(data)
+    if method == BLOCK_LZMA:
+        return lzma.compress(data)
+    if method == BLOCK_RANS:
+        return rans_encode(data, order=0)
+    raise ValueError(f"unsupported CRAM block method {method}")
+
+
+def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == BLOCK_RAW:
+        return data
+    if method == BLOCK_GZIP:
+        return gzip.decompress(data)
+    if method == BLOCK_BZIP2:
+        return bz2.decompress(data)
+    if method == BLOCK_LZMA:
+        return lzma.decompress(data)
+    if method == BLOCK_RANS:
+        return rans_decode(data, raw_size)
+    raise ValueError(f"unsupported CRAM block method {method}")
+
+
+@dataclasses.dataclass
+class Block:
+    method: int
+    content_type: int
+    content_id: int
+    data: bytes  # decompressed
+
+
+def block_read(buf: bytes, off: int) -> Tuple[Block, int]:
+    method = buf[off]
+    ctype = buf[off + 1]
+    off += 2
+    cid, off = itf8_read(buf, off)
+    csize, off = itf8_read(buf, off)
+    rsize, off = itf8_read(buf, off)
+    data = _decompress(method, buf[off: off + csize], rsize)
+    if len(data) != rsize:
+        raise ValueError("CRAM block raw size mismatch")
+    off += csize
+    off += 4  # CRC32
+    return Block(method, ctype, cid, data), off
+
+
+def block_write(method: int, ctype: int, cid: int, data: bytes) -> bytes:
+    comp = _compress(method, data)
+    if len(comp) >= len(data) and method != BLOCK_RAW:
+        method, comp = BLOCK_RAW, data
+    out = bytes([method, ctype]) + itf8_write(cid) + \
+        itf8_write(len(comp)) + itf8_write(len(data)) + comp
+    return out + struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
+
+
+# ----------------------------------------------------------------------
+# bit reader for the core block
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read_bits(1):
+            n += 1
+        return n
+
+
+# ----------------------------------------------------------------------
+# codecs
+class Codec:
+    def read_int(self, core, ext) -> int:
+        raise NotImplementedError
+
+    def read_bytes(self, core, ext) -> bytes:
+        raise NotImplementedError
+
+
+class ExternalCodec(Codec):
+    def __init__(self, cid: int):
+        self.cid = cid
+
+    def read_int(self, core, ext):
+        buf, pos = ext[self.cid]
+        v, npos = itf8_read(buf, pos)
+        ext[self.cid][1] = npos
+        return v
+
+    def read_byte(self, core, ext):
+        buf, pos = ext[self.cid]
+        ext[self.cid][1] = pos + 1
+        return buf[pos]
+
+    def read_n_bytes(self, core, ext, n):
+        if n == 0:
+            return b""
+        buf, pos = ext[self.cid]
+        ext[self.cid][1] = pos + n
+        return buf[pos: pos + n]
+
+
+class HuffmanCodec(Codec):
+    """Canonical Huffman. The ubiquitous special case is a single
+    0-bit symbol: a constant consuming no input."""
+
+    def __init__(self, symbols: List[int], lengths: List[int]):
+        self.constant = None
+        if len(symbols) == 1 and lengths[0] == 0:
+            self.constant = symbols[0]
+            return
+        # canonical code assignment: sort by (length, symbol)
+        pairs = sorted(zip(lengths, symbols))
+        self.codes = []  # (length, code, symbol)
+        code = 0
+        prev_len = pairs[0][0]
+        for i, (ln, sym) in enumerate(pairs):
+            if i:
+                code = (code + 1) << (ln - prev_len)
+                prev_len = ln
+            self.codes.append((ln, code, sym))
+        self.lookup = {(ln, c): sym for ln, c, sym in self.codes}
+        self.max_len = max(lengths)
+
+    def read_int(self, core: BitReader, ext):
+        if self.constant is not None:
+            return self.constant
+        v = 0
+        ln = 0
+        while ln <= self.max_len:
+            v = (v << 1) | core.read_bits(1)
+            ln += 1
+            sym = self.lookup.get((ln, v))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+class BetaCodec(Codec):
+    def __init__(self, offset: int, nbits: int):
+        self.offset = offset
+        self.nbits = nbits
+
+    def read_int(self, core: BitReader, ext):
+        return core.read_bits(self.nbits) - self.offset
+
+
+class GammaCodec(Codec):
+    def __init__(self, offset: int):
+        self.offset = offset
+
+    def read_int(self, core: BitReader, ext):
+        n = 0
+        while core.read_bits(1) == 0:
+            n += 1
+        v = 1
+        for _ in range(n):
+            v = (v << 1) | core.read_bits(1)
+        return v - self.offset
+
+
+class ByteArrayLenCodec(Codec):
+    def __init__(self, len_codec: Codec, val_codec: Codec):
+        self.len_codec = len_codec
+        self.val_codec = val_codec
+
+    def read_bytes(self, core, ext):
+        n = self.len_codec.read_int(core, ext)
+        if isinstance(self.val_codec, ExternalCodec):
+            return self.val_codec.read_n_bytes(core, ext, n)
+        return bytes(self.val_codec.read_int(core, ext) for _ in range(n))
+
+
+class ByteArrayStopCodec(Codec):
+    def __init__(self, stop: int, cid: int):
+        self.stop = stop
+        self.cid = cid
+
+    def read_bytes(self, core, ext):
+        buf, pos = ext[self.cid]
+        end = buf.index(self.stop, pos)
+        ext[self.cid][1] = end + 1
+        return buf[pos:end]
+
+
+def parse_encoding(buf: bytes, off: int) -> Tuple[Optional[Codec], int]:
+    codec_id, off = itf8_read(buf, off)
+    nparam, off = itf8_read(buf, off)
+    params = buf[off: off + nparam]
+    off += nparam
+    if codec_id == 0:
+        return None, off
+    if codec_id == 1:  # EXTERNAL
+        cid, _ = itf8_read(params, 0)
+        return ExternalCodec(cid), off
+    if codec_id == 3:  # HUFFMAN
+        p = 0
+        n, p = itf8_read(params, p)
+        syms = []
+        for _ in range(n):
+            v, p = itf8_read(params, p)
+            syms.append(v)
+        n2, p = itf8_read(params, p)
+        lens = []
+        for _ in range(n2):
+            v, p = itf8_read(params, p)
+            lens.append(v)
+        return HuffmanCodec(syms, lens), off
+    if codec_id == 4:  # BYTE_ARRAY_LEN
+        lc, p = parse_encoding(params, 0)
+        vc, p = parse_encoding(params, p)
+        return ByteArrayLenCodec(lc, vc), off
+    if codec_id == 5:  # BYTE_ARRAY_STOP
+        stop = params[0]
+        cid, _ = itf8_read(params, 1)
+        return ByteArrayStopCodec(stop, cid), off
+    if codec_id == 6:  # BETA
+        p = 0
+        offset, p = itf8_read(params, p)
+        nbits, p = itf8_read(params, p)
+        return BetaCodec(offset, nbits), off
+    if codec_id == 9:  # GAMMA
+        offset, _ = itf8_read(params, 0)
+        return GammaCodec(offset), off
+    raise ValueError(f"unsupported CRAM codec id {codec_id}")
+
+
+# ----------------------------------------------------------------------
+# compression header
+@dataclasses.dataclass
+class CompressionHeader:
+    rn: bool
+    ap_delta: bool
+    rr: bool
+    sub_matrix: bytes
+    tag_dict: List[List[Tuple[bytes, int]]]
+    encodings: Dict[bytes, Codec]
+    tag_encodings: Dict[int, Codec]
+
+
+def parse_compression_header(data: bytes) -> CompressionHeader:
+    off = 0
+    rn, ap_delta, rr = True, True, True
+    sub_matrix = bytes(5)
+    tag_dict: List[List[Tuple[bytes, int]]] = [[]]
+
+    # preservation map
+    _, off = itf8_read(data, off)  # byte size
+    nmap, off = itf8_read(data, off)
+    for _ in range(nmap):
+        key = data[off: off + 2]
+        off += 2
+        if key == b"RN":
+            rn = data[off] != 0
+            off += 1
+        elif key == b"AP":
+            ap_delta = data[off] != 0
+            off += 1
+        elif key == b"RR":
+            rr = data[off] != 0
+            off += 1
+        elif key == b"SM":
+            sub_matrix = data[off: off + 5]
+            off += 5
+        elif key == b"TD":
+            n, off = itf8_read(data, off)
+            blob = data[off: off + n]
+            off += n
+            tag_dict = []
+            for line in blob.split(b"\x00")[:-1] if blob else [b""]:
+                entries = []
+                for i in range(0, len(line), 3):
+                    entries.append((line[i: i + 2], line[i + 2]))
+                tag_dict.append(entries)
+            if not tag_dict:
+                tag_dict = [[]]
+        else:
+            raise ValueError(f"unknown preservation key {key!r}")
+
+    # data series encodings
+    _, off = itf8_read(data, off)
+    nenc, off = itf8_read(data, off)
+    encodings: Dict[bytes, Codec] = {}
+    for _ in range(nenc):
+        key = data[off: off + 2]
+        off += 2
+        codec, off = parse_encoding(data, off)
+        if codec is not None:
+            encodings[key] = codec
+
+    # tag encodings
+    _, off = itf8_read(data, off)
+    ntag, off = itf8_read(data, off)
+    tag_encodings: Dict[int, Codec] = {}
+    for _ in range(ntag):
+        key, off = itf8_read(data, off)
+        codec, off = parse_encoding(data, off)
+        tag_encodings[key] = codec
+    return CompressionHeader(rn, ap_delta, rr, sub_matrix, tag_dict,
+                             encodings, tag_encodings)
+
+
+# ----------------------------------------------------------------------
+# reader
+@dataclasses.dataclass
+class SliceHeader:
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    counter: int
+    n_blocks: int
+    content_ids: List[int]
+    embedded_ref_id: int
+
+
+def parse_slice_header(data: bytes) -> SliceHeader:
+    off = 0
+    ref_id, off = itf8_read(data, off)
+    start, off = itf8_read(data, off)
+    span, off = itf8_read(data, off)
+    n_rec, off = itf8_read(data, off)
+    counter, off = ltf8_read(data, off)
+    n_blocks, off = itf8_read(data, off)
+    ncids, off = itf8_read(data, off)
+    cids = []
+    for _ in range(ncids):
+        v, off = itf8_read(data, off)
+        cids.append(v)
+    emb, off = itf8_read(data, off)
+    return SliceHeader(ref_id, start, span, n_rec, counter, n_blocks,
+                       cids, emb)
+
+
+# CF bits
+CF_QS_PRESERVED = 1
+CF_DETACHED = 2
+CF_HAS_MATE_DOWNSTREAM = 4
+CF_NO_SEQ = 8
+
+
+class CramReader:
+    """Whole-file CRAM reader yielding columnar ReadBatches."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self._buf = fh.read()
+        if self._buf[:4] != CRAM_MAGIC:
+            raise ValueError("not a CRAM file")
+        self.major = self._buf[4]
+        self.minor = self._buf[5]
+        if self.major not in (2, 3):
+            raise ValueError(f"unsupported CRAM major version {self.major}")
+        off = 26
+        # file header container: SAM header text
+        hdr_blocks, off = self._read_container(off)
+        text = hdr_blocks[0].data
+        l_text = struct.unpack_from("<i", text, 0)[0]
+        sam_text = text[4: 4 + l_text].decode("utf-8", "replace")
+        names: List[str] = []
+        lengths: List[int] = []
+        for line in sam_text.split("\n"):
+            if line.startswith("@SQ"):
+                sn, ln = None, None
+                for f in line.split("\t")[1:]:
+                    if f.startswith("SN:"):
+                        sn = f[3:]
+                    elif f.startswith("LN:"):
+                        ln = int(f[3:])
+                if sn is not None and ln is not None:
+                    names.append(sn)
+                    lengths.append(ln)
+        self.header = BamHeader(text=sam_text, names=names,
+                                lengths=np.asarray(lengths, np.int64))
+        self._data_off = off
+
+    # -- container plumbing ------------------------------------------
+    def _read_container_header(self, off: int):
+        length = struct.unpack_from("<i", self._buf, off)[0]
+        off += 4
+        ref_id, off = itf8_read(self._buf, off)
+        start, off = itf8_read(self._buf, off)
+        span, off = itf8_read(self._buf, off)
+        n_rec, off = itf8_read(self._buf, off)
+        counter, off = ltf8_read(self._buf, off)
+        nbases, off = ltf8_read(self._buf, off)
+        n_blocks, off = itf8_read(self._buf, off)
+        nland, off = itf8_read(self._buf, off)
+        for _ in range(nland):
+            _, off = itf8_read(self._buf, off)
+        off += 4  # CRC (v3)
+        return length, ref_id, n_rec, n_blocks, off
+
+    def _read_container(self, off: int):
+        (length, _ref, _nrec, n_blocks, off) = \
+            self._read_container_header(off)
+        end = off + length
+        blocks = []
+        while off < end and len(blocks) < n_blocks:
+            b, off = block_read(self._buf, off)
+            blocks.append(b)
+        return blocks, end
+
+    # -- record decode -----------------------------------------------
+    def batches(self, max_reads: int = 1 << 18) -> Iterator[ReadBatch]:
+        acc = _BatchAccum()
+        off = self._data_off
+        n = len(self._buf)
+        while off < n:
+            if self._buf[off: off + 4] == b"\x0f\x00\x00\x00" and \
+                    self._buf[off + 4: off + 13] == b"\xff\xff\xff\xff\x0f\xe0\x45\x4f\x46":
+                break  # EOF container
+            length, ref_id, n_rec, n_blocks, boff = \
+                self._read_container_header(off)
+            end = boff + length
+            if n_rec == 0 and length <= 15:
+                off = end
+                continue
+            blocks = []
+            while boff < end and len(blocks) < n_blocks:
+                b, boff = block_read(self._buf, boff)
+                blocks.append(b)
+            off = end
+            if not blocks:
+                continue
+            comp = parse_compression_header(blocks[0].data)
+            i = 1
+            while i < len(blocks):
+                if blocks[i].content_type != CT_SLICE_HEADER:
+                    i += 1
+                    continue
+                sh = parse_slice_header(blocks[i].data)
+                slice_blocks = blocks[i + 1: i + 1 + sh.n_blocks]
+                i += 1 + sh.n_blocks
+                self._decode_slice(comp, sh, slice_blocks, acc)
+                while acc.n >= max_reads:
+                    yield acc.emit(max_reads)
+        if acc.n:
+            yield acc.emit(acc.n)
+
+    def _decode_slice(self, comp: CompressionHeader, sh: SliceHeader,
+                      blocks: List[Block], acc: "_BatchAccum") -> None:
+        core = None
+        ext: Dict[int, list] = {}
+        for b in blocks:
+            if b.content_type == CT_CORE:
+                core = BitReader(b.data)
+            elif b.content_type == CT_EXTERNAL:
+                ext[b.content_id] = [b.data, 0]
+        enc = comp.encodings
+
+        def geti(key: bytes, default=None):
+            c = enc.get(key)
+            if c is None:
+                if default is not None:
+                    return default
+                raise ValueError(f"missing encoding for {key!r}")
+            return c.read_int(core, ext)
+
+        def getb(key: bytes) -> bytes:
+            return enc[key].read_bytes(core, ext)
+
+        last_pos = sh.start
+        for _ in range(sh.n_records):
+            bf = geti(b"BF")
+            cf = geti(b"CF")
+            ref_id = sh.ref_id
+            if sh.ref_id == -2:
+                ref_id = geti(b"RI")
+            rl = geti(b"RL")
+            if comp.ap_delta:
+                ap = last_pos + geti(b"AP")
+                last_pos = ap
+            else:
+                ap = geti(b"AP")
+            geti(b"RG")
+            if comp.rn:
+                getb(b"RN")
+            if cf & CF_DETACHED:
+                geti(b"MF")
+                if not comp.rn:
+                    getb(b"RN")
+                geti(b"NS")
+                geti(b"NP")
+                geti(b"TS")
+            elif cf & CF_HAS_MATE_DOWNSTREAM:
+                geti(b"NF")
+            tl = geti(b"TL", 0)
+            for tag, _ttype in comp.tag_dict[tl] if tl < len(
+                    comp.tag_dict) else []:
+                pass  # tag values live in their own external blocks
+            if tl < len(comp.tag_dict):
+                for tag2, ttype in comp.tag_dict[tl]:
+                    key = (tag2[0] << 16) | (tag2[1] << 8) | ttype
+                    codec = comp.tag_encodings.get(key)
+                    if codec is not None:
+                        codec.read_bytes(core, ext)
+
+            ops: List[Tuple[int, int]] = []
+            mapped = not (bf & 4)
+            if mapped:
+                fn = geti(b"FN")
+                cigar = _features_to_cigar(
+                    fn, rl, geti, getb, enc, core, ext)
+                mq = geti(b"MQ")
+                if cf & CF_QS_PRESERVED:
+                    if b"QS" in enc:
+                        c = enc[b"QS"]
+                        if isinstance(c, ExternalCodec):
+                            c.read_n_bytes(core, ext, rl)
+                        else:
+                            for _ in range(rl):
+                                c.read_int(core, ext)
+                ops = cigar
+            else:
+                mq = 0
+                if not (cf & CF_NO_SEQ) and rl > 0:
+                    c = enc.get(b"BA")
+                    if c is not None:
+                        if isinstance(c, ExternalCodec):
+                            c.read_n_bytes(core, ext, rl)
+                        else:
+                            for _ in range(rl):
+                                c.read_int(core, ext)
+                if cf & CF_QS_PRESERVED and b"QS" in enc:
+                    c = enc[b"QS"]
+                    if isinstance(c, ExternalCodec):
+                        c.read_n_bytes(core, ext, rl)
+                    else:
+                        for _ in range(rl):
+                            c.read_int(core, ext)
+
+            acc.add(ref_id, ap - 1, bf, mq, ops)
+
+
+def _features_to_cigar(fn: int, read_len: int, geti, getb, enc, core,
+                       ext) -> List[Tuple[int, int]]:
+    """Rebuild the CIGAR from read features (CRAM spec §8.4/10.5)."""
+    ops: List[Tuple[int, int]] = []
+    prev_read = 0   # read bases consumed so far (0-based)
+    fpos = 0
+
+    def push(op: int, ln: int):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + ln)
+        else:
+            ops.append((op, ln))
+
+    for _ in range(fn):
+        fc = geti(b"FC")
+        gap = geti(b"FP")
+        fpos += gap
+        # bases between previous feature and this one are matches
+        match_len = fpos - 1 - prev_read
+        push(M, match_len)
+        prev_read = fpos - 1
+        code = chr(fc)
+        if code == "B":
+            geti(b"BA")
+            geti(b"QS")
+            push(M, 1)
+            prev_read += 1
+        elif code == "X":
+            geti(b"BS")
+            push(M, 1)
+            prev_read += 1
+        elif code == "I":
+            bases = enc[b"IN"].read_bytes(core, ext)
+            push(I, len(bases))
+            prev_read += len(bases)
+        elif code == "i":
+            geti(b"BA")
+            push(I, 1)
+            prev_read += 1
+        elif code == "D":
+            push(D, geti(b"DL"))
+        elif code == "N":
+            push(N, geti(b"RS"))
+        elif code == "S":
+            bases = enc[b"SC"].read_bytes(core, ext)
+            push(S, len(bases))
+            prev_read += len(bases)
+        elif code == "H":
+            push(H, geti(b"HC"))
+        elif code == "P":
+            push(P, geti(b"PD"))
+        elif code == "Q":
+            geti(b"QS")
+        elif code == "q":
+            # QQ: run of quality scores
+            enc[b"QQ"].read_bytes(core, ext)
+        elif code == "b":
+            enc[b"BB"].read_bytes(core, ext)
+        else:
+            raise ValueError(f"unknown CRAM feature code {code!r}")
+    push(M, read_len - prev_read)
+    return ops
+
+
+class _BatchAccum:
+    def __init__(self):
+        self.tid: List[int] = []
+        self.pos: List[int] = []
+        self.flag: List[int] = []
+        self.mapq: List[int] = []
+        self.n_ops: List[int] = []
+        self.opc: List[int] = []
+        self.opl: List[int] = []
+        self.opr: List[int] = []
+
+    @property
+    def n(self) -> int:
+        return len(self.tid)
+
+    def add(self, tid, pos, flag, mapq, ops):
+        r = len(self.tid)
+        self.tid.append(tid)
+        self.pos.append(pos)
+        self.flag.append(flag)
+        self.mapq.append(mapq)
+        self.n_ops.append(len(ops))
+        for op, ln in ops:
+            self.opc.append(op)
+            self.opl.append(ln)
+            self.opr.append(r)
+
+    def emit(self, n: int) -> ReadBatch:
+        # emit the first n reads (and their ops)
+        take_ops = 0
+        for r in self.opr:
+            if r < n:
+                take_ops += 1
+        a = lambda x, d=np.int32: np.asarray(x, d)  # noqa: E731
+        batch = ReadBatch(
+            tid=a(self.tid[:n]), pos=a(self.pos[:n]),
+            flag=a(self.flag[:n]), mapq=a(self.mapq[:n]),
+            n_ops=a(self.n_ops[:n]), op_code=a(self.opc[:take_ops]),
+            op_len=a(self.opl[:take_ops]), op_read=a(self.opr[:take_ops]))
+        self.tid = self.tid[n:]
+        self.pos = self.pos[n:]
+        self.flag = self.flag[n:]
+        self.mapq = self.mapq[n:]
+        self.n_ops = self.n_ops[n:]
+        self.opc = self.opc[take_ops:]
+        self.opl = self.opl[take_ops:]
+        self.opr = [r - n for r in self.opr[take_ops:]]
+        return batch

@@ -1,0 +1,118 @@
+"""CRAM subsystem tests: rANS codec roundtrips, writer->reader
+roundtrip, and interop parity with the reference binary's htslib."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from pandepth_tpu.io.bam_writer import cigar_str_to_ops
+from pandepth_tpu.io.cram import CramReader
+from pandepth_tpu.io.cram_writer import write_cram
+from pandepth_tpu.io.rans4x8 import rans_decode, rans_encode
+
+from tests.fixtures import CONTIGS, gunzip_bytes, make_fasta, make_gff, \
+    random_reads
+
+from pandepth_tpu.cli import main as cli_main
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_roundtrip(order):
+    rng = np.random.RandomState(1)
+    cases = [
+        b"hello world " * 50,
+        bytes(rng.randint(0, 256, 4096, dtype=np.uint8)),
+        bytes(rng.choice([65, 67, 71, 84], 9999).astype(np.uint8)),
+        b"Q" * 1234,
+        b"ABCD",
+    ]
+    for c in cases:
+        assert rans_decode(rans_encode(c, order=order), len(c)) == c
+
+
+def _cram_recs(n=400, seed=66):
+    recs = random_reads(n=n, seed=seed)
+    # CRAM features canonicalize =/X to M (identical depth semantics)
+    return [(t, p, f, q, c.replace("=", "M").replace("X", "M"))
+            for t, p, f, q, c in recs]
+
+
+def test_cram_roundtrip_cigars(tmp_path):
+    recs = [
+        (0, 10, 0, 60, "50M"),
+        (0, 30, 16, 30, "10S30M5I20M3D10M"),
+        (1, 5, 0, 0, "20M100N30M"),
+        (1, 50, 1024, 60, "5H40M5S"),
+        (0, 99, 4, 0, "*"),
+        (2, 0, 0, 10, "30M2D1I2P30M"),
+    ]
+    path = str(tmp_path / "t.cram")
+    write_cram(path, ["c1", "c2", "c3"], [1000, 2000, 500], recs)
+    r = CramReader(path)
+    assert r.header.names == ["c1", "c2", "c3"]
+    b = next(r.batches())
+    ofs = 0
+    for i, (t, p, f, q, c) in enumerate(recs):
+        assert b.tid[i] == t and b.pos[i] == p
+        assert b.flag[i] == f and b.mapq[i] == q
+        got = [(int(b.op_code[j]), int(b.op_len[j]))
+               for j in range(ofs, ofs + b.n_ops[i])]
+        exp = cigar_str_to_ops(c) if c != "*" else []
+        assert got == exp, (i, got, exp)
+        ofs += b.n_ops[i]
+
+
+def test_cram_multi_container_batches(tmp_path):
+    recs = _cram_recs(n=500)
+    path = str(tmp_path / "m.cram")
+    write_cram(path, [c[0] for c in CONTIGS], [c[1] for c in CONTIGS],
+               recs, records_per_container=123)
+    r = CramReader(path)
+    total = sum(b.n_reads for b in r.batches(max_reads=77))
+    assert total == len(recs)
+
+
+def _write_fixture_cram(tmp, n=400, seed=66):
+    recs = _cram_recs(n=n, seed=seed)
+    path = os.path.join(tmp, "t.cram")
+    write_cram(path, [c[0] for c in CONTIGS], [c[1] for c in CONTIGS],
+               recs)
+    return path
+
+
+def _both(tmp, oracle, cram, extra):
+    import glob
+
+    subprocess.run([oracle, "-i", cram, "-o", os.path.join(tmp, "ref")]
+                   + extra, check=True, capture_output=True)
+    rc = cli_main(["pandepth", "-i", cram, "-o",
+                   os.path.join(tmp, "ours")] + extra)
+    assert rc == 0
+    ref_files = sorted(glob.glob(os.path.join(tmp, "ref*.gz")))
+    assert ref_files
+    for rf in ref_files:
+        of = rf.replace("ref", "ours", 1)
+        assert gunzip_bytes(of) == gunzip_bytes(rf), os.path.basename(rf)
+
+
+def test_cram_parity_chr(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    _both(tmp, oracle_bin, _write_fixture_cram(tmp), [])
+
+
+def test_cram_parity_gene_gc(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    cram = _write_fixture_cram(tmp)
+    fa = os.path.join(tmp, "ref.fa")
+    gff = os.path.join(tmp, "t.gff")
+    make_fasta(fa)
+    make_gff(gff, overhang=False)
+    _both(tmp, oracle_bin, cram, ["-g", gff, "-c", "-r", fa])
+
+
+def test_cram_parity_filters_and_windows(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    cram = _write_fixture_cram(tmp, seed=67)
+    _both(tmp, oracle_bin, cram, ["-w", "250", "-q", "30", "-x", "260"])
