@@ -116,6 +116,8 @@ def parse_args(argv: List[str]) -> Optional[RunConfig]:
             cfg.min_mapq = int(arg)
         elif flag == "s":
             cfg.use_index = False
+        elif flag in ("v", "verbose"):
+            cfg.verbose = True  # extension: phase timing to stderr
         elif flag == "d":
             cfg.min_depth = int(arg)
             if cfg.min_depth < 1:

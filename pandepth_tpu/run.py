@@ -30,6 +30,8 @@ from pandepth_tpu.stats.tables import (aggregate_genes, mode6_window_rows,
 from pandepth_tpu.targets.model import TargetSet
 from pandepth_tpu.targets.parse import parse_targets
 from pandepth_tpu.targets.windows import synthesize_default_targets
+from pandepth_tpu.utils.log import RunStats, maybe_profile, phase, \
+    set_verbose
 
 
 def _strip_gz(path: str) -> str:
@@ -79,6 +81,8 @@ def run(config: RunConfig) -> int:
     if not config.inputs or not config.out_prefix:
         print("Error: lack argument -i or -o ", file=sys.stderr)
         return 1
+    if config.verbose:
+        set_verbose(True)
     if len(config.inputs) > 1:
         print("INFO: Run multi-file data ")
         if is_paf(config.inputs[0]):
@@ -165,11 +169,14 @@ def _try_native_load(path: str, config: RunConfig,
 
 
 def run_alignment(config: RunConfig) -> int:
+    stats = RunStats()
     # native pipelined path: one C++ call inflates, indexes and
     # extracts events in overlapping threads
-    reader = _try_native_load(config.inputs[0], config)
-    if reader is None:
-        reader = open_alignment(config.inputs[0], threads=config.threads)
+    with phase(stats, "open"):
+        reader = _try_native_load(config.inputs[0], config)
+        if reader is None:
+            reader = open_alignment(config.inputs[0],
+                                    threads=config.threads)
     header: BamHeader = reader.header
     names, lengths = header.names, header.lengths
     chr2tid = header.name_to_tid()
@@ -184,8 +191,9 @@ def run_alignment(config: RunConfig) -> int:
         ref_bases = load_ref_bases(config.reference, chr2tid)
         gc_cols = True
 
-    mode, targets = _prepare_targets(config, names, lengths, chr2tid,
-                                     ref_bases)
+    with phase(stats, "targets"):
+        mode, targets = _prepare_targets(config, names, lengths,
+                                         chr2tid, ref_bases)
 
     # the reference's SiteInfo whole-genome arrays wrap depth at 18 bits
     # (quirk Q1); they are used when dumping sites, in small-window mode,
@@ -201,6 +209,7 @@ def run_alignment(config: RunConfig) -> int:
 
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
+      with phase(stats, "feed"):
         if i == 0:
             r = reader
         else:
@@ -233,8 +242,12 @@ def run_alignment(config: RunConfig) -> int:
             engine.add_batch(batch)
 
     print("INFO: Input data read done")
-    _finalize_and_write(config, engine, mode, targets, names, lengths,
-                        gc_cols, ref_bases)
+    stats.reads_seen = engine.n_reads_seen
+    with maybe_profile():
+        with phase(stats, "stats+write"):
+            _finalize_and_write(config, engine, mode, targets, names,
+                                lengths, gc_cols, ref_bases)
+    stats.emit()
     return 0
 
 

@@ -6,6 +6,11 @@ import shutil
 import subprocess
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep CPU-compiled artifacts apart from the axon/TPU remote-compiled
+# ones (their machine-feature signatures differ)
+os.environ.setdefault(
+    "PANDEPTH_JAX_CACHE",
+    os.path.expanduser("~/.cache/pandepth_jax_cpu"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
