@@ -98,11 +98,12 @@ def time_ours(bam: str) -> float:
 
 def main() -> None:
     bam = ensure_fixture()
-    ref_wall = time_reference(bam)
-    # warm once (jit compile paths populate the persistent cache), then
-    # measure
-    time_ours(bam)
-    our_wall = time_ours(bam)
+    # the TPU tunnel in this environment has high run-to-run variance;
+    # best-of-3 on both sides gives the stable steady-state number
+    ref_wall = min(w for w in (time_reference(bam) for _ in range(3))
+                   if w is not None) if ensure_reference() else None
+    time_ours(bam)  # warm jit compiles
+    our_wall = min(time_ours(bam) for _ in range(3))
     reads_per_s = N_READS / our_wall
     vs = (ref_wall / our_wall) if ref_wall else None
     sys.stderr.write(

@@ -15,6 +15,7 @@ feeding batches from more files before finalizing.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -27,12 +28,12 @@ from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch
 
 
-@jax.jit
-def _pack_events(starts, ends):
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _pack_events(starts, ends, sentinel: int):
     pos = jnp.concatenate([starts, ends])
     delta = jnp.concatenate([
-        (starts < SENTINEL).astype(jnp.int32),
-        -(ends < SENTINEL).astype(jnp.int32)])
+        (starts < sentinel).astype(jnp.int32),
+        -(ends < sentinel).astype(jnp.int32)])
     return pos, delta
 
 
@@ -53,6 +54,13 @@ class CoverageEngine:
         self.min_mapq = int(min_mapq)
         self.min_dep = max(int(min_dep), 1)
         self.wrap18 = bool(wrap18)
+        # int32 event coordinates halve transfer bytes and sort width
+        # whenever the padded genome fits
+        if layout.total < (1 << 31) - 2:
+            self.pos_dtype = np.int32
+        else:
+            self.pos_dtype = np.int64
+        self.pos_sentinel = int(np.iinfo(self.pos_dtype).max)
         self._offsets = jnp.asarray(layout.offsets)
         self._limits = jnp.asarray(layout.limits)
         self._chunks: List[Tuple[jax.Array, jax.Array]] = []
@@ -83,6 +91,10 @@ class CoverageEngine:
             jnp.asarray(padi(batch.op_read, mp, n - 1)),
             self._offsets, self._limits,
             flags_mask=self.flags_mask, min_mapq=self.min_mapq)
+        if self.pos_dtype is np.int32:
+            # sentinels (1<<62) clamp to int32 max; real positions fit
+            ev_pos = jnp.minimum(ev_pos, self.pos_sentinel).astype(
+                jnp.int32)
         self._chunks.append((ev_pos, ev_delta))
         self._state = None
 
@@ -95,11 +107,12 @@ class CoverageEngine:
         if m == 0:
             return
         mp = pad_pow2(m)
-        s = np.full(mp, int(SENTINEL), np.int64)
-        e = np.full(mp, int(SENTINEL), np.int64)
+        s = np.full(mp, self.pos_sentinel, self.pos_dtype)
+        e = np.full(mp, self.pos_sentinel, self.pos_dtype)
         s[:m] = starts
         e[:m] = ends
-        pos, delta = _pack_events(jnp.asarray(s), jnp.asarray(e))
+        pos, delta = _pack_events(jnp.asarray(s), jnp.asarray(e),
+                                  self.pos_sentinel)
         self._chunks.append((pos, delta))
         self._state = None
 
@@ -115,20 +128,21 @@ class CoverageEngine:
         s = np.clip(floor + start0, floor, limit)
         e = np.clip(floor + end0, floor, limit)
         live = e > s
-        pos = np.concatenate([np.where(live, s, int(SENTINEL)),
-                              np.where(live, e, int(SENTINEL))])
+        pos = np.concatenate([np.where(live, s, self.pos_sentinel),
+                              np.where(live, e, self.pos_sentinel)])
         delta = np.concatenate([live.astype(np.int32),
                                 -live.astype(np.int32)])
         self.add_events(pos, delta)
 
     def add_events(self, pos: np.ndarray, delta: np.ndarray) -> None:
-        """Directly append pre-built events (PAF path, tests)."""
+        """Directly append pre-built events (PAF path, tests).
+        Out-of-dtype positions (int64 SENTINEL) clamp to the sentinel."""
         if pos.shape[0] == 0:
             return
         m = pad_pow2(pos.shape[0])
-        p = np.full(m, int(SENTINEL), np.int64)
+        p = np.full(m, self.pos_sentinel, self.pos_dtype)
         d = np.zeros(m, np.int32)
-        p[: pos.shape[0]] = pos
+        p[: pos.shape[0]] = np.minimum(pos, self.pos_sentinel)
         d[: delta.shape[0]] = delta
         self._chunks.append((jnp.asarray(p), jnp.asarray(d)))
         self._state = None
@@ -136,7 +150,7 @@ class CoverageEngine:
     # ------------------------------------------------------------------
     def _events(self) -> Tuple[jax.Array, jax.Array]:
         if not self._chunks:
-            z = jnp.full((1,), SENTINEL, jnp.int64)
+            z = jnp.full((1,), self.pos_sentinel, self.pos_dtype)
             return z, jnp.zeros((1,), jnp.int32)
         pos = jnp.concatenate([c[0] for c in self._chunks])
         delta = jnp.concatenate([c[1] for c in self._chunks])
@@ -146,7 +160,8 @@ class CoverageEngine:
         ep = pad_pow2(e)
         if ep != e:
             pos = jnp.concatenate(
-                [pos, jnp.full((ep - e,), SENTINEL, jnp.int64)])
+                [pos, jnp.full((ep - e,), self.pos_sentinel,
+                               self.pos_dtype)])
             delta = jnp.concatenate(
                 [delta, jnp.zeros((ep - e,), jnp.int32)])
         return pos, delta
@@ -186,8 +201,8 @@ class CoverageEngine:
         for i in range(0, b, chunk):
             j = min(i + chunk, b)
             bp = pad_pow2(j - i, floor=256)
-            lo_c = np.zeros(bp, np.int64)
-            hi_c = np.zeros(bp, np.int64)
+            lo_c = np.zeros(bp, self.pos_dtype)
+            hi_c = np.zeros(bp, self.pos_dtype)
             lo_c[: j - i] = lo[i:j]
             hi_c[: j - i] = hi[i:j]
             # few queries -> binary search; many -> ride the TPU sort

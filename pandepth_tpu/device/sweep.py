@@ -48,8 +48,13 @@ def sort_events(ev_pos, ev_delta, min_dep: int = 1, wrap18: bool = False):
     if wrap18:
         depth = depth & WRAP18_MASK
     covered = depth >= min_dep
-    nxt = jnp.concatenate([pos_s[1:], jnp.full((1,), SENTINEL, jnp.int64)])
-    plen = jnp.where(covered, nxt - pos_s, 0)  # covered piece lengths only
+    # positions may be int32 (genomes < 2^31) or int64; the piece ending
+    # at the dtype-max sentinel can wrap, but its depth is always 0
+    # (deltas balance), so the wrapped length is discarded by `covered`
+    pmax = jnp.iinfo(pos_s.dtype).max
+    nxt = jnp.concatenate([pos_s[1:],
+                           jnp.full((1,), pmax, pos_s.dtype)])
+    plen = jnp.where(covered, nxt - pos_s, 0).astype(jnp.int64)
     c_cov = jnp.cumsum(plen)
     c_sum = jnp.cumsum(plen * depth.astype(jnp.int64))
     return pos_s, depth, c_cov, c_sum, delta_s
@@ -71,7 +76,8 @@ def eval_pair(pos_s, depth, c_cov, c_sum, min_dep, lo, hi,
     full_cov = jnp.where(r >= 2, c_cov[i_full], 0)
     full_sum = jnp.where(r >= 2, c_sum[i_full], 0)
     ind = (depth[i_part] >= min_dep).astype(jnp.int64)
-    part_len = jnp.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
+    diff = (x - pos_s[i_part]).astype(jnp.int64)
+    part_len = jnp.where(r >= 1, diff * ind, 0)
     q_cov = full_cov + part_len
     q_sum = full_sum + part_len * depth[i_part].astype(jnp.int64)
     return q_cov[b:] - q_cov[:b], q_sum[b:] - q_sum[:b]
@@ -97,7 +103,8 @@ def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
     full_cov = jnp.where(r >= 2, c_cov[i_full], 0)
     full_sum = jnp.where(r >= 2, c_sum[i_full], 0)
     ind = (depth[i_part] >= min_dep).astype(jnp.int64)
-    part_len = jnp.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
+    diff = (x - pos_s[i_part]).astype(jnp.int64)
+    part_len = jnp.where(r >= 1, diff * ind, 0)
     q_cov = full_cov + part_len
     q_sum = full_sum + part_len * depth[i_part].astype(jnp.int64)
     return q_cov, q_sum

@@ -437,27 +437,39 @@ void* pancov_bam_load(const char* path, int n_threads,
   std::vector<Block> blocks;
   size_t total = 0;
   std::unique_ptr<std::atomic<uint32_t>[]> done;
+  std::unique_ptr<std::atomic<uint32_t>[]> claim;
   std::vector<std::thread> workers;
   std::atomic<size_t> next(0);
   std::atomic<bool> ok(true);
+
+  auto try_inflate = [&](size_t k) -> bool {
+    uint32_t expect = 0;
+    if (!claim[k].compare_exchange_strong(expect, 1)) return false;
+    const Block& b = blocks[k];
+    if (b.out_len &&
+        !inflate_block(raw.data() + b.in_off, b.in_len,
+                       bf->data.data() + b.out_off, b.out_len))
+      ok.store(false);
+    done[k].store(1, std::memory_order_release);
+    return true;
+  };
 
   if (bgzf) {
     if (!scan_blocks(raw, blocks, total)) return fail("bad BGZF framing");
     bf->data.alloc(total);
     done.reset(new std::atomic<uint32_t>[blocks.size() + 1]);
-    for (size_t i = 0; i <= blocks.size(); i++) done[i].store(0);
+    claim.reset(new std::atomic<uint32_t>[blocks.size() + 1]);
+    for (size_t i = 0; i <= blocks.size(); i++) {
+      done[i].store(0);
+      claim[i].store(0);
+    }
     int t = n_threads > 1 ? n_threads - 1 : 1;
     for (int i = 0; i < t; i++)
       workers.emplace_back([&]() {
         for (;;) {
           size_t k = next.fetch_add(1);
           if (k >= blocks.size() || !ok.load()) break;
-          const Block& b = blocks[k];
-          if (b.out_len &&
-              !inflate_block(raw.data() + b.in_off, b.in_len,
-                             bf->data.data() + b.out_off, b.out_len))
-            ok.store(false);
-          done[k].store(1, std::memory_order_release);
+          try_inflate(k);
         }
       });
   } else {
@@ -466,7 +478,8 @@ void* pancov_bam_load(const char* path, int n_threads,
     total = raw.size();
   }
 
-  // frontier: how many contiguous bytes from the start are ready
+  // frontier: how many contiguous bytes from the start are ready; the
+  // chaser work-steals the frontier block instead of idling on it
   size_t frontier_block = 0;
   size_t ready = bgzf ? 0 : total;
   auto wait_ready = [&](size_t need) -> bool {
@@ -476,7 +489,8 @@ void* pancov_bam_load(const char* path, int n_threads,
           done[frontier_block].load(std::memory_order_acquire)) {
         ready += blocks[frontier_block].out_len;
         frontier_block++;
-      } else {
+      } else if (frontier_block >= blocks.size() ||
+                 !try_inflate(frontier_block)) {
         std::this_thread::yield();
       }
     }
