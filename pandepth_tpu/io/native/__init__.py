@@ -29,16 +29,31 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-           "-fPIC", "-o", _LIB, _SRC, "-lz", "-lpthread"]
-    try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=300)
-    except (OSError, subprocess.TimeoutExpired) as e:
-        return str(e)
-    if r.returncode != 0:
-        return r.stderr[-2000:]
-    return None
+    base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+            "-fPIC", "-o", _LIB, _SRC]
+    # libdeflate decompresses BGZF ~2-3x faster than zlib; link it when
+    # a system or vendored copy is available, else fall back to zlib
+    attempts = []
+    ld = os.environ.get("PANDEPTH_LIBDEFLATE", "/root/reference")
+    if ld and os.path.exists(os.path.join(ld, "lib", "libdeflate.a")):
+        attempts.append(base + ["-DUSE_LIBDEFLATE",
+                                f"-I{ld}/include", f"-L{ld}/lib",
+                                "-ldeflate", "-lz", "-lpthread"])
+    attempts.append(base + ["-DUSE_LIBDEFLATE", "-ldeflate", "-lz",
+                            "-lpthread"])
+    attempts.append(base + ["-lz", "-lpthread"])
+    err = "no build attempts"
+    for cmd in attempts:
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            err = str(e)
+            continue
+        if r.returncode == 0:
+            return None
+        err = r.stderr[-2000:]
+    return err
 
 
 def load_library() -> Optional[ctypes.CDLL]:

@@ -21,7 +21,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdlib>
 #include <memory>
 #include <cstdio>
 #include <cstring>
@@ -30,6 +32,10 @@
 #include <vector>
 
 #include <zlib.h>
+
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -41,7 +47,9 @@ struct Block {
 };
 
 // uninitialized byte buffer: std::vector<uint8_t>::resize zero-fills,
-// which costs ~0.5 ms/MB before inflate overwrites every byte anyway
+// which costs ~0.5 ms/MB before inflate overwrites every byte anyway.
+// (MADV_HUGEPAGE was tried and reverted: on this VM it triggers
+// synchronous compaction and multiplies kernel time ~5x.)
 struct RawBuf {
   uint8_t* p = nullptr;
   size_t n = 0;
@@ -116,6 +124,21 @@ bool scan_blocks(const std::vector<uint8_t>& raw, std::vector<Block>& blocks,
   return off == n;
 }
 
+#ifdef USE_LIBDEFLATE
+// libdeflate decompresses BGZF blocks ~2-3x faster than zlib — the
+// host-side throughput lever called out in SURVEY.md §2.2. One
+// decompressor per thread (they are not thread-safe but are reusable).
+thread_local libdeflate_decompressor* tl_decomp = nullptr;
+
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
+                   uint32_t dst_len) {
+  if (!tl_decomp) tl_decomp = libdeflate_alloc_decompressor();
+  size_t actual = 0;
+  auto rc = libdeflate_deflate_decompress(tl_decomp, src, src_len, dst,
+                                          dst_len, &actual);
+  return rc == LIBDEFLATE_SUCCESS && actual == dst_len;
+}
+#else
 bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
                    uint32_t dst_len) {
   z_stream zs;
@@ -129,6 +152,7 @@ bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
   inflateEnd(&zs);
   return rc == Z_STREAM_END && zs.avail_out == 0;
 }
+#endif
 
 bool inflate_all(const std::vector<uint8_t>& raw, int n_threads,
                  RawBuf& out) {
@@ -491,7 +515,9 @@ void* pancov_bam_load(const char* path, int n_threads,
         frontier_block++;
       } else if (frontier_block >= blocks.size() ||
                  !try_inflate(frontier_block)) {
-        std::this_thread::yield();
+        // another thread owns the frontier block; a tight sched_yield
+        // loop here burns kernel time, so nap instead
+        std::this_thread::sleep_for(std::chrono::microseconds(50));
       }
     }
     return true;
