@@ -116,6 +116,16 @@ class CoverageEngine:
         self._chunks.append((pos, delta))
         self._state = None
 
+    def add_padded_events(self, starts: np.ndarray,
+                          ends: np.ndarray) -> None:
+        """Like add_start_end, but the arrays are already pos_dtype and
+        sentinel-padded (native fast path: zero host-side copies)."""
+        assert starts.dtype == self.pos_dtype
+        pos, delta = _pack_events(jnp.asarray(starts),
+                                  jnp.asarray(ends), self.pos_sentinel)
+        self._chunks.append((pos, delta))
+        self._state = None
+
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
         """Append depth +1 over 0-based half-open [start0, end0) intervals

@@ -116,6 +116,9 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_load_n_events.argtypes = [ctypes.c_void_p]
         lib.pancov_load_events.restype = None
         lib.pancov_load_events.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.pancov_load_events32.restype = None
+        lib.pancov_load_events32.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int64, ctypes.c_int32]
         lib.pancov_load_bam.restype = ctypes.c_void_p
         lib.pancov_load_bam.argtypes = [ctypes.c_void_p]
         lib.pancov_load_close.restype = None
@@ -181,6 +184,10 @@ class NativeBamLoad:
                                 names=names, lengths=lengths)
         self.n_records = int(lib.pancov_bam_n_records(bam_h))
 
+    @property
+    def n_events(self) -> int:
+        return int(self._lib.pancov_load_n_events(self._h))
+
     def events(self):
         """(starts, ends) int64 arrays of all extracted events."""
         m = int(self._lib.pancov_load_n_events(self._h))
@@ -189,6 +196,17 @@ class NativeBamLoad:
         if m:
             self._lib.pancov_load_events(self._h, starts, ends)
         return starts[:m], ends[:m]
+
+    def events32_padded(self, cap: int, sentinel: int):
+        """(starts, ends, m): int32 arrays of ``cap`` elements, tail
+        filled with ``sentinel`` — ready for direct device upload."""
+        m = int(self._lib.pancov_load_n_events(self._h))
+        cap = max(cap, m, 1)
+        starts = np.empty(cap, np.int32)
+        ends = np.empty(cap, np.int32)
+        self._lib.pancov_load_events32(self._h, starts, ends, cap,
+                                       sentinel)
+        return starts, ends, m
 
     def close(self) -> None:
         if self._h:

@@ -655,6 +655,23 @@ void pancov_load_events(void* h, int64_t* starts, int64_t* ends) {
               lb->ev_ends.size() * sizeof(int64_t));
 }
 
+// int32 variant: fills caller buffers of `cap` elements, padding the
+// tail with `sentinel` — the exact layout CoverageEngine transfers, so
+// Python never touches the event data.
+void pancov_load_events32(void* h, int32_t* starts, int32_t* ends,
+                          int64_t cap, int32_t sentinel) {
+  auto* lb = (LoadedBam*)h;
+  int64_t m = (int64_t)lb->ev_starts.size();
+  for (int64_t i = 0; i < m; i++) {
+    starts[i] = (int32_t)lb->ev_starts[i];
+    ends[i] = (int32_t)lb->ev_ends[i];
+  }
+  for (int64_t i = m; i < cap; i++) {
+    starts[i] = sentinel;
+    ends[i] = sentinel;
+  }
+}
+
 // the embedded BamFile supports all pancov_bam_* accessors
 void* pancov_load_bam(void* h) { return &((LoadedBam*)h)->bam; }
 

@@ -221,8 +221,16 @@ def run_alignment(config: RunConfig) -> int:
             if r is None:
                 r = open_alignment(path, threads=config.threads)
         if hasattr(r, "events"):
-            starts, ends = r.events()
-            engine.add_start_end(starts, ends)
+            if engine.pos_dtype is np.int32 and \
+                    hasattr(r, "events32_padded"):
+                from pandepth_tpu.device.events import pad_pow2
+
+                s32, e32, _m = r.events32_padded(
+                    pad_pow2(max(r.n_events, 1)), engine.pos_sentinel)
+                engine.add_padded_events(s32, e32)
+            else:
+                starts, ends = r.events()
+                engine.add_start_end(starts, ends)
             engine.n_reads_seen += r.n_records
             r.close()
             continue
