@@ -179,6 +179,31 @@ def decode_records(data: bytes, offsets: np.ndarray) -> ReadBatch:
                      op_read=op_read)
 
 
+def read_bam_header(path: str) -> BamHeader:
+    """Parse just the BAM header, inflating only the leading BGZF
+    blocks (cheap: a few blocks even for huge headers)."""
+    from pandepth_tpu.io import bgzf
+
+    with open(path, "rb") as fh:
+        raw = fh.read(1 << 22)  # enough blocks for any sane header
+    parts = []
+    got = 0
+    for off, bsize, payload in bgzf.iter_block_ranges(raw):
+        if off + bsize > len(raw):
+            break
+        parts.append(bgzf.decompress_block(raw, off, payload, bsize))
+        got += len(parts[-1])
+        data = b"".join(parts)
+        if len(data) >= 12:
+            try:
+                header, _ = _parse_header(data)
+                return header
+            except (ValueError, IndexError, struct.error):
+                continue  # need more blocks
+    header, _ = _parse_header(b"".join(parts))
+    return header
+
+
 class BamReader:
     """Whole-file BAM reader yielding columnar batches."""
 

@@ -110,8 +110,9 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_bam_load.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.pancov_load_n_events.restype = ctypes.c_int64
         lib.pancov_load_n_events.argtypes = [ctypes.c_void_p]
         lib.pancov_load_events.restype = None
@@ -140,7 +141,13 @@ class NativeBamLoad:
     def __init__(self, path: str, flags_mask: int, min_mapq: int,
                  pad: int = 512, threads: int = 0,
                  ext_offsets: Optional[np.ndarray] = None,
-                 ext_limits: Optional[np.ndarray] = None):
+                 ext_limits: Optional[np.ndarray] = None,
+                 regions=None):
+        """``regions``: optional (per_tid_offsets, starts, ends, mode)
+        int64 arrays of disjoint sorted regions + semantics selector:
+        mode 1 = indexed overlap windows (0-based half-open, padded),
+        mode 2 = no-index sorted-stream cursor (1-based closed spans,
+        reference quirks included)."""
         from pandepth_tpu.io.bam import BamHeader
 
         lib = load_library()
@@ -151,17 +158,32 @@ class NativeBamLoad:
         if threads <= 0:
             threads = min(os.cpu_count() or 1, 16)
         err = ctypes.create_string_buffer(256)
+        keep = []
         if ext_offsets is not None:
             eo = np.ascontiguousarray(ext_offsets, np.int64)
             el = np.ascontiguousarray(ext_limits, np.int64)
-            self._keep = (eo, el)  # keep alive during the call
+            keep += [eo, el]
             op, lp, ne = eo.ctypes.data, el.ctypes.data, eo.shape[0]
         else:
             op = lp = None
             ne = 0
+        if regions is not None:
+            ro = np.ascontiguousarray(regions[0], np.int64)
+            rs = np.ascontiguousarray(regions[1], np.int64)
+            re_ = np.ascontiguousarray(regions[2], np.int64)
+            rmode = int(regions[3])
+            keep += [ro, rs, re_]
+            rop, rsp, rep, nr = (ro.ctypes.data, rs.ctypes.data,
+                                 re_.ctypes.data, rs.shape[0])
+        else:
+            rop = rsp = rep = None
+            nr = 0
+            rmode = 0
+        self._keep = keep  # keep buffers alive during the call
         self._h = lib.pancov_bam_load(path.encode(), threads,
                                       flags_mask, min_mapq, pad, op, lp,
-                                      ne, err, len(err))
+                                      ne, rop, rsp, rep, nr, rmode, err,
+                                      len(err))
         if not self._h:
             raise ValueError(
                 f"pancov_bam_load({path}): {err.value.decode()}")

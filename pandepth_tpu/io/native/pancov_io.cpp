@@ -442,11 +442,27 @@ extern "C" {
 // genome layout (multi-sample mode uses the FIRST file's contig space,
 // reference quirk Q5, src/PanDepth.cpp:2041-2061). Otherwise the layout
 // is derived from this file's header with `pad` slack cells per contig.
+//
+// reg_* (may be null with n_regions=0): restrict event extraction to
+// target regions, replicating which reads the reference actually
+// counts. region_mode selects the semantics:
+//   1 = indexed fetch: keep reads overlapping one of the disjoint,
+//       per-tid-sorted 0-based half-open [reg_start, reg_end) windows
+//       (htslib region strings padded +-1, src/PanDepth.cpp:700-703);
+//   2 = no-index sorted-stream cursor (src/PanDepth.cpp:4604-4671):
+//       regions are the UNPADDED 1-based closed merged spans; a
+//       per-tid cursor advances with the (coordinate-sorted) stream,
+//       dropping reads that end before the current region start,
+//       counting the read that advances past the last region, and
+//       skipping the chromosome afterwards.
+// reg_off has n_targets+1 entries indexing the flat start/end arrays.
 void* pancov_bam_load(const char* path, int n_threads,
                       uint32_t flags_mask, int32_t min_mapq, int64_t pad,
                       const int64_t* ext_offsets,
                       const int64_t* ext_limits, int64_t n_ext,
-                      char* err, int err_len) {
+                      const int64_t* reg_off, const int64_t* reg_start,
+                      const int64_t* reg_end, int64_t n_regions,
+                      int region_mode, char* err, int err_len) {
   auto* lb = new LoadedBam();
   BamFile* bf = &lb->bam;
   auto fail = [&](const char* msg) -> void* {
@@ -593,6 +609,17 @@ void* pancov_bam_load(const char* path, int n_threads,
   bf->rec_ncigar.reserve(guess);
   lb->ev_starts.reserve(guess);
   lb->ev_ends.reserve(guess);
+  // region-cursor state (region_mode 2)
+  std::vector<int64_t> cursor;
+  std::vector<uint8_t> chr_done;
+  if (n_regions > 0 && region_mode == 2) {
+    cursor.resize(n_targets);
+    chr_done.resize(n_targets);
+    for (int64_t t = 0; t < n_targets; t++) {
+      cursor[t] = reg_off[t];
+      chr_done[t] = reg_off[t] == reg_off[t + 1];
+    }
+  }
   const uint8_t* d = bf->data.data();
   while (off + 4 <= total) {
     if (!wait_ready(std::min(total, off + 4))) break;
@@ -614,6 +641,37 @@ void* pancov_bam_load(const char* path, int n_threads,
       uint16_t flag = le16(p + 14);
       if (flag & flags_mask) keep = false;
       if (keep && min_mapq >= 1 && p[9] < min_mapq) keep = false;
+    }
+    if (keep && n_regions > 0) {
+      int64_t pos0 = (int32_t)le32(p + 4);
+      int64_t span = 0;
+      const uint8_t* cig = p + 32 + p[8];
+      for (uint16_t k = 0; k < nc; k++) {
+        uint32_t v = le32(cig + 4 * k);
+        if ((kRefConsume >> (v & 0xF)) & 1) span += v >> 4;
+      }
+      int64_t end0 = span > 0 ? pos0 + span : pos0 + 1;
+      if (region_mode == 1) {
+        // does the read overlap any fetch window of its contig?
+        int64_t a = reg_off[tid], b2 = reg_off[tid + 1];
+        const int64_t* first = reg_start + a;
+        const int64_t* last = reg_start + b2;
+        const int64_t* it = std::upper_bound(first, last, end0 - 1);
+        keep = (it != first) && reg_end[a + (it - first) - 1] > pos0;
+      } else if (region_mode == 2) {
+        // stateful sorted-stream cursor (see header comment)
+        if (chr_done[tid]) {
+          keep = false;
+        } else if (end0 < reg_start[cursor[tid]]) {
+          keep = false;  // note: raw 0-based end vs 1-based start
+        } else if (pos0 > reg_end[cursor[tid]]) {
+          int64_t c = cursor[tid] + 1;
+          int64_t b2 = reg_off[tid + 1];
+          while (c < b2 && pos0 > reg_end[c]) c++;
+          if (c >= b2) chr_done[tid] = 1;  // this read still counts
+          cursor[tid] = c < b2 ? c : b2 - 1;
+        }
+      }
     }
     if (keep) {
       int64_t cur = lb->offsets[tid] + (int32_t)le32(p + 4);

@@ -147,7 +147,7 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
 
 
 def _try_native_load(path: str, config: RunConfig,
-                     ext_offsets=None, ext_limits=None):
+                     ext_offsets=None, ext_limits=None, regions=None):
     """NativeBamLoad when the file is BAM and the library builds."""
     try:
         with open(path, "rb") as fh:
@@ -163,21 +163,105 @@ def _try_native_load(path: str, config: RunConfig,
         return NativeBamLoad(path, config.flags, config.min_mapq,
                              threads=config.threads,
                              ext_offsets=ext_offsets,
-                             ext_limits=ext_limits)
+                             ext_limits=ext_limits, regions=regions)
     except (ValueError, RuntimeError, OSError):
         return None
 
 
+def _cheap_header(path: str) -> Optional[BamHeader]:
+    """Header without decoding the file body (BAM only)."""
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+        if magic != b"\x1f\x8b":
+            return None
+        from pandepth_tpu.io.bam import read_bam_header
+
+        return read_bam_header(path)
+    except (OSError, ValueError):
+        return None
+
+
+def _filter_batch_to_windows(batch, windows) -> None:
+    """Python-path equivalent of the C++ mode-1 region restriction:
+    drop reads not overlapping any fetch window (marks tid = -1)."""
+    off, starts, ends = windows[:3]
+    if starts.shape[0] == 0:
+        batch.tid[:] = -1
+        return
+    pos = batch.pos.astype(np.int64)
+    end = batch.end_pos()
+    keep = np.zeros(batch.tid.shape[0], bool)
+    for tid in np.unique(batch.tid):
+        if tid < 0 or tid + 1 >= off.shape[0]:
+            continue
+        a, b = int(off[tid]), int(off[tid + 1])
+        if a == b:
+            continue
+        sel = batch.tid == tid
+        idx = np.searchsorted(starts[a:b], end[sel] - 1, side="right")
+        ok = idx > 0
+        cand = np.maximum(idx - 1, 0)
+        ok &= ends[a:b][cand] > pos[sel]
+        keep[sel] = ok
+    batch.tid[~keep] = -1
+
+
+class _RegionCursor:
+    """Python-path equivalent of the C++ mode-2 sorted-stream cursor
+    (reference no-index loop, src/PanDepth.cpp:4604-4671), including
+    its quirks: the chromosome-finishing read is counted, and a read
+    landing in a gap after a cursor advance is counted too. Filters are
+    assumed already applied (FLAG/MAPQ)."""
+
+    def __init__(self, regions):
+        self.off, self.s1, self.e1 = (np.asarray(a, np.int64)
+                                      for a in regions[:3])
+        n_t = self.off.shape[0] - 1
+        self.cursor = self.off[:-1].copy()
+        self.done = self.off[:-1] == self.off[1:]
+
+    def filter_batch(self, batch, flags_mask: int,
+                     min_mapq: int) -> None:
+        end = batch.end_pos()
+        for i in range(batch.tid.shape[0]):
+            tid = int(batch.tid[i])
+            if tid < 0 or tid >= self.done.shape[0]:
+                batch.tid[i] = -1
+                continue
+            if self.done[tid]:
+                batch.tid[i] = -1
+                continue
+            if min_mapq >= 1 and batch.mapq[i] < min_mapq:
+                continue  # dropped later by the engine, cursor unmoved
+            if batch.flag[i] & flags_mask:
+                continue
+            cur = int(self.cursor[tid])
+            if int(end[i]) < int(self.s1[cur]):
+                batch.tid[i] = -1
+                continue
+            pos0 = int(batch.pos[i])
+            if pos0 > int(self.e1[cur]):
+                b = int(self.off[tid + 1])
+                c = cur + 1
+                while c < b and pos0 > int(self.e1[c]):
+                    c += 1
+                if c >= b:
+                    self.done[tid] = True  # this read still counts
+                    c = b - 1
+                self.cursor[tid] = c
+
+
 def run_alignment(config: RunConfig) -> int:
     stats = RunStats()
-    # native pipelined path: one C++ call inflates, indexes and
-    # extracts events in overlapping threads
-    with phase(stats, "open"):
-        reader = _try_native_load(config.inputs[0], config)
-        if reader is None:
+    header: Optional[BamHeader] = _cheap_header(config.inputs[0])
+    reader = None
+    if header is None:
+        # SAM text / CRAM / no native library: open fully
+        with phase(stats, "open"):
             reader = open_alignment(config.inputs[0],
                                     threads=config.threads)
-    header: BamHeader = reader.header
+        header = reader.header
     names, lengths = header.names, header.lengths
     chr2tid = header.name_to_tid()
 
@@ -202,6 +286,24 @@ def run_alignment(config: RunConfig) -> int:
     wrap18 = (config.site_output or mode == MODE_WIN_SMALL
               or not has_index or len(config.inputs) > 1)
 
+    # which reads actually count depends on the reference's per-file
+    # path: indexed -> region-fetch overlap (mode 1); no index but
+    # coordinate-sorted -> stateful region cursor (mode 2); unsorted ->
+    # every read. Only parsed-target modes are observable.
+    fetch_win = cursor_reg = None
+    if mode in (1, 2, 3, 4):
+        fetch_win = (*targets.fetch_windows(lengths), 1)
+        cursor_reg = (*targets.merged_spans(len(names)), 2)
+
+    def regions_for(path: str, hdr: Optional[BamHeader]):
+        if fetch_win is None:
+            return None
+        if index_present(path) and config.use_index:
+            return fetch_win
+        if hdr is not None and hdr.sort_order == "coordinate":
+            return cursor_reg
+        return None
+
     engine = CoverageEngine(GenomeLayout(lengths),
                             flags_mask=config.flags,
                             min_mapq=config.min_mapq,
@@ -210,14 +312,21 @@ def run_alignment(config: RunConfig) -> int:
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
       with phase(stats, "feed"):
-        if i == 0:
+        hdr_i = header if i == 0 else _cheap_header(path)
+        if i == 0 and reader is None:
+            r = _try_native_load(path, config,
+                                 regions=regions_for(path, hdr_i))
+            if r is None:
+                r = open_alignment(path, threads=config.threads)
+        elif i == 0:
             r = reader
         else:
             # multi-sample mode indexes the FIRST file's contig space
             # (quirk Q5): impose its layout on every later file
             r = _try_native_load(path, config,
                                  ext_offsets=engine.layout.offsets,
-                                 ext_limits=engine.layout.limits)
+                                 ext_limits=engine.layout.limits,
+                                 regions=regions_for(path, hdr_i))
             if r is None:
                 r = open_alignment(path, threads=config.threads)
         if hasattr(r, "events"):
@@ -234,19 +343,18 @@ def run_alignment(config: RunConfig) -> int:
             engine.n_reads_seen += r.n_records
             r.close()
             continue
-        if hasattr(r, "event_batches"):
-            # FLAG/MAPQ filtering, CIGAR walk and clamping in C++
-            for starts, ends in r.event_batches(
-                    engine.layout.offsets, engine.layout.limits,
-                    config.flags, config.min_mapq,
-                    max_reads=config.max_reads_per_batch):
-                engine.add_start_end(starts, ends)
-            engine.n_reads_seen += r.n_records
-            continue
+        regs = regions_for(path, getattr(r, "header", hdr_i))
+        cursor = _RegionCursor(regs) if regs is not None and \
+            regs[3] == 2 else None
         for batch in r.batches(max_reads=config.max_reads_per_batch):
             # out-of-range tids would be UB in the reference — drop
             if i > 0:
                 batch.tid[batch.tid >= n_targets] = -1
+            if cursor is not None:
+                cursor.filter_batch(batch, config.flags,
+                                    config.min_mapq)
+            elif regs is not None:
+                _filter_batch_to_windows(batch, regs)
             engine.add_batch(batch)
 
     print("INFO: Input data read done")

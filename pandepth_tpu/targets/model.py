@@ -53,6 +53,70 @@ class TargetSet:
         the reference's RegionMerger, src/PanDepth.cpp:3912-3972)."""
         return np.unique(self.gene_tid)
 
+    def merged_spans(self, n_targets: int):
+        """The reference's RegionMerger: per-tid merged gene spans as
+        1-based closed intervals, sorted by start — map semantics with
+        max-end dedup then overlap sweep (src/PanDepth.cpp:3912-3972).
+
+        Returns (per_tid_offsets[n+1], starts1, ends1) int64 arrays.
+        """
+        off = np.zeros(n_targets + 1, np.int64)
+        starts_out: list = []
+        ends_out: list = []
+        for tid in range(n_targets):
+            sel = self.gene_tid == tid
+            cnt = 0
+            if sel.any():
+                s = np.asarray(self.gene_start[sel])
+                e = np.asarray(self.gene_end[sel])
+                order = np.argsort(s, kind="stable")
+                cur_s = cur_e = None
+                for i in order:
+                    si, ei = int(s[i]), int(e[i])
+                    if cur_s is None or si > cur_e:
+                        if cur_s is not None:
+                            starts_out.append(cur_s)
+                            ends_out.append(cur_e)
+                            cnt += 1
+                        cur_s, cur_e = si, ei
+                    elif ei > cur_e:
+                        cur_e = ei
+                if cur_s is not None:
+                    starts_out.append(cur_s)
+                    ends_out.append(cur_e)
+                    cnt += 1
+            off[tid + 1] = off[tid] + cnt
+        return (off, np.asarray(starts_out, np.int64),
+                np.asarray(ends_out, np.int64))
+
+    def fetch_windows(self, lengths: np.ndarray):
+        """The indexed paths' htslib fetch windows: merged gene spans
+        padded the way the region strings are built (beg = max(start-1,
+        1), end = min(end+1, chr_len), src/PanDepth.cpp:700-703), as
+        0-based half-open intervals.
+
+        Returns (per_tid_offsets[n+1], starts0, ends0) int64 arrays
+        with windows sorted per tid (ends strictly increasing).
+        """
+        n_t = len(lengths)
+        m_off, m_s, m_e = self.merged_spans(n_t)
+        off = np.zeros(n_t + 1, np.int64)
+        starts_out: list = []
+        ends_out: list = []
+        for tid in range(n_t):
+            cnt = 0
+            clen = int(lengths[tid])
+            for k in range(int(m_off[tid]), int(m_off[tid + 1])):
+                b0 = max(int(m_s[k]) - 1, 1) - 1
+                e0 = min(int(m_e[k]) + 1, clen)
+                if e0 > b0:
+                    starts_out.append(b0)
+                    ends_out.append(e0)
+                    cnt += 1
+            off[tid + 1] = off[tid] + cnt
+        return (off, np.asarray(starts_out, np.int64),
+                np.asarray(ends_out, np.int64))
+
 
 class GeneAccumulator:
     """Replicates the reference's (tid, gene-id) keyed accumulation.

@@ -116,6 +116,49 @@ def test_site_output(tmp_path, oracle_bin):
     _both(str(tmp_path), oracle_bin, ["-a"], n=300, seed=4)
 
 
+def test_site_output_bed_indexed(tmp_path, oracle_bin):
+    # with an index, the reference fetches only reads overlapping the
+    # merged BED regions (+-1), which shows in the -a site dump
+    tmp = str(tmp_path)
+    bed = os.path.join(tmp, "t.bed")
+    make_bed(bed)
+    _both(tmp, oracle_bin, ["-b", bed, "-a"], n=400, seed=8)
+
+
+def test_site_output_gff_indexed(tmp_path, oracle_bin):
+    tmp = str(tmp_path)
+    gff = os.path.join(tmp, "t.gff")
+    make_gff(gff)
+    _both(tmp, oracle_bin, ["-g", gff, "-a"], n=400, seed=9)
+
+
+def test_site_output_bed_no_index(tmp_path, oracle_bin):
+    # -s disables the index: the streaming path sees every read
+    tmp = str(tmp_path)
+    bed = os.path.join(tmp, "t.bed")
+    make_bed(bed)
+    _both(tmp, oracle_bin, ["-b", bed, "-a", "-s"], n=400, seed=8)
+
+
+def test_site_output_bed_unsorted_no_index(tmp_path, oracle_bin):
+    # unsorted + no index: the reference streams every read unfiltered
+    from tests.fixtures import CONTIGS, random_reads
+    from pandepth_tpu.io.bam_writer import write_bam
+
+    tmp = str(tmp_path)
+    bam = os.path.join(tmp, "u.bam")
+    recs = random_reads(n=300, seed=12)
+    names = [c[0] for c in CONTIGS]
+    lengths = [c[1] for c in CONTIGS]
+    hdr = "@HD\tVN:1.6\tSO:unsorted\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(names, lengths))
+    write_bam(bam, names, lengths, recs, header_text=hdr,
+              make_index=False)
+    bed = os.path.join(tmp, "t.bed")
+    make_bed(bed)
+    _both(tmp, oracle_bin, ["-b", bed, "-a"], bam=bam)
+
+
 def test_gc_mode_chr(tmp_path, oracle_bin):
     tmp = str(tmp_path)
     fa = os.path.join(tmp, "ref.fa")
