@@ -612,12 +612,15 @@ void* pancov_bam_load(const char* path, int n_threads,
   // region-cursor state (region_mode 2)
   std::vector<int64_t> cursor;
   std::vector<uint8_t> chr_done;
+  int64_t chrs_left = 0;   // chromosomes with regions not yet finished
+  bool stream_done = false;  // the reference `break`s out of the loop
   if (n_regions > 0 && region_mode == 2) {
     cursor.resize(n_targets);
     chr_done.resize(n_targets);
     for (int64_t t = 0; t < n_targets; t++) {
       cursor[t] = reg_off[t];
       chr_done[t] = reg_off[t] == reg_off[t + 1];
+      if (!chr_done[t]) chrs_left++;
     }
   }
   const uint8_t* d = bf->data.data();
@@ -660,7 +663,7 @@ void* pancov_bam_load(const char* path, int n_threads,
         keep = (it != first) && reg_end[a + (it - first) - 1] > pos0;
       } else if (region_mode == 2) {
         // stateful sorted-stream cursor (see header comment)
-        if (chr_done[tid]) {
+        if (stream_done || chr_done[tid]) {
           keep = false;
         } else if (end0 < reg_start[cursor[tid]]) {
           keep = false;  // note: raw 0-based end vs 1-based start
@@ -668,7 +671,17 @@ void* pancov_bam_load(const char* path, int n_threads,
           int64_t c = cursor[tid] + 1;
           int64_t b2 = reg_off[tid + 1];
           while (c < b2 && pos0 > reg_end[c]) c++;
-          if (c >= b2) chr_done[tid] = 1;  // this read still counts
+          if (c >= b2) {
+            chr_done[tid] = 1;
+            chrs_left--;
+            if (chrs_left == 0) {
+              // the reference breaks the read loop HERE, so the
+              // finishing read is only counted when other
+              // chromosomes were still pending
+              stream_done = true;
+              keep = false;
+            }
+          }
           cursor[tid] = c < b2 ? c : b2 - 1;
         }
       }

@@ -217,19 +217,18 @@ class _RegionCursor:
     def __init__(self, regions):
         self.off, self.s1, self.e1 = (np.asarray(a, np.int64)
                                       for a in regions[:3])
-        n_t = self.off.shape[0] - 1
         self.cursor = self.off[:-1].copy()
         self.done = self.off[:-1] == self.off[1:]
+        self.chrs_left = int((~self.done).sum())
+        self.stream_done = False
 
     def filter_batch(self, batch, flags_mask: int,
                      min_mapq: int) -> None:
         end = batch.end_pos()
         for i in range(batch.tid.shape[0]):
             tid = int(batch.tid[i])
-            if tid < 0 or tid >= self.done.shape[0]:
-                batch.tid[i] = -1
-                continue
-            if self.done[tid]:
+            if self.stream_done or tid < 0 or \
+                    tid >= self.done.shape[0] or self.done[tid]:
                 batch.tid[i] = -1
                 continue
             if min_mapq >= 1 and batch.mapq[i] < min_mapq:
@@ -247,8 +246,15 @@ class _RegionCursor:
                 while c < b and pos0 > int(self.e1[c]):
                     c += 1
                 if c >= b:
-                    self.done[tid] = True  # this read still counts
+                    self.done[tid] = True
+                    self.chrs_left -= 1
                     c = b - 1
+                    if self.chrs_left == 0:
+                        # the reference breaks out of its read loop:
+                        # the finishing read only counts when other
+                        # chromosomes were still pending
+                        self.stream_done = True
+                        batch.tid[i] = -1
                 self.cursor[tid] = c
 
 

@@ -147,13 +147,21 @@ def _parse_gtf(path: str, feature: str, chr2tid: Dict[str, int],
 
 def _parse_bed3(path: str, chr2tid: Dict[str, int],
                 acc: GeneAccumulator) -> None:
+    # StartStr/EndStr live outside the reference's line loop
+    # (src/PanDepth.cpp:3742-3744): short rows inherit the previous
+    # row's column strings.
+    start_s = end_s = ""
     for line in iter_text_lines(path):
         if not line or line.startswith("#"):
             continue
         toks = line.split()
-        if len(toks) < 3:
+        if not toks:
             continue
-        chrom, start_s, end_s = toks[0], toks[1], toks[2]
+        chrom = toks[0]
+        if len(toks) > 1:
+            start_s = toks[1]
+        if len(toks) > 2:
+            end_s = toks[2]
         gene_id = f"{chrom}_{start_s}_{end_s}"
         start, end = _atoi(start_s), _atoi(end_s)
         if start > end:
@@ -168,14 +176,23 @@ def _parse_bed3(path: str, chr2tid: Dict[str, int],
 
 def _parse_bed4(path: str, chr2tid: Dict[str, int],
                 acc: GeneAccumulator) -> None:
+    # The reference extracts with `isone >> Chr >> Start >> End >>
+    # GeneID` where GeneID is declared OUTSIDE the loop
+    # (src/PanDepth.cpp:3547,3652): a row with fewer than 4 columns
+    # leaves GeneID holding the PREVIOUS row's id (empty for the
+    # first), and missing ints read as 0 (C++11 failed extraction).
+    gene_id = ""
     for line in iter_text_lines(path):
         if not line or line.startswith("#"):
             continue
         toks = line.split()
-        if len(toks) < 4:
+        if not toks:
             continue
-        chrom, start, end, gene_id = toks[0], int(toks[1]), int(toks[2]), \
-            toks[3]
+        chrom = toks[0]
+        start = int(toks[1]) if len(toks) > 1 and _is_int(toks[1]) else 0
+        end = int(toks[2]) if len(toks) > 2 and _is_int(toks[2]) else 0
+        if len(toks) > 3:
+            gene_id = toks[3]
         if start > end:
             _warn_region(line)
             continue
@@ -184,3 +201,7 @@ def _parse_bed4(path: str, chr2tid: Dict[str, int],
             _warn_region(line)
             continue
         acc.add(tid, gene_id, start, end)
+
+
+def _is_int(s: str) -> bool:
+    return bool(re.match(r"[+-]?\d+$", s))

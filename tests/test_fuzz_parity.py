@@ -1,0 +1,168 @@
+"""Randomized differential testing vs the reference binary: random
+fixtures x random CLI configurations, byte-compared tables.
+
+Each case generates its own genome shape, read mix and target files
+from the seed, avoiding only the reference's known undefined-behavior
+traps (documented in tests/fixtures.py and README)."""
+
+import glob
+import os
+import random
+import subprocess
+
+import pytest
+
+from tests.fixtures import drop_gc_column, gunzip_bytes, make_fasta
+
+from pandepth_tpu.cli import main as cli_main
+from pandepth_tpu.io.bam_writer import write_bam
+
+
+def _gen_case(tmp: str, seed: int):
+    rng = random.Random(seed)
+    n_contigs = rng.randint(1, 4)
+    contigs = [(f"ctg{i}_{seed}", rng.randint(400, 9000))
+               for i in range(n_contigs)]
+    # occasionally a tiny contig (len<2 quirks)
+    if rng.random() < 0.3:
+        contigs.append((f"tiny{seed}", rng.randint(1, 3)))
+    names = [c[0] for c in contigs]
+    lengths = [c[1] for c in contigs]
+
+    n = rng.randint(0, 900)
+    recs = []
+    for _ in range(n):
+        tid = rng.randrange(len(contigs))
+        clen = contigs[tid][1]
+        pos = rng.randrange(0, max(clen, 1))
+        kind = rng.random()
+        if kind < 0.5:
+            cigar = f"{rng.randint(1, 120)}M"
+        elif kind < 0.65:
+            cigar = (f"{rng.randint(1, 30)}M{rng.randint(1, 10)}D"
+                     f"{rng.randint(1, 30)}M")
+        elif kind < 0.75:
+            cigar = (f"{rng.randint(1, 15)}S{rng.randint(1, 40)}M"
+                     f"{rng.randint(1, 300)}N{rng.randint(1, 40)}M")
+        elif kind < 0.85:
+            cigar = (f"{rng.randint(1, 20)}={rng.randint(1, 9)}X"
+                     f"{rng.randint(1, 20)}=")
+        elif kind < 0.95:
+            cigar = (f"{rng.randint(1, 9)}I{rng.randint(1, 50)}M"
+                     f"{rng.randint(1, 5)}P{rng.randint(1, 20)}M")
+        else:
+            cigar = "*"
+        flag = 0
+        r = rng.random()
+        if r < 0.08:
+            flag |= rng.choice([0x100, 0x200, 0x400, 0x800])
+        if cigar == "*":
+            flag = 4
+        if rng.random() < 0.5:
+            flag |= 0x10
+        mapq = rng.choice([0, 1, 5, 20, 40, 60, 254])
+        # stay below +100 overhang (multi-file heap bug) for safety
+        if cigar != "*":
+            from pandepth_tpu.io.bam_writer import cigar_str_to_ops, \
+                ref_span
+            if pos + ref_span(cigar_str_to_ops(cigar)) > clen + 90:
+                continue
+        recs.append((tid, pos, flag, mapq, cigar))
+    recs.sort(key=lambda x: (x[0], x[1]))
+    bam = os.path.join(tmp, f"f{seed}.bam")
+    write_bam(bam, names, lengths, recs,
+              make_index=rng.random() < 0.7)
+
+    # random target mode
+    args = []
+    gc_risky = False
+    mode = rng.choice(["chr", "win", "bed", "gff", "gtf"])
+    if mode == "win":
+        args += ["-w", str(rng.choice([1, 7, 50, 149, 150, 500, 20000]))]
+    elif mode == "bed":
+        bed = os.path.join(tmp, f"f{seed}.bed")
+        with open(bed, "w") as fh:
+            for _ in range(rng.randint(1, 12)):
+                t = rng.randrange(len(contigs))
+                s = rng.randint(0, max(lengths[t] - 1, 1))
+                e = s + rng.randint(0, 400)
+                row = f"{names[t]}\t{s}\t{e}"
+                if rng.random() < 0.5:
+                    row += f"\tid{rng.randint(0, 5)}"
+                fh.write(row + "\n")
+            if rng.random() < 0.3:
+                fh.write(f"{names[0]}\t50\t20\n")      # start > end
+            if rng.random() < 0.3:
+                fh.write(f"nochr\t1\t10\n")            # unknown contig
+        args += ["-b", bed]
+        gc_risky = True  # regions may overhang the sequence (ref UB)
+    elif mode in ("gff", "gtf"):
+        tf = os.path.join(tmp, f"f{seed}.{mode}")
+        feature = rng.choice(["CDS", "exon"])
+        with open(tf, "w") as fh:
+            for g in range(rng.randint(1, 8)):
+                t = rng.randrange(len(contigs))
+                base = rng.randint(1, max(lengths[t] - 50, 2))
+                for _ in range(rng.randint(1, 4)):
+                    s = base + rng.randint(0, 200)
+                    e = min(s + rng.randint(0, 300), lengths[t])
+                    if e < s:
+                        continue
+                    if mode == "gff":
+                        fh.write(f"{names[t]}\tsrc\t{feature}\t{s}\t{e}"
+                                 f"\t.\t+\t0\tID=c{g};Parent=g{g}\n")
+                    else:
+                        fh.write(f'{names[t]}\tsrc\t{feature}\t{s}\t{e}'
+                                 f'\t.\t+\t0\tgene_id "g{g}"; '
+                                 f'transcript_id "t{g}";\n')
+        args += ["-g", tf, "-f", feature]
+
+    if rng.random() < 0.4:
+        args += ["-q", str(rng.choice([0, 1, 10, 30, 255]))]
+    if rng.random() < 0.4:
+        args += ["-d", str(rng.choice([1, 2, 5, 100]))]
+    if rng.random() < 0.3:
+        args += ["-x", str(rng.choice([0, 4, 256, 1796, 3844]))]
+    if rng.random() < 0.25:
+        args += ["-s"]
+    if rng.random() < 0.3:
+        args += ["-a"]
+    use_gc = rng.random() < 0.3
+    if use_gc:
+        fa = os.path.join(tmp, f"f{seed}.fa")
+        make_fasta(fa, contigs, seed=seed)
+        args += ["-c", "-r", fa]
+    small_win = mode == "win" and int(args[1]) < 150
+    strip_gc = use_gc and (small_win or gc_risky)
+    return bam, args, strip_gc
+
+
+def _run_case(tmp: str, oracle: str, seed: int):
+    bam, args, strip_gc = _gen_case(tmp, seed)
+    ref_out = os.path.join(tmp, f"ref{seed}")
+    our_out = os.path.join(tmp, f"ours{seed}")
+    rr = subprocess.run([oracle, "-i", bam, "-o", ref_out] + args,
+                        capture_output=True)
+    if rr.returncode != 0:
+        return "oracle-crash"
+    rc = cli_main(["pandepth", "-i", bam, "-o", our_out] + args)
+    ref_files = sorted(glob.glob(ref_out + "*.gz"))
+    if not ref_files:
+        # the reference rejected the inputs (e.g. an empty GFF) and
+        # wrote nothing; we must also have produced nothing
+        assert not glob.glob(our_out + "*.gz"), (seed, args)
+        return "both-rejected"
+    assert rc == 0, (seed, args)
+    for rf in ref_files:
+        of = rf.replace(f"ref{seed}", f"ours{seed}", 1)
+        assert os.path.exists(of), (seed, args, rf)
+        a, b = gunzip_bytes(rf), gunzip_bytes(of)
+        if strip_gc:
+            a, b = drop_gc_column(a), drop_gc_column(b)
+        assert a == b, (seed, args, os.path.basename(rf))
+    return "ok"
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_case(tmp_path, oracle_bin, seed):
+    _run_case(str(tmp_path), oracle_bin, seed)
