@@ -166,3 +166,118 @@ def _run_case(tmp: str, oracle: str, seed: int):
 @pytest.mark.parametrize("seed", range(40))
 def test_fuzz_case(tmp_path, oracle_bin, seed):
     _run_case(str(tmp_path), oracle_bin, seed)
+
+
+def _gen_multi_case(tmp: str, seed: int):
+    """Multi-file .list (BAM or PAF) or single CRAM, random filters."""
+    rng = random.Random(10000 + seed)
+    contigs = [(f"m{i}_{seed}", rng.randint(500, 6000))
+               for i in range(rng.randint(1, 3))]
+    names = [c[0] for c in contigs]
+    lengths = [c[1] for c in contigs]
+    kind = rng.choice(["bamlist", "paflist", "cram"])
+
+    def rand_recs(file_seed):
+        r2 = random.Random(file_seed)
+        recs = []
+        for _ in range(r2.randint(0, 400)):
+            tid = r2.randrange(len(contigs))
+            clen = contigs[tid][1]
+            pos = r2.randrange(0, max(clen - 60, 1))
+            ln = r2.randint(1, 60)
+            from pandepth_tpu.io.bam_writer import cigar_str_to_ops, \
+                ref_span
+            cigar = f"{ln}M" if r2.random() < 0.7 else \
+                f"{ln}M{r2.randint(1, 9)}D{r2.randint(1, 30)}M"
+            if pos + ref_span(cigar_str_to_ops(cigar)) > clen + 80:
+                continue
+            flag = 0x100 if r2.random() < 0.08 else 0
+            recs.append((tid, pos, flag,
+                         r2.choice([0, 10, 30, 60]), cigar))
+        recs.sort(key=lambda x: (x[0], x[1]))
+        return recs
+
+    args = []
+    if kind == "cram":
+        from pandepth_tpu.io.cram_writer import write_cram
+
+        path = os.path.join(tmp, f"m{seed}.cram")
+        write_cram(path, names, lengths, rand_recs(seed * 7 + 1))
+        inp = path
+    elif kind == "bamlist":
+        paths = []
+        for k in range(rng.randint(2, 3)):
+            p = os.path.join(tmp, f"m{seed}_{k}.bam")
+            write_bam(p, names, lengths, rand_recs(seed * 7 + k),
+                      make_index=rng.random() < 0.7)
+            paths.append(p)
+        inp = os.path.join(tmp, f"m{seed}.list")
+        with open(inp, "w") as fh:
+            fh.write("\n".join(paths) + "\n")
+    else:
+        from tests.test_paf import make_paf
+
+        paths = []
+        for k in range(rng.randint(1, 3)):
+            p = os.path.join(tmp, f"m{seed}_{k}.paf")
+            make_paf(p, contigs, n=rng.randint(10, 300),
+                     seed=seed * 7 + k)
+            paths.append(p)
+        if len(paths) == 1:
+            inp = paths[0]
+        else:
+            inp = os.path.join(tmp, f"m{seed}.list")
+            with open(inp, "w") as fh:
+                fh.write("\n".join(paths) + "\n")
+
+    if rng.random() < 0.5:
+        args += ["-w", str(rng.choice([50, 200, 1000]))]
+    elif rng.random() < 0.5:
+        bed = os.path.join(tmp, f"m{seed}.bed")
+        with open(bed, "w") as fh:
+            # the PAF/multi-file engines allocate only 500/100 depth
+            # cells for contigs WITHOUT regions but still write reads
+            # into them (reference heap corruption) — every contig with
+            # reads must get at least one region
+            for t in range(len(contigs)):
+                s = rng.randint(1, max(lengths[t] - 10, 2))
+                e = min(s + rng.randint(0, 300), lengths[t] + 80)
+                fh.write(f"{names[t]}\t{s}\t{e}\tr{rng.randint(0, 3)}\n")
+            for _ in range(rng.randint(0, 4)):
+                t = rng.randrange(len(contigs))
+                s = rng.randint(1, max(lengths[t] - 10, 2))
+                e = min(s + rng.randint(0, 300), lengths[t] + 80)
+                fh.write(f"{names[t]}\t{s}\t{e}\tr{rng.randint(0, 3)}\n")
+        args += ["-b", bed]
+    if rng.random() < 0.4:
+        args += ["-q", str(rng.choice([10, 30]))]
+    if rng.random() < 0.3:
+        args += ["-d", "2"]
+    if rng.random() < 0.3:
+        args += ["-x", str(rng.choice([0, 256, 1796]))]
+    if rng.random() < 0.25:
+        args += ["-a"]
+    return inp, args
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_multi_paf_cram(tmp_path, oracle_bin, seed):
+    tmp = str(tmp_path)
+    inp, args = _gen_multi_case(tmp, seed)
+    ref_out = os.path.join(tmp, "refm")
+    our_out = os.path.join(tmp, "oursm")
+    rr = subprocess.run([oracle_bin, "-i", inp, "-o", ref_out] + args,
+                        capture_output=True)
+    if rr.returncode != 0:
+        pytest.skip(f"oracle crashed: seed {seed}")
+    rc = cli_main(["pandepth", "-i", inp, "-o", our_out] + args)
+    ref_files = sorted(glob.glob(ref_out + "*.gz"))
+    if not ref_files:
+        assert not glob.glob(our_out + "*.gz"), (seed, args)
+        return
+    assert rc == 0, (seed, args)
+    for rf in ref_files:
+        of = rf.replace("refm", "oursm", 1)
+        assert os.path.exists(of), (seed, args, rf)
+        assert gunzip_bytes(rf) == gunzip_bytes(of), \
+            (seed, args, os.path.basename(rf))
