@@ -98,12 +98,13 @@ def time_ours(bam: str) -> float:
 
 def main() -> None:
     bam = ensure_fixture()
-    # the TPU tunnel in this environment has high run-to-run variance;
-    # best-of-3 on both sides gives the stable steady-state number
+    # the TPU tunnel in this environment has high run-to-run variance
+    # and degrades under concurrent CPU load: measure ours first (warm
+    # + best-of-4), reference after, best-of-3 each
+    time_ours(bam)  # warm jit compiles
+    our_wall = min(time_ours(bam) for _ in range(4))
     ref_wall = min(w for w in (time_reference(bam) for _ in range(3))
                    if w is not None) if ensure_reference() else None
-    time_ours(bam)  # warm jit compiles
-    our_wall = min(time_ours(bam) for _ in range(3))
     reads_per_s = N_READS / our_wall
     vs = (ref_wall / our_wall) if ref_wall else None
     sys.stderr.write(

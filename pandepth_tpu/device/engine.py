@@ -203,9 +203,27 @@ class CoverageEngine:
         hi = np.minimum(hi, lay.limits[seg_tid])
         hi = np.maximum(hi, lo)
 
+        b = lo.shape[0]
+        if self._state is None and b <= chunk:
+            # one fused dispatch: sort + scan + eval; cache the state
+            bp = pad_pow2(b, floor=256)
+            lo_c = np.zeros(bp, self.pos_dtype)
+            hi_c = np.zeros(bp, self.pos_dtype)
+            lo_c[:b] = lo
+            hi_c[:b] = hi
+            method = "scan_unrolled" if bp <= 4096 else "sort"
+            pos, delta = self._events()
+            out = sweep_mod.finalize_segments(
+                pos, delta, jnp.asarray(lo_c), jnp.asarray(hi_c),
+                min_dep=self.min_dep, wrap18=self.wrap18, method=method)
+            cover, dsum = out[0], out[1]
+            self._state = out[2:6]
+            self._chunks = [(out[2], out[6])]
+            return SegmentStats(cover=np.asarray(cover)[:b],
+                                depth_sum=np.asarray(dsum)[:b])
+
         pos_s, depth, c_cov, c_sum = self.sweep_state()
         md = jnp.int32(self.min_dep)
-        b = lo.shape[0]
         cover = np.empty(b, np.int64)
         dsum = np.empty(b, np.int64)
         for i in range(0, b, chunk):

@@ -110,6 +110,23 @@ def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
     return q_cov, q_sum
 
 
+@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
+                                             "method"))
+def finalize_segments(ev_pos, ev_delta, seg_lo, seg_hi,
+                      min_dep: int = 1, wrap18: bool = False,
+                      method: str = "scan_unrolled"):
+    """Sort + scan + boundary eval in ONE dispatch (the host->device
+    round-trip, not compute, dominates small finalizes through a
+    tunnel). Returns (cover, dsum, pos_s, depth, c_cov, c_sum, delta_s)
+    so the caller can cache the sweep state for further queries."""
+    pos_s, depth, c_cov, c_sum, delta_s = sort_events(
+        ev_pos, ev_delta, min_dep=min_dep, wrap18=wrap18)
+    md = jnp.int32(min_dep)
+    cover, dsum = eval_pair(pos_s, depth, c_cov, c_sum, md, seg_lo,
+                            seg_hi, method=method)
+    return cover, dsum, pos_s, depth, c_cov, c_sum, delta_s
+
+
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18"))
 def segment_stats(ev_pos, ev_delta, seg_lo, seg_hi,
                   min_dep: int = 1, wrap18: bool = False):
