@@ -1,0 +1,166 @@
+"""BAM index (.bai / .csi) parsing and region queries.
+
+Covers the role of htslib's ``sam_index_load`` + ``sam_itr_regarray``
+(used by the reference's indexed workers, src/PanDepth.cpp:617-801):
+given target regions, produce the merged virtual-offset chunk ranges
+whose BGZF blocks are worth decompressing. On sparse targets this lets
+the native loader skip most of the file.
+
+Virtual offsets are ``(compressed_block_start << 16) | in_block_offset``
+(SAMv1 §4.1.9); BAI uses a fixed 6-level binning over 2^29 spans
+(§5.3), CSI generalizes with min_shift/depth.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BamIndex:
+    def __init__(self, n_ref: int, bins: List[dict],
+                 linear: List[np.ndarray], min_shift: int = 14,
+                 depth: int = 5):
+        self.n_ref = n_ref
+        self.bins = bins        # per ref: {bin: ndarray (n,2) chunks}
+        self.linear = linear    # per ref: int64 16kb-window offsets
+        self.min_shift = min_shift
+        self.depth = depth
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, path: str) -> "BamIndex":
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+        raw = (gzip.open(path, "rb").read() if magic == b"\x1f\x8b"
+               else open(path, "rb").read())
+        if raw[:4] == b"BAI\x01":
+            return cls._parse(raw, csi=False)
+        if raw[:4] == b"CSI\x01":
+            return cls._parse(raw, csi=True)
+        raise ValueError(f"not a BAI/CSI index: {path}")
+
+    @classmethod
+    def _parse(cls, raw: bytes, csi: bool) -> "BamIndex":
+        off = 4
+        min_shift, depth = 14, 5
+        if csi:
+            min_shift, depth, laux = struct.unpack_from("<iii", raw, off)
+            off += 12 + laux
+        (n_ref,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        bins: List[dict] = []
+        linear: List[np.ndarray] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            bmap = {}
+            for _ in range(n_bin):
+                if csi:
+                    b, loff, n_chunk = struct.unpack_from("<IQi", raw,
+                                                          off)
+                    off += 16
+                else:
+                    b, n_chunk = struct.unpack_from("<Ii", raw, off)
+                    off += 8
+                chunks = np.frombuffer(raw, "<u8",
+                                       count=2 * n_chunk,
+                                       offset=off).reshape(-1, 2)
+                off += 16 * n_chunk
+                bmap[b] = chunks.astype(np.int64)
+            if csi:
+                lin = np.zeros(0, np.int64)
+            else:
+                (n_intv,) = struct.unpack_from("<i", raw, off)
+                off += 4
+                lin = np.frombuffer(raw, "<u8", count=n_intv,
+                                    offset=off).astype(np.int64)
+                off += 8 * n_intv
+            bins.append(bmap)
+            linear.append(lin)
+        return cls(n_ref, bins, linear, min_shift, depth)
+
+    # ------------------------------------------------------------------
+    def _reg2bins(self, beg: int, end: int) -> List[int]:
+        """All bins overlapping 0-based half-open [beg, end)."""
+        out = []
+        end -= 1
+        if self.min_shift == 14 and self.depth == 5:
+            out.append(0)
+            for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585),
+                                (14, 4681)):
+                out.extend(range(base + (beg >> shift),
+                                 base + (end >> shift) + 1))
+            return out
+        # CSI generalized scheme
+        l_, t_, s_ = 0, 0, self.min_shift + 3 * self.depth
+        while l_ <= self.depth:
+            b = t_ + (beg >> s_)
+            e = t_ + (end >> s_)
+            out.extend(range(b, e + 1))
+            s_ -= 3
+            t_ += 1 << (3 * l_)
+            l_ += 1
+        return out
+
+    def query(self, tid: int, beg: int, end: int) -> np.ndarray:
+        """Merged (v0, v1) chunk ranges for reads overlapping
+        0-based half-open [beg, end)."""
+        if tid < 0 or tid >= self.n_ref or end <= beg:
+            return np.zeros((0, 2), np.int64)
+        bmap = self.bins[tid]
+        chunks = [bmap[b] for b in self._reg2bins(beg, end) if b in bmap]
+        if not chunks:
+            return np.zeros((0, 2), np.int64)
+        allc = np.concatenate(chunks)
+        lin = self.linear[tid]
+        if lin.size:
+            w = min(beg >> 14, lin.size - 1)
+            min_off = int(lin[w])
+            allc = allc[allc[:, 1] > min_off]
+        return merge_ranges(allc)
+
+
+def merge_ranges(ranges: np.ndarray) -> np.ndarray:
+    """Union of (start, end) ranges, sorted and coalesced."""
+    if ranges.shape[0] == 0:
+        return ranges.reshape(0, 2)
+    order = np.argsort(ranges[:, 0], kind="stable")
+    r = ranges[order]
+    out = [list(r[0])]
+    for a, b in r[1:]:
+        if a <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], b)
+        else:
+            out.append([a, b])
+    return np.asarray(out, np.int64)
+
+
+def load_index_for(bam_path: str) -> Optional[BamIndex]:
+    import os
+
+    for suf in (".bai", ".csi"):
+        p = bam_path + suf
+        if os.path.exists(p):
+            try:
+                return BamIndex.load(p)
+            except (ValueError, struct.error, OSError):
+                return None
+    return None
+
+
+def chunks_for_windows(index: BamIndex, windows) -> np.ndarray:
+    """Merged virtual ranges covering every fetch window
+    ((per_tid_off, starts0, ends0) as produced by
+    TargetSet.fetch_windows)."""
+    off, starts, ends = windows[:3]
+    parts = []
+    for tid in range(len(off) - 1):
+        for k in range(int(off[tid]), int(off[tid + 1])):
+            parts.append(index.query(tid, int(starts[k]), int(ends[k])))
+    if not parts:
+        return np.zeros((0, 2), np.int64)
+    return merge_ranges(np.concatenate(parts))

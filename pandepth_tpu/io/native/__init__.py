@@ -112,7 +112,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
         lib.pancov_load_n_events.restype = ctypes.c_int64
         lib.pancov_load_n_events.argtypes = [ctypes.c_void_p]
         lib.pancov_load_events.restype = None
@@ -142,7 +143,7 @@ class NativeBamLoad:
                  pad: int = 512, threads: int = 0,
                  ext_offsets: Optional[np.ndarray] = None,
                  ext_limits: Optional[np.ndarray] = None,
-                 regions=None):
+                 regions=None, vranges: Optional[np.ndarray] = None):
         """``regions``: optional (per_tid_offsets, starts, ends, mode)
         int64 arrays of disjoint sorted regions + semantics selector:
         mode 1 = indexed overlap windows (0-based half-open, padded),
@@ -179,11 +180,19 @@ class NativeBamLoad:
             rop = rsp = rep = None
             nr = 0
             rmode = 0
+        if vranges is not None and vranges.shape[0] > 0:
+            vs = np.ascontiguousarray(vranges[:, 0], np.int64)
+            ve = np.ascontiguousarray(vranges[:, 1], np.int64)
+            keep += [vs, ve]
+            vsp, vep, nv = vs.ctypes.data, ve.ctypes.data, vs.shape[0]
+        else:
+            vsp = vep = None
+            nv = 0
         self._keep = keep  # keep buffers alive during the call
         self._h = lib.pancov_bam_load(path.encode(), threads,
                                       flags_mask, min_mapq, pad, op, lp,
-                                      ne, rop, rsp, rep, nr, rmode, err,
-                                      len(err))
+                                      ne, rop, rsp, rep, nr, rmode, vsp,
+                                      vep, nv, err, len(err))
         if not self._h:
             raise ValueError(
                 f"pancov_bam_load({path}): {err.value.decode()}")

@@ -40,6 +40,7 @@
 namespace {
 
 struct Block {
+  size_t src_off;    // block start offset in the file (BAI coffset)
   size_t in_off;     // compressed payload offset
   size_t in_len;     // compressed payload length
   size_t out_off;    // offset in decompressed buffer
@@ -117,7 +118,7 @@ bool scan_blocks(const std::vector<uint8_t>& raw, std::vector<Block>& blocks,
     size_t payload = xend;
     size_t payload_len = off + bsize - 8 - payload;
     uint32_t isize = le32(raw.data() + off + bsize - 4);
-    blocks.push_back({payload, payload_len, total_out, isize});
+    blocks.push_back({off, payload, payload_len, total_out, isize});
     total_out += isize;
     off += (size_t)bsize;
   }
@@ -462,7 +463,9 @@ void* pancov_bam_load(const char* path, int n_threads,
                       const int64_t* ext_limits, int64_t n_ext,
                       const int64_t* reg_off, const int64_t* reg_start,
                       const int64_t* reg_end, int64_t n_regions,
-                      int region_mode, char* err, int err_len) {
+                      int region_mode, const int64_t* vr_start,
+                      const int64_t* vr_end, int64_t n_vr, char* err,
+                      int err_len) {
   auto* lb = new LoadedBam();
   BamFile* bf = &lb->bam;
   auto fail = [&](const char* msg) -> void* {
@@ -504,14 +507,15 @@ void* pancov_bam_load(const char* path, int n_threads,
       claim[i].store(0);
     }
     int t = n_threads > 1 ? n_threads - 1 : 1;
-    for (int i = 0; i < t; i++)
-      workers.emplace_back([&]() {
-        for (;;) {
-          size_t k = next.fetch_add(1);
-          if (k >= blocks.size() || !ok.load()) break;
-          try_inflate(k);
-        }
-      });
+    if (n_vr == 0)
+      for (int i = 0; i < t; i++)
+        workers.emplace_back([&]() {
+          for (;;) {
+            size_t k = next.fetch_add(1);
+            if (k >= blocks.size() || !ok.load()) break;
+            try_inflate(k);
+          }
+        });
   } else {
     bf->data.alloc(raw.size());
     std::memcpy(bf->data.data(), raw.data(), raw.size());
@@ -624,17 +628,15 @@ void* pancov_bam_load(const char* path, int n_threads,
     }
   }
   const uint8_t* d = bf->data.data();
-  while (off + 4 <= total) {
-    if (!wait_ready(std::min(total, off + 4))) break;
-    uint32_t block_size = le32(d + off);
-    if (off + 4 + block_size > total || block_size < 32) {
-      finish();
-      return fail("truncated BAM record");
-    }
-    if (!wait_ready(off + 4 + block_size)) break;
-    const uint8_t* p = d + off + 4;
+
+  // one record at `off`: index + filter + extract; returns the next
+  // offset, or 0 on malformed framing
+  auto process_record = [&](size_t off2) -> size_t {
+    uint32_t block_size = le32(d + off2);
+    if (off2 + 4 + block_size > total || block_size < 32) return 0;
+    const uint8_t* p = d + off2 + 4;
     uint16_t nc = le16(p + 12);
-    bf->rec_off.push_back(off + 4);
+    bf->rec_off.push_back(off2 + 4);
     bf->rec_ncigar.push_back(nc);
     bf->total_ops += nc;
 
@@ -706,7 +708,74 @@ void* pancov_bam_load(const char* path, int n_threads,
         if ((kRefConsume >> op) & 1) cur += len;
       }
     }
-    off += 4 + (size_t)block_size;
+    return off2 + 4 + (size_t)block_size;
+  };
+
+  if (n_vr > 0 && bgzf) {
+    // index-driven load: inflate and walk only the blocks covered by
+    // the merged virtual-offset ranges (plus the header blocks already
+    // inflated above by wait_ready)
+    size_t nb = blocks.size();
+    std::vector<size_t> src_offs(nb);
+    for (size_t i = 0; i < nb; i++) src_offs[i] = blocks[i].src_off;
+    auto floor_block = [&](int64_t coff) -> size_t {
+      auto it = std::upper_bound(src_offs.begin(), src_offs.end(),
+                                 (size_t)coff);
+      return it == src_offs.begin() ? 0 : (it - src_offs.begin() - 1);
+    };
+    std::vector<size_t> needed;
+    for (int64_t r = 0; r < n_vr; r++) {
+      size_t b0 = floor_block(vr_start[r] >> 16);
+      size_t b1 = floor_block(vr_end[r] >> 16);
+      for (size_t b = b0; b <= b1 && b < nb; b++) needed.push_back(b);
+    }
+    std::atomic<size_t> ni(0);
+    auto rworker = [&]() {
+      for (;;) {
+        size_t k = ni.fetch_add(1);
+        if (k >= needed.size() || !ok.load()) break;
+        try_inflate(needed[k]);
+      }
+    };
+    std::vector<std::thread> rts;
+    for (int i = 1; i < n_threads; i++) rts.emplace_back(rworker);
+    rworker();
+    for (auto& t2 : rts) t2.join();
+    if (!ok.load()) return fail("BGZF inflate failed");
+
+    for (int64_t r = 0; r < n_vr; r++) {
+      size_t cb = floor_block(vr_start[r] >> 16);
+      size_t off2 = blocks[cb].out_off + (vr_start[r] & 0xFFFF);
+      for (;;) {
+        while (cb + 1 < nb && blocks[cb + 1].out_off <= off2) cb++;
+        int64_t virt = ((int64_t)blocks[cb].src_off << 16) |
+                       (int64_t)(off2 - blocks[cb].out_off);
+        if (virt >= vr_end[r] || off2 + 4 > total) break;
+        size_t nxt = process_record(off2);
+        if (nxt == 0) {
+          finish();
+          return fail("truncated BAM record");
+        }
+        off2 = nxt;
+      }
+    }
+    return lb;
+  }
+
+  while (off + 4 <= total) {
+    if (!wait_ready(std::min(total, off + 4))) break;
+    uint32_t bsz = le32(d + off);
+    if (off + 4 + bsz > total || bsz < 32) {
+      finish();
+      return fail("truncated BAM record");
+    }
+    if (!wait_ready(off + 4 + bsz)) break;
+    size_t nxt = process_record(off);
+    if (nxt == 0) {
+      finish();
+      return fail("truncated BAM record");
+    }
+    off = nxt;
   }
   bool good = ok.load();
   for (auto& w : workers) w.join();

@@ -160,10 +160,20 @@ def _try_native_load(path: str, config: RunConfig,
         from pandepth_tpu.io.native import NativeBamLoad, load_library
         if load_library() is None:
             return None
+        vranges = None
+        if regions is not None and regions[3] == 1:
+            # index-driven block skipping: decompress only the BGZF
+            # blocks whose records can overlap the fetch windows
+            from pandepth_tpu.io.bamindex import (chunks_for_windows,
+                                                  load_index_for)
+            idx = load_index_for(path)
+            if idx is not None:
+                vranges = chunks_for_windows(idx, regions)
         return NativeBamLoad(path, config.flags, config.min_mapq,
                              threads=config.threads,
                              ext_offsets=ext_offsets,
-                             ext_limits=ext_limits, regions=regions)
+                             ext_limits=ext_limits, regions=regions,
+                             vranges=vranges)
     except (ValueError, RuntimeError, OSError):
         return None
 
