@@ -152,6 +152,28 @@ def load_index_for(bam_path: str) -> Optional[BamIndex]:
     return None
 
 
+def full_file_splits(index: BamIndex, n_parts: int) -> np.ndarray:
+    """Partition the whole record stream into ~n_parts virtual-offset
+    ranges at chunk starts (guaranteed record boundaries), enabling a
+    parallel full-file walk. The final range is open-ended so trailing
+    records (e.g. unplaced reads) are still visited."""
+    v0s = []
+    for tid in range(index.n_ref):
+        for chunks in index.bins[tid].values():
+            v0s.append(chunks[:, 0])
+    if not v0s:
+        return np.zeros((0, 2), np.int64)
+    starts = np.unique(np.concatenate(v0s))
+    if starts.size == 0:
+        return np.zeros((0, 2), np.int64)
+    picks = starts[np.linspace(0, starts.size - 1,
+                               min(n_parts, starts.size),
+                               dtype=np.int64)]
+    picks = np.unique(picks)
+    ends = np.concatenate([picks[1:], [np.iinfo(np.int64).max]])
+    return np.stack([picks, ends], axis=1)
+
+
 def chunks_for_windows(index: BamIndex, windows) -> np.ndarray:
     """Merged virtual ranges covering every fetch window
     ((per_tid_off, starts0, ends0) as produced by

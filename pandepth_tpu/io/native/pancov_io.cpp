@@ -629,16 +629,24 @@ void* pancov_bam_load(const char* path, int n_threads,
   }
   const uint8_t* d = bf->data.data();
 
-  // one record at `off`: index + filter + extract; returns the next
-  // offset, or 0 on malformed framing
-  auto process_record = [&](size_t off2) -> size_t {
+  // per-walker output buffers (ranged mode walks in parallel)
+  struct Sink {
+    std::vector<size_t> rec_off;
+    std::vector<int32_t> rec_nc;
+    int64_t ops = 0;
+    std::vector<int64_t> es, ee;
+  };
+
+  // one record at `off`: index + filter + extract into `sk`; returns
+  // the next offset, or 0 on malformed framing
+  auto process_record = [&](size_t off2, Sink& sk) -> size_t {
     uint32_t block_size = le32(d + off2);
     if (off2 + 4 + block_size > total || block_size < 32) return 0;
     const uint8_t* p = d + off2 + 4;
     uint16_t nc = le16(p + 12);
-    bf->rec_off.push_back(off2 + 4);
-    bf->rec_ncigar.push_back(nc);
-    bf->total_ops += nc;
+    sk.rec_off.push_back(off2 + 4);
+    sk.rec_nc.push_back(nc);
+    sk.ops += nc;
 
     int32_t tid = (int32_t)le32(p);
     bool keep = tid >= 0 && tid < n_targets && nc > 0;
@@ -701,8 +709,8 @@ void* pancov_bam_load(const char* path, int n_threads,
           int64_t e = cur + len;
           e = e < floor ? floor : (e > limit ? limit : e);
           if (e > s) {
-            lb->ev_starts.push_back(s);
-            lb->ev_ends.push_back(e);
+            sk.es.push_back(s);
+            sk.ee.push_back(e);
           }
         }
         if ((kRefConsume >> op) & 1) cur += len;
@@ -711,7 +719,29 @@ void* pancov_bam_load(const char* path, int n_threads,
     return off2 + 4 + (size_t)block_size;
   };
 
-  if (n_vr > 0 && bgzf) {
+  auto merge_sinks = [&](std::vector<Sink>& sinks) {
+    size_t nr = 0, nev = 0;
+    for (auto& s : sinks) {
+      nr += s.rec_off.size();
+      nev += s.es.size();
+    }
+    bf->rec_off.reserve(nr);
+    bf->rec_ncigar.reserve(nr);
+    lb->ev_starts.reserve(nev);
+    lb->ev_ends.reserve(nev);
+    for (auto& s : sinks) {
+      bf->rec_off.insert(bf->rec_off.end(), s.rec_off.begin(),
+                         s.rec_off.end());
+      bf->rec_ncigar.insert(bf->rec_ncigar.end(), s.rec_nc.begin(),
+                            s.rec_nc.end());
+      bf->total_ops += s.ops;
+      lb->ev_starts.insert(lb->ev_starts.end(), s.es.begin(),
+                           s.es.end());
+      lb->ev_ends.insert(lb->ev_ends.end(), s.ee.begin(), s.ee.end());
+    }
+  };
+
+  if (n_vr > 0 && bgzf && region_mode != 2) {
     // index-driven load: inflate and walk only the blocks covered by
     // the merged virtual-offset ranges (plus the header blocks already
     // inflated above by wait_ready)
@@ -743,25 +773,45 @@ void* pancov_bam_load(const char* path, int n_threads,
     for (auto& t2 : rts) t2.join();
     if (!ok.load()) return fail("BGZF inflate failed");
 
-    for (int64_t r = 0; r < n_vr; r++) {
-      size_t cb = floor_block(vr_start[r] >> 16);
-      size_t off2 = blocks[cb].out_off + (vr_start[r] & 0xFFFF);
+    // walk the ranges in parallel (stateless mode-1 filtering only;
+    // per-range sinks merge back in file order)
+    std::vector<Sink> sinks(n_vr);
+    std::atomic<int64_t> nrange(0);
+    std::atomic<bool> walk_ok(true);
+    auto walker = [&]() {
       for (;;) {
-        while (cb + 1 < nb && blocks[cb + 1].out_off <= off2) cb++;
-        int64_t virt = ((int64_t)blocks[cb].src_off << 16) |
-                       (int64_t)(off2 - blocks[cb].out_off);
-        if (virt >= vr_end[r] || off2 + 4 > total) break;
-        size_t nxt = process_record(off2);
-        if (nxt == 0) {
-          finish();
-          return fail("truncated BAM record");
+        int64_t r = nrange.fetch_add(1);
+        if (r >= n_vr || !walk_ok.load()) break;
+        size_t cb = floor_block(vr_start[r] >> 16);
+        size_t off2 = blocks[cb].out_off + (vr_start[r] & 0xFFFF);
+        for (;;) {
+          while (cb + 1 < nb && blocks[cb + 1].out_off <= off2) cb++;
+          int64_t virt = ((int64_t)blocks[cb].src_off << 16) |
+                         (int64_t)(off2 - blocks[cb].out_off);
+          if (virt >= vr_end[r] || off2 + 4 > total) break;
+          size_t nxt = process_record(off2, sinks[r]);
+          if (nxt == 0) {
+            walk_ok.store(false);
+            break;
+          }
+          off2 = nxt;
         }
-        off2 = nxt;
       }
+    };
+    std::vector<std::thread> wts;
+    for (int i = 1; i < n_threads && i < n_vr; i++)
+      wts.emplace_back(walker);
+    walker();
+    for (auto& t2 : wts) t2.join();
+    if (!walk_ok.load()) {
+      finish();
+      return fail("truncated BAM record");
     }
+    merge_sinks(sinks);
     return lb;
   }
 
+  std::vector<Sink> one(1);
   while (off + 4 <= total) {
     if (!wait_ready(std::min(total, off + 4))) break;
     uint32_t bsz = le32(d + off);
@@ -770,7 +820,7 @@ void* pancov_bam_load(const char* path, int n_threads,
       return fail("truncated BAM record");
     }
     if (!wait_ready(off + 4 + bsz)) break;
-    size_t nxt = process_record(off);
+    size_t nxt = process_record(off, one[0]);
     if (nxt == 0) {
       finish();
       return fail("truncated BAM record");
@@ -780,6 +830,7 @@ void* pancov_bam_load(const char* path, int n_threads,
   bool good = ok.load();
   for (auto& w : workers) w.join();
   if (!good) return fail("BGZF inflate failed");
+  merge_sinks(one);
   return lb;
 }
 

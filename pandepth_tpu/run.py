@@ -161,14 +161,22 @@ def _try_native_load(path: str, config: RunConfig,
         if load_library() is None:
             return None
         vranges = None
-        if regions is not None and regions[3] == 1:
-            # index-driven block skipping: decompress only the BGZF
-            # blocks whose records can overlap the fetch windows
+        if regions is None or regions[3] == 1:
             from pandepth_tpu.io.bamindex import (chunks_for_windows,
+                                                  full_file_splits,
                                                   load_index_for)
             idx = load_index_for(path)
-            if idx is not None:
+            if idx is not None and regions is not None:
+                # index-driven block skipping: decompress only the
+                # BGZF blocks whose records can overlap the windows
                 vranges = chunks_for_windows(idx, regions)
+            elif idx is not None:
+                # no target restriction: split the stream at known
+                # record boundaries for a parallel full-file walk
+                vranges = full_file_splits(
+                    idx, max(config.threads, os.cpu_count() or 1))
+                if vranges.shape[0] <= 1:
+                    vranges = None
         return NativeBamLoad(path, config.flags, config.min_mapq,
                              threads=config.threads,
                              ext_offsets=ext_offsets,
