@@ -125,6 +125,10 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_load_bam.argtypes = [ctypes.c_void_p]
         lib.pancov_load_close.restype = None
         lib.pancov_load_close.argtypes = [ctypes.c_void_p]
+        lib.pancov_site_depth_write.restype = ctypes.c_int
+        lib.pancov_site_depth_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_int]
         _lib = lib
         return _lib
 

