@@ -153,6 +153,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Error: Failed to open the file: {e.filename or e}",
               file=sys.stderr)
         return 1
+    except Exception as e:  # malformed inputs: clean error, no traceback
+        import struct
+        import zlib
+
+        if isinstance(e, (ValueError, struct.error, zlib.error,
+                          EOFError, IndexError, KeyError)):
+            print(f"Error: malformed input: {e}", file=sys.stderr)
+            return 1
+        raise
 
 
 if __name__ == "__main__":

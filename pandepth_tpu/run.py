@@ -188,6 +188,9 @@ def _try_native_load(path: str, config: RunConfig,
 
 def _cheap_header(path: str) -> Optional[BamHeader]:
     """Header without decoding the file body (BAM only)."""
+    import struct
+    import zlib
+
     try:
         with open(path, "rb") as fh:
             magic = fh.read(2)
@@ -196,7 +199,9 @@ def _cheap_header(path: str) -> Optional[BamHeader]:
         from pandepth_tpu.io.bam import read_bam_header
 
         return read_bam_header(path)
-    except (OSError, ValueError):
+    except OSError:
+        raise
+    except (ValueError, struct.error, zlib.error, IndexError):
         return None
 
 
