@@ -145,6 +145,14 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == BLOCK_LZMA:
         return lzma.decompress(data)
     if method == BLOCK_RANS:
+        try:
+            from pandepth_tpu.io.native import rans_decode_native
+
+            out = rans_decode_native(data, raw_size)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
         return rans_decode(data, raw_size)
     raise ValueError(f"unsupported CRAM block method {method}")
 
@@ -217,27 +225,84 @@ class Codec:
         raise NotImplementedError
 
 
+class ExtStream:
+    """An external block's byte stream with a cursor. Integer reads are
+    batch-decoded once via the native ITF8 decoder when available
+    (io/native), which is the difference between ~90k and >500k CRAM
+    reads/s; byte reads keep working on the same cursor."""
+
+    __slots__ = ("buf", "pos", "vals", "offs", "idx")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.vals = None
+        self.offs = None
+        self.idx = 0
+
+    def _ensure_ints(self):
+        if self.vals is not None:
+            return
+        try:
+            from pandepth_tpu.io.native import itf8_decode_all
+
+            decoded = itf8_decode_all(self.buf)
+        except Exception:
+            decoded = None
+        if decoded is None:
+            self.vals = False  # native unavailable: per-token path
+            return
+        self.vals, self.offs = decoded
+        self.idx = 0
+
+    def read_int(self) -> int:
+        self._ensure_ints()
+        if self.vals is False:
+            v, self.pos = itf8_read(self.buf, self.pos)
+            return v
+        if self.pos != (self.offs[self.idx] if self.idx < len(self.offs)
+                        else len(self.buf)):
+            # a byte read moved the cursor: resync the token index
+            import numpy as np
+
+            self.idx = int(np.searchsorted(self.offs, self.pos))
+        v = int(self.vals[self.idx])
+        self.idx += 1
+        self.pos = int(self.offs[self.idx]) if self.idx < len(self.offs) \
+            else len(self.buf)
+        return v
+
+    def read_byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def read_n(self, n: int) -> bytes:
+        out = self.buf[self.pos: self.pos + n]
+        self.pos += n
+        return out
+
+    def read_until(self, stop: int) -> bytes:
+        end = self.buf.index(stop, self.pos)
+        out = self.buf[self.pos: end]
+        self.pos = end + 1
+        return out
+
+
 class ExternalCodec(Codec):
     def __init__(self, cid: int):
         self.cid = cid
 
     def read_int(self, core, ext):
-        buf, pos = ext[self.cid]
-        v, npos = itf8_read(buf, pos)
-        ext[self.cid][1] = npos
-        return v
+        return ext[self.cid].read_int()
 
     def read_byte(self, core, ext):
-        buf, pos = ext[self.cid]
-        ext[self.cid][1] = pos + 1
-        return buf[pos]
+        return ext[self.cid].read_byte()
 
     def read_n_bytes(self, core, ext, n):
         if n == 0:
             return b""
-        buf, pos = ext[self.cid]
-        ext[self.cid][1] = pos + n
-        return buf[pos: pos + n]
+        return ext[self.cid].read_n(n)
 
 
 class HuffmanCodec(Codec):
@@ -317,10 +382,7 @@ class ByteArrayStopCodec(Codec):
         self.cid = cid
 
     def read_bytes(self, core, ext):
-        buf, pos = ext[self.cid]
-        end = buf.index(self.stop, pos)
-        ext[self.cid][1] = end + 1
-        return buf[pos:end]
+        return ext[self.cid].read_until(self.stop)
 
 
 def parse_encoding(buf: bytes, off: int) -> Tuple[Optional[Codec], int]:
@@ -479,6 +541,10 @@ CF_HAS_MATE_DOWNSTREAM = 4
 CF_NO_SEQ = 8
 
 
+class CramVectorFallback(Exception):
+    """Slice layout needs the general record-loop decoder."""
+
+
 class CramReader:
     """Whole-file CRAM reader yielding columnar ReadBatches."""
 
@@ -578,15 +644,54 @@ class CramReader:
         if acc.n:
             yield acc.emit(acc.n)
 
+    def interval_batches(self):
+        """Yield (tid, flag, mapq, start0, end0, n_records) per slice
+        via the vectorized decoder. Raises CramVectorFallback when a
+        slice needs the general record loop (caller should restart with
+        ``batches()``)."""
+        off = self._data_off
+        n = len(self._buf)
+        while off < n:
+            if self._buf[off: off + 4] == b"\x0f\x00\x00\x00" and \
+                    self._buf[off + 4: off + 13] == \
+                    b"\xff\xff\xff\xff\x0f\xe0\x45\x4f\x46":
+                break
+            length, ref_id, n_rec, n_blocks, boff = \
+                self._read_container_header(off)
+            end = boff + length
+            if n_rec == 0 and length <= 15:
+                off = end
+                continue
+            blocks = []
+            while boff < end and len(blocks) < n_blocks:
+                b, boff = block_read(self._buf, boff)
+                blocks.append(b)
+            off = end
+            if not blocks:
+                continue
+            comp = parse_compression_header(blocks[0].data)
+            i = 1
+            while i < len(blocks):
+                if blocks[i].content_type != CT_SLICE_HEADER:
+                    i += 1
+                    continue
+                sh = parse_slice_header(blocks[i].data)
+                slice_blocks = blocks[i + 1: i + 1 + sh.n_blocks]
+                i += 1 + sh.n_blocks
+                out = decode_slice_events(comp, sh, slice_blocks)
+                if out is None:
+                    raise CramVectorFallback()
+                yield out
+
     def _decode_slice(self, comp: CompressionHeader, sh: SliceHeader,
                       blocks: List[Block], acc: "_BatchAccum") -> None:
         core = None
-        ext: Dict[int, list] = {}
+        ext: Dict[int, ExtStream] = {}
         for b in blocks:
             if b.content_type == CT_CORE:
                 core = BitReader(b.data)
             elif b.content_type == CT_EXTERNAL:
-                ext[b.content_id] = [b.data, 0]
+                ext[b.content_id] = ExtStream(b.data)
         enc = comp.encodings
 
         def geti(key: bytes, default=None):
@@ -737,6 +842,192 @@ def _features_to_cigar(fn: int, read_len: int, geti, getb, enc, core,
             raise ValueError(f"unknown CRAM feature code {code!r}")
     push(M, read_len - prev_read)
     return ops
+
+
+def _ext_cid(codec) -> Optional[int]:
+    return codec.cid if isinstance(codec, ExternalCodec) else None
+
+
+def _vectorizable(comp: CompressionHeader) -> bool:
+    """True when the slice layout allows the vectorized events decode:
+    every series we consume is EXTERNAL (or BYTE_ARRAY_STOP for the
+    length-bearing byte arrays) in its own dedicated block, so skipped
+    series never share a cursor with needed ones."""
+    enc = comp.encodings
+    needed_int = [b"BF", b"CF", b"RL", b"AP", b"FN", b"FC", b"FP"]
+    cids = []
+    for key in needed_int:
+        c = enc.get(key)
+        if c is None or not isinstance(c, ExternalCodec):
+            return False
+        cids.append(c.cid)
+    for key in (b"RI", b"MQ", b"DL", b"RS", b"HC", b"PD"):
+        c = enc.get(key)
+        if c is not None:
+            if not isinstance(c, ExternalCodec):
+                return False
+            cids.append(c.cid)
+    for key in (b"IN", b"SC"):
+        c = enc.get(key)
+        if c is not None:
+            if not isinstance(c, ByteArrayStopCodec):
+                return False
+            cids.append(c.cid)
+    return len(cids) == len(set(cids))
+
+
+def _seg_excl_prefix(x: "np.ndarray", first_idx: "np.ndarray",
+                     rec_of: "np.ndarray") -> "np.ndarray":
+    """Per-record exclusive prefix sum of per-feature values.
+    first_idx may contain out-of-range entries for records without
+    features; they are never gathered through rec_of."""
+    c = np.cumsum(x, dtype=np.int64)
+    excl = c - x
+    safe = np.minimum(first_idx, max(len(x) - 1, 0))
+    base = excl[safe]
+    return excl - base[rec_of]
+
+
+def decode_slice_events(comp: CompressionHeader, sh: SliceHeader,
+                        blocks: List[Block]):
+    """Vectorized slice decode straight to depth intervals.
+
+    Returns (tid, flag, mapq, start0, end0, n_records) where the
+    interval arrays are per aligned run (0-based half-open, possibly
+    several per read), or None when the layout requires the general
+    record-loop path. The caller applies FLAG/MAPQ/region filtering on
+    the per-run rows (each run carries its read's flag/mapq).
+    """
+    if not _vectorizable(comp):
+        return None
+    ext: Dict[int, ExtStream] = {}
+    for b in blocks:
+        if b.content_type == CT_EXTERNAL:
+            ext[b.content_id] = ExtStream(b.data)
+    enc = comp.encodings
+
+    def ints(key: bytes, count: int) -> Optional[np.ndarray]:
+        c = enc.get(key)
+        if c is None or c.cid not in ext:
+            return np.zeros(count, np.int32) if count else \
+                np.zeros(0, np.int32)
+        s = ext[c.cid]
+        s._ensure_ints()
+        if s.vals is False:
+            # no native decoder: fall back to per-token parsing
+            out = np.empty(count, np.int32)
+            for i in range(count):
+                out[i] = s.read_int()
+            return out
+        if len(s.vals) < count:
+            raise ValueError("CRAM series underflow")
+        return s.vals[:count].astype(np.int32)
+
+    def stop_lengths(key: bytes, count: int) -> np.ndarray:
+        c = enc.get(key)
+        if count == 0 or c is None or c.cid not in ext:
+            return np.zeros(count, np.int64)
+        buf = np.frombuffer(ext[c.cid].buf, np.uint8)
+        stops = np.nonzero(buf == c.stop)[0]
+        if stops.size < count:
+            raise ValueError("CRAM byte-array underflow")
+        prev = np.concatenate(([-1], stops[: count - 1]))
+        return (stops[:count] - prev - 1).astype(np.int64)
+
+    n = sh.n_records
+    bf = ints(b"BF", n)
+    cf = ints(b"CF", n)
+    if sh.ref_id == -2:
+        ri = ints(b"RI", n)
+    else:
+        ri = np.full(n, sh.ref_id, np.int32)
+    rl = ints(b"RL", n).astype(np.int64)
+    ap = ints(b"AP", n).astype(np.int64)
+    if comp.ap_delta:
+        ap = sh.start + np.cumsum(ap)
+    mapped = (bf & 4) == 0
+    n_mapped = int(mapped.sum())
+    fn = ints(b"FN", n_mapped).astype(np.int64)
+    mq = np.zeros(n, np.int32)
+    mq[mapped] = ints(b"MQ", n_mapped)
+
+    f_total = int(fn.sum())
+    fc = ints(b"FC", f_total)
+    fp_delta = ints(b"FP", f_total).astype(np.int64)
+
+    mapped_idx = np.nonzero(mapped)[0]
+    rec_of = np.repeat(np.arange(n_mapped), fn)  # feature -> mapped row
+    first_idx = np.zeros(n_mapped, np.int64)
+    if n_mapped:
+        first_idx[1:] = np.cumsum(fn)[:-1]
+    # in-read 1-based positions (FP is delta-encoded per record)
+    p = (_seg_excl_prefix(fp_delta, first_idx, rec_of) + fp_delta) \
+        if f_total else fp_delta
+    # feature payload lengths by code
+    ilen = np.zeros(f_total, np.int64)   # read-only consumption
+    dlen = np.zeros(f_total, np.int64)   # ref jump
+    alen = np.zeros(f_total, np.int64)   # aligned length of the feature
+    is_i = fc == ord("I")
+    is_ii = fc == ord("i")
+    is_s = fc == ord("S")
+    is_d = fc == ord("D")
+    is_n = fc == ord("N")
+    is_x = (fc == ord("X")) | (fc == ord("B"))
+    known = (is_i | is_ii | is_s | is_d | is_n | is_x |
+             (fc == ord("H")) | (fc == ord("P")) | (fc == ord("Q")))
+    if f_total and not known.all():
+        return None  # rare feature codes: general path
+    ilen[is_i] = stop_lengths(b"IN", int(is_i.sum()))
+    ilen[is_ii] = 1
+    ilen[is_s] = stop_lengths(b"SC", int(is_s.sum()))
+    dlen[is_d] = ints(b"DL", int(is_d.sum())).astype(np.int64)
+    dlen[is_n] = ints(b"RS", int(is_n.sum())).astype(np.int64)
+    alen[is_x] = 1
+
+    if f_total:
+        i_excl = _seg_excl_prefix(ilen, first_idx, rec_of)
+        d_excl = _seg_excl_prefix(dlen, first_idx, rec_of)
+        a_before = (p - 1) - i_excl      # aligned bases before f
+        # AA_f = aligned consumed through feature f; the run covering
+        # the gap before f plus f itself spans aligned [AA_{f-1}, AA_f)
+        # shifted by the ref jumps before f (a D/N's own jump applies
+        # after its gap run)
+        aa = a_before + alen
+        prev_aa = np.zeros(f_total, np.int64)
+        prev_aa[1:] = aa[:-1]
+        firsts = np.zeros(f_total, bool)
+        firsts[np.minimum(first_idx, f_total - 1)[fn > 0]] = True
+        prev_aa[firsts] = 0
+        ap0_f = ap[mapped_idx][rec_of] - 1
+        starts_f = ap0_f + prev_aa + d_excl
+        ends_f = ap0_f + aa + d_excl
+    else:
+        starts_f = ends_f = np.zeros(0, np.int64)
+
+    # final run per mapped record: [AA_last, rl - I_total) + D_total
+    itot = np.zeros(n_mapped, np.int64)
+    dtot = np.zeros(n_mapped, np.int64)
+    aa_last = np.zeros(n_mapped, np.int64)
+    if f_total:
+        np.add.at(itot, rec_of, ilen)
+        np.add.at(dtot, rec_of, dlen)
+        last_idx = first_idx + fn - 1
+        has = fn > 0
+        aa_last[has] = aa[last_idx[has]]
+    ap0_m = ap[mapped_idx] - 1
+    fin_lo = ap0_m + aa_last + dtot
+    fin_hi = ap0_m + (rl[mapped_idx] - itot) + dtot
+
+    tid_runs = np.concatenate([ri[mapped_idx][rec_of],
+                               ri[mapped_idx]]).astype(np.int32)
+    flag_runs = np.concatenate([bf[mapped_idx][rec_of], bf[mapped_idx]])
+    mapq_runs = np.concatenate([mq[mapped_idx][rec_of], mq[mapped_idx]])
+    start0 = np.concatenate([starts_f, fin_lo])
+    end0 = np.concatenate([ends_f, fin_hi])
+    live = end0 > start0
+    return (tid_runs[live], flag_runs[live].astype(np.int32),
+            mapq_runs[live].astype(np.int32), start0[live], end0[live],
+            n)
 
 
 class _BatchAccum:

@@ -129,12 +129,49 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.pancov_itf8_decode_all.restype = ctypes.c_int64
+        lib.pancov_itf8_decode_all.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.pancov_rans_decode.restype = ctypes.c_int
+        lib.pancov_rans_decode.argtypes = [u8p, ctypes.c_int64, u8p,
+                                           ctypes.c_int64]
         _lib = lib
         return _lib
 
 
 def build_error() -> Optional[str]:
     return _build_error
+
+
+def itf8_decode_all(buf: bytes):
+    """(values int32, token_offsets int64) for a whole ITF8 stream, or
+    None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(buf)
+    arr = np.frombuffer(buf, np.uint8)
+    cap = max(n, 1)
+    vals = np.empty(cap, np.int32)
+    offs = np.empty(cap, np.int64)
+    used = ctypes.c_int64(0)
+    k = lib.pancov_itf8_decode_all(arr, n, cap, vals, offs,
+                                   ctypes.byref(used))
+    return vals[:k], offs[:k]
+
+
+def rans_decode_native(data: bytes, out_size: int) -> Optional[bytes]:
+    lib = load_library()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max(out_size, 1), np.uint8)
+    rc = lib.pancov_rans_decode(src, len(data), out, out_size)
+    if rc != 0:
+        raise ValueError(f"rANS decode failed ({rc})")
+    return out[:out_size].tobytes()
 
 
 class NativeBamLoad:

@@ -869,6 +869,186 @@ void* pancov_load_bam(void* h) { return &((LoadedBam*)h)->bam; }
 void pancov_load_close(void* h) { delete (LoadedBam*)h; }
 
 // ---------------------------------------------------------------------
+// CRAM helpers: batch ITF8 decoding and rANS 4x8 decompression (the
+// Python implementations in io/cram.py and io/rans4x8.py are the
+// reference; these are drop-in accelerations used when available).
+
+// decode up to max_out ITF8 varints from buf; returns count decoded,
+// sets *bytes_used; tok_off (optional) receives each token's starting
+// byte offset
+int64_t pancov_itf8_decode_all(const uint8_t* buf, int64_t n,
+                               int64_t max_out, int32_t* out,
+                               int64_t* tok_off, int64_t* bytes_used) {
+  int64_t p = 0, k = 0;
+  while (p < n && k < max_out) {
+    if (tok_off) tok_off[k] = p;
+    uint8_t b0 = buf[p];
+    uint32_t v;
+    if (b0 < 0x80) {
+      v = b0;
+      p += 1;
+    } else if (b0 < 0xC0) {
+      if (p + 2 > n) break;
+      v = ((uint32_t)(b0 & 0x3F) << 8) | buf[p + 1];
+      p += 2;
+    } else if (b0 < 0xE0) {
+      if (p + 3 > n) break;
+      v = ((uint32_t)(b0 & 0x1F) << 16) | ((uint32_t)buf[p + 1] << 8) |
+          buf[p + 2];
+      p += 3;
+    } else if (b0 < 0xF0) {
+      if (p + 4 > n) break;
+      v = ((uint32_t)(b0 & 0x0F) << 24) | ((uint32_t)buf[p + 1] << 16) |
+          ((uint32_t)buf[p + 2] << 8) | buf[p + 3];
+      p += 4;
+    } else {
+      if (p + 5 > n) break;
+      v = ((uint32_t)(b0 & 0x0F) << 28) | ((uint32_t)buf[p + 1] << 20) |
+          ((uint32_t)buf[p + 2] << 12) | ((uint32_t)buf[p + 3] << 4) |
+          (buf[p + 4] & 0x0F);
+      p += 5;
+    }
+    out[k++] = (int32_t)v;
+  }
+  *bytes_used = p;
+  return k;
+}
+
+namespace {
+
+constexpr uint32_t kRansTot = 1 << 12;
+constexpr uint32_t kRansL = 1 << 23;
+
+struct RansTable {
+  uint16_t freq[256];
+  uint32_t cum[256];
+  uint8_t ssym[kRansTot];
+};
+
+// order-0-style RLE symbol table (CRAM spec §13)
+bool read_rans_table(const uint8_t* buf, int64_t n, int64_t& p,
+                     RansTable& t) {
+  std::memset(t.freq, 0, sizeof(t.freq));
+  if (p >= n) return false;
+  int rle = 0;
+  int j = buf[p++];
+  for (;;) {
+    if (p >= n) return false;
+    uint32_t f = buf[p++];
+    if (f >= 128) {
+      if (p >= n) return false;
+      f = ((f & 127) << 8) | buf[p++];
+    }
+    t.freq[j] = (uint16_t)f;
+    if (rle > 0) {
+      rle--;
+      j++;
+    } else {
+      if (p >= n) return false;
+      int nj = buf[p++];
+      if (nj == j + 1) {
+        if (p >= n) return false;
+        rle = buf[p++];
+      }
+      j = nj;
+    }
+    if (j == 0) break;
+  }
+  uint32_t x = 0;
+  for (int s = 0; s < 256; s++) {
+    t.cum[s] = x;
+    for (uint32_t m = 0; m < t.freq[s]; m++) t.ssym[x + m] = (uint8_t)s;
+    x += t.freq[s];
+  }
+  return x <= kRansTot;
+}
+
+inline void rans_renorm(uint32_t& x, const uint8_t* buf, int64_t n,
+                        int64_t& p) {
+  while (x < kRansL && p < n) x = (x << 8) | buf[p++];
+}
+
+}  // namespace
+
+// returns 0 on success
+int pancov_rans_decode(const uint8_t* buf, int64_t n, uint8_t* out,
+                       int64_t out_sz) {
+  if (n < 9) return -1;
+  int order = buf[0];
+  int64_t p = 9;
+  if (out_sz == 0) return 0;
+  if (order == 0) {
+    RansTable t;
+    if (!read_rans_table(buf, n, p, t)) return -2;
+    if (p + 16 > n) return -3;
+    uint32_t R[4];
+    for (int j = 0; j < 4; j++) {
+      R[j] = (uint32_t)buf[p] | ((uint32_t)buf[p + 1] << 8) |
+             ((uint32_t)buf[p + 2] << 16) | ((uint32_t)buf[p + 3] << 24);
+      p += 4;
+    }
+    for (int64_t i = 0; i < out_sz; i++) {
+      int j = i & 3;
+      uint32_t m = R[j] & (kRansTot - 1);
+      uint8_t s = t.ssym[m];
+      out[i] = s;
+      R[j] = t.freq[s] * (R[j] >> 12) + m - t.cum[s];
+      rans_renorm(R[j], buf, n, p);
+    }
+    return 0;
+  }
+  if (order == 1) {
+    static thread_local std::vector<RansTable> tables;
+    tables.assign(256, RansTable());
+    std::vector<uint8_t> have(256, 0);
+    if (p >= n) return -2;
+    int rle = 0;
+    int i = buf[p++];
+    for (;;) {
+      if (!read_rans_table(buf, n, p, tables[i])) return -2;
+      have[i] = 1;
+      if (rle > 0) {
+        rle--;
+        i++;
+      } else {
+        if (p >= n) return -2;
+        int ni = buf[p++];
+        if (ni == i + 1) {
+          if (p >= n) return -2;
+          rle = buf[p++];
+        }
+        i = ni;
+      }
+      if (i == 0) break;
+    }
+    if (p + 16 > n) return -3;
+    uint32_t R[4];
+    for (int j = 0; j < 4; j++) {
+      R[j] = (uint32_t)buf[p] | ((uint32_t)buf[p + 1] << 8) |
+             ((uint32_t)buf[p + 2] << 16) | ((uint32_t)buf[p + 3] << 24);
+      p += 4;
+    }
+    int64_t isz4 = out_sz >> 2;
+    int64_t segs[4] = {0, isz4, 2 * isz4, 3 * isz4};
+    uint8_t ctx[4] = {0, 0, 0, 0};
+    auto step = [&](int j, int64_t posn) {
+      RansTable& t = tables[ctx[j]];
+      uint32_t m = R[j] & (kRansTot - 1);
+      uint8_t s = t.ssym[m];
+      out[posn] = s;
+      R[j] = t.freq[s] * (R[j] >> 12) + m - t.cum[s];
+      rans_renorm(R[j], buf, n, p);
+      ctx[j] = s;
+    };
+    for (int64_t i2 = 0; i2 < isz4; i2++)
+      for (int j = 0; j < 4; j++) step(j, segs[j] + i2);
+    for (int64_t posn = 4 * isz4; posn < out_sz; posn++) step(3, posn);
+    return 0;
+  }
+  return -4;
+}
+
+// ---------------------------------------------------------------------
 // Fast .SiteDepth.gz writing: "chr\tpos\tdepth" per base. The Python
 // loop formats ~1M rows/s; this streams tens of millions/s through a
 // gzip member per call (appended members stay zcat-compatible, which

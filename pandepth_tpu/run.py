@@ -373,6 +373,27 @@ def run_alignment(config: RunConfig) -> int:
             r.close()
             continue
         regs = regions_for(path, getattr(r, "header", hdr_i))
+        if regs is None and hasattr(r, "interval_batches"):
+            # vectorized CRAM slice -> aligned-run intervals; collect
+            # before committing so a mid-file fallback never
+            # double-counts
+            from pandepth_tpu.io.cram import CramVectorFallback
+
+            try:
+                collected = list(r.interval_batches())
+            except CramVectorFallback:
+                collected = None
+            if collected is not None:
+                for (tid_a, flag_a, mapq_a, s0, e0,
+                     n_rec) in collected:
+                    keep = (flag_a & config.flags) == 0
+                    if config.min_mapq >= 1:
+                        keep &= mapq_a >= config.min_mapq
+                    keep &= (tid_a >= 0) & (tid_a < n_targets)
+                    engine.add_intervals(tid_a[keep], s0[keep],
+                                         e0[keep])
+                    engine.n_reads_seen += n_rec
+                continue
         cursor = _RegionCursor(regs) if regs is not None and \
             regs[3] == 2 else None
         for batch in r.batches(max_reads=config.max_reads_per_batch):

@@ -97,6 +97,43 @@ def _both(tmp, oracle, cram, extra):
         assert gunzip_bytes(of) == gunzip_bytes(rf), os.path.basename(rf)
 
 
+def test_vectorized_events_match_record_loop(tmp_path):
+    """decode_slice_events must produce the same depth as CIGAR-walking
+    the record-loop batches."""
+    import numpy as np
+
+    from pandepth_tpu.device.engine import CoverageEngine
+    from pandepth_tpu.device.layout import GenomeLayout
+
+    recs = _cram_recs(n=600, seed=77)
+    path = str(tmp_path / "v.cram")
+    write_cram(path, [c[0] for c in CONTIGS], [c[1] for c in CONTIGS],
+               recs, records_per_container=97)
+    lengths = np.array([c[1] for c in CONTIGS])
+
+    r1 = CramReader(path)
+    eng_a = CoverageEngine(GenomeLayout(lengths))
+    n_runs = 0
+    for tid, flag, mapq, s0, e0, _n in r1.interval_batches():
+        keep = (flag & 1796) == 0
+        eng_a.add_intervals(tid[keep], s0[keep], e0[keep])
+        n_runs += int(keep.sum())
+    assert n_runs > 0
+
+    r2 = CramReader(path)
+    eng_b = CoverageEngine(GenomeLayout(lengths))
+    for b in r2.batches():
+        eng_b.add_batch(b)
+
+    seg_tid = np.arange(len(CONTIGS), dtype=np.int32)
+    s1 = np.ones(len(CONTIGS), np.int64)
+    e1 = lengths
+    a = eng_a.segment_stats(seg_tid, s1, e1)
+    b2 = eng_b.segment_stats(seg_tid, s1, e1)
+    np.testing.assert_array_equal(a.cover, b2.cover)
+    np.testing.assert_array_equal(a.depth_sum, b2.depth_sum)
+
+
 def test_cram_parity_chr(tmp_path, oracle_bin):
     tmp = str(tmp_path)
     _both(tmp, oracle_bin, _write_fixture_cram(tmp), [])
