@@ -244,7 +244,11 @@ class CoverageEngine:
 
     def dense_depth(self, tid: int, start0: int = 0,
                     end0: Optional[int] = None) -> np.ndarray:
-        """Per-base depth for one contig (0-based half-open range)."""
+        """Per-base depth for one contig (0-based half-open range).
+
+        Depth is piecewise constant between sorted events, so the dense
+        array is a run-length expansion (np.repeat) — O(range), not a
+        per-base binary search."""
         lay = self.layout
         if end0 is None:
             end0 = int(lay.lengths[tid])
@@ -253,7 +257,17 @@ class CoverageEngine:
         depth_np = np.asarray(depth)
         lo = int(lay.offsets[tid]) + start0
         hi = int(lay.offsets[tid]) + end0
-        idx = np.searchsorted(pos_np, np.arange(lo, hi, dtype=np.int64),
-                              side="right")
-        d = np.where(idx > 0, depth_np[np.maximum(idx - 1, 0)], 0)
-        return d.astype(np.int32)
+        if hi <= lo:
+            return np.zeros(0, np.int32)
+        a = int(np.searchsorted(pos_np, lo, side="right"))
+        b = int(np.searchsorted(pos_np, hi, side="left"))
+        # runs: [lo, p_a), [p_a, p_{a+1}), ..., [p_{b-1}, hi)
+        bounds = np.empty(b - a + 2, np.int64)
+        bounds[0] = lo
+        bounds[1:-1] = pos_np[a:b]
+        bounds[-1] = hi
+        vals = np.empty(b - a + 1, np.int32)
+        vals[0] = depth_np[a - 1] if a > 0 else 0
+        vals[1:] = depth_np[a:b]
+        return np.repeat(vals, np.diff(bounds)).astype(np.int32,
+                                                       copy=False)

@@ -137,6 +137,23 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_rans_decode.restype = ctypes.c_int
         lib.pancov_rans_decode.argtypes = [u8p, ctypes.c_int64, u8p,
                                            ctypes.c_int64]
+        lib.pancov_paf_load.restype = ctypes.c_void_p
+        lib.pancov_paf_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, ctypes.c_char_p, ctypes.c_int]
+        lib.pancov_paf_n_events.restype = ctypes.c_int64
+        lib.pancov_paf_n_events.argtypes = [ctypes.c_void_p]
+        lib.pancov_paf_n_lines.restype = ctypes.c_int64
+        lib.pancov_paf_n_lines.argtypes = [ctypes.c_void_p]
+        lib.pancov_paf_events32.restype = None
+        lib.pancov_paf_events32.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                            ctypes.c_int64,
+                                            ctypes.c_int32]
+        lib.pancov_paf_events64.restype = None
+        lib.pancov_paf_events64.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.pancov_paf_close.restype = None
+        lib.pancov_paf_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -172,6 +189,58 @@ def rans_decode_native(data: bytes, out_size: int) -> Optional[bytes]:
     if rc != 0:
         raise ValueError(f"rANS decode failed ({rc})")
     return out[:out_size].tobytes()
+
+
+class NativePafLoad:
+    """One-shot PAF(.gz) parse to clamped global depth intervals."""
+
+    def __init__(self, path: str, flags_mask: int, min_mapq: int,
+                 names, offsets: np.ndarray, limits: np.ndarray):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                f"libpancov_io unavailable: {build_error()}")
+        self._lib = lib
+        blob = b"\x00".join(n.encode() for n in names) + b"\x00"
+        off = np.ascontiguousarray(offsets, np.int64)
+        lim = np.ascontiguousarray(limits, np.int64)
+        self._keep = (off, lim)
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.pancov_paf_load(path.encode(), flags_mask,
+                                      min_mapq, blob, len(blob),
+                                      len(names), off, lim, err,
+                                      len(err))
+        if not self._h:
+            raise ValueError(
+                f"pancov_paf_load({path}): {err.value.decode()}")
+        self.n_events = int(lib.pancov_paf_n_events(self._h))
+        self.n_lines = int(lib.pancov_paf_n_lines(self._h))
+
+    def events32_padded(self, cap: int, sentinel: int):
+        cap = max(cap, self.n_events, 1)
+        s = np.empty(cap, np.int32)
+        e = np.empty(cap, np.int32)
+        self._lib.pancov_paf_events32(self._h, s, e, cap, sentinel)
+        return s, e
+
+    def events64(self):
+        m = self.n_events
+        s = np.empty(max(m, 1), np.int64)
+        e = np.empty(max(m, 1), np.int64)
+        if m:
+            self._lib.pancov_paf_events64(self._h, s, e)
+        return s[:m], e[:m]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pancov_paf_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeBamLoad:

@@ -869,6 +869,220 @@ void* pancov_load_bam(void* h) { return &((LoadedBam*)h)->bam; }
 void pancov_load_close(void* h) { delete (LoadedBam*)h; }
 
 // ---------------------------------------------------------------------
+// PAF parsing straight to depth intervals (reference engine semantics,
+// src/PanDepth.cpp:1534-1618): tp:A:S substring filter when the FLAG
+// mask has 0x100, col-12 mapq < q drop, start/end swap, cg:Z: CIGAR
+// expansion (M/=/X add, D/N skip) or [start-1, end) span fill, unknown
+// target names resolving to tid 0.
+
+namespace {
+
+struct PafLoad {
+  std::vector<int64_t> starts, ends;
+  int64_t n_lines = 0;
+};
+
+// whole-file gzip-transparent read (plain gzip members, not BGZF)
+bool read_text_maybe_gz(const char* path, std::vector<uint8_t>& out) {
+  std::vector<uint8_t> raw;
+  if (!read_file(path, raw)) return false;
+  if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+    out.resize(raw.size() * 4 + (1 << 16));
+    zs.next_in = raw.data();
+    zs.avail_in = (uInt)raw.size();
+    size_t w = 0;
+    int rc;
+    do {
+      if (w == out.size()) out.resize(out.size() * 2);
+      zs.next_out = out.data() + w;
+      zs.avail_out = (uInt)(out.size() - w);
+      rc = inflate(&zs, Z_NO_FLUSH);
+      w = out.size() - zs.avail_out;
+      if (rc == Z_STREAM_END && zs.avail_in > 0) {
+        // concatenated gzip members
+        if (inflateReset2(&zs, 15 + 32) != Z_OK) break;
+        rc = Z_OK;
+      }
+    } while (rc == Z_OK);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END && rc != Z_OK) return false;
+    out.resize(w);
+  } else {
+    out = std::move(raw);
+  }
+  return true;
+}
+
+}  // namespace
+
+}  // extern "C" (BAM load API)
+
+extern "C" {
+
+// names_blob: '\0'-joined contig names defining tids 0..n_names-1.
+// offsets/limits: genome layout per tid. Returns handle or null.
+void* pancov_paf_load(const char* path, uint32_t flags_mask,
+                      int32_t min_mapq, const char* names_blob,
+                      int64_t names_len, int64_t n_names,
+                      const int64_t* offsets, const int64_t* limits,
+                      char* err, int err_len) {
+  auto fail = [&](const char* m) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", m);
+    return nullptr;
+  };
+  std::vector<uint8_t> text;
+  if (!read_text_maybe_gz(path, text)) return fail("cannot read PAF");
+
+  // name -> tid (missing names resolve to 0, reference map quirk)
+  std::vector<std::pair<std::string, int64_t>> names;
+  {
+    int64_t tid = 0;
+    const char* p = names_blob;
+    const char* end = names_blob + names_len;
+    while (p < end && tid < n_names) {
+      size_t l = strnlen(p, end - p);
+      names.emplace_back(std::string(p, l), tid++);
+      p += l + 1;
+    }
+  }
+  std::sort(names.begin(), names.end());
+  auto tid_of = [&](const char* s, size_t l) -> int64_t {
+    auto it = std::lower_bound(
+        names.begin(), names.end(),
+        std::make_pair(std::string(s, l), (int64_t)-1));
+    if (it != names.end() && it->first.size() == l &&
+        std::memcmp(it->first.data(), s, l) == 0)
+      return it->second;
+    return 0;
+  };
+
+  auto* pl = new PafLoad();
+  bool sec_filter = (flags_mask & 0x100) != 0;
+  const char* p = (const char*)text.data();
+  const char* end = p + text.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le == p) {
+      p = le + 1;
+      continue;
+    }
+    pl->n_lines++;
+    // split into fields
+    const char* f[64];
+    size_t fl[64];
+    int nf = 0;
+    const char* q = p;
+    while (q < le && nf < 64) {
+      const char* t = q;
+      while (q < le && *q != '\t' && *q != ' ') q++;
+      if (q > t) {
+        f[nf] = t;
+        fl[nf] = q - t;
+        nf++;
+      }
+      while (q < le && (*q == '\t' || *q == ' ')) q++;
+    }
+    bool drop = false;
+    if (sec_filter) {
+      // substring search over the whole line (reference line.find)
+      static const char pat[] = "tp:A:S";
+      for (const char* s = p; s + 6 <= le; s++)
+        if (std::memcmp(s, pat, 6) == 0) {
+          drop = true;
+          break;
+        }
+    }
+    if (!drop && nf >= 12) {
+      int64_t qual = atoll(std::string(f[11], fl[11]).c_str());
+      if (qual < min_mapq) drop = true;
+      if (!drop) {
+        int64_t tid = tid_of(f[5], fl[5]);
+        int64_t s = atoll(std::string(f[7], fl[7]).c_str());
+        int64_t e = atoll(std::string(f[8], fl[8]).c_str());
+        if (s > e) std::swap(s, e);
+        int cg = -1;
+        for (int i = 0; i < nf; i++)
+          if (fl[i] >= 5 && std::memcmp(f[i], "cg:Z:", 5) == 0) {
+            if (i > 1) cg = i;
+            break;
+          }
+        int64_t floor = offsets[tid], limit = limits[tid];
+        auto emit = [&](int64_t a, int64_t b) {
+          a += floor;
+          b += floor;
+          a = a < floor ? floor : (a > limit ? limit : a);
+          b = b < floor ? floor : (b > limit ? limit : b);
+          if (b > a) {
+            pl->starts.push_back(a);
+            pl->ends.push_back(b);
+          }
+        };
+        if (cg >= 0) {
+          const char* c = f[cg] + 5;
+          const char* ce = f[cg] + fl[cg];
+          int64_t cur = s;
+          while (c < ce) {
+            int64_t num = 0;
+            while (c < ce && *c >= '0' && *c <= '9')
+              num = num * 10 + (*c++ - '0');
+            if (c >= ce) break;
+            char op = *c++;
+            if (op == 'M' || op == '=' || op == 'X') {
+              emit(cur, cur + num);
+              cur += num;
+            } else if (op == 'D' || op == 'N') {
+              cur += num;
+            }
+          }
+        } else {
+          emit(s - 1, e);
+        }
+      }
+    }
+    p = le + 1;
+  }
+  return pl;
+}
+
+int64_t pancov_paf_n_events(void* h) {
+  return (int64_t)((PafLoad*)h)->starts.size();
+}
+
+int64_t pancov_paf_n_lines(void* h) { return ((PafLoad*)h)->n_lines; }
+
+void pancov_paf_events32(void* h, int32_t* starts, int32_t* ends,
+                         int64_t cap, int32_t sentinel) {
+  auto* pl = (PafLoad*)h;
+  int64_t m = (int64_t)pl->starts.size();
+  for (int64_t i = 0; i < m; i++) {
+    starts[i] = (int32_t)pl->starts[i];
+    ends[i] = (int32_t)pl->ends[i];
+  }
+  for (int64_t i = m; i < cap; i++) {
+    starts[i] = sentinel;
+    ends[i] = sentinel;
+  }
+}
+
+void pancov_paf_events64(void* h, int64_t* starts, int64_t* ends) {
+  auto* pl = (PafLoad*)h;
+  std::memcpy(starts, pl->starts.data(),
+              pl->starts.size() * sizeof(int64_t));
+  std::memcpy(ends, pl->ends.data(),
+              pl->ends.size() * sizeof(int64_t));
+}
+
+void pancov_paf_close(void* h) { delete (PafLoad*)h; }
+
+}  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------
 // CRAM helpers: batch ITF8 decoding and rANS 4x8 decompression (the
 // Python implementations in io/cram.py and io/rans4x8.py are the
 // reference; these are drop-in accelerations used when available).

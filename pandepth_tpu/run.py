@@ -453,6 +453,29 @@ def run_paf(config: RunConfig) -> int:
                             min_dep=config.min_depth, wrap18=True)
 
     for path in config.inputs:
+        native_done = False
+        try:
+            from pandepth_tpu.io.native import (NativePafLoad,
+                                                load_library)
+            if load_library() is not None:
+                from pandepth_tpu.device.events import pad_pow2
+
+                pl = NativePafLoad(path, config.flags, config.min_mapq,
+                                   names, engine.layout.offsets,
+                                   engine.layout.limits)
+                if engine.pos_dtype is np.int32:
+                    s32, e32 = pl.events32_padded(
+                        pad_pow2(max(pl.n_events, 1)),
+                        engine.pos_sentinel)
+                    engine.add_padded_events(s32, e32)
+                else:
+                    engine.add_start_end(*pl.events64())
+                pl.close()
+                native_done = True
+        except (ValueError, RuntimeError, OSError):
+            native_done = False
+        if native_done:
+            continue
         for tid, s, e in iter_paf_events(path, chr2tid, config.flags,
                                          config.min_mapq):
             engine.add_intervals(tid, s, e)
