@@ -142,6 +142,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_uint32, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, ctypes.c_char_p, ctypes.c_int]
+        lib.pancov_sam_load.restype = ctypes.c_void_p
+        lib.pancov_sam_load.argtypes = lib.pancov_paf_load.argtypes
         lib.pancov_paf_n_events.restype = ctypes.c_int64
         lib.pancov_paf_n_events.argtypes = [ctypes.c_void_p]
         lib.pancov_paf_n_lines.restype = ctypes.c_int64
@@ -192,10 +194,12 @@ def rans_decode_native(data: bytes, out_size: int) -> Optional[bytes]:
 
 
 class NativePafLoad:
-    """One-shot PAF(.gz) parse to clamped global depth intervals."""
+    """One-shot PAF(.gz) (or SAM with kind='sam') parse to clamped
+    global depth intervals."""
 
     def __init__(self, path: str, flags_mask: int, min_mapq: int,
-                 names, offsets: np.ndarray, limits: np.ndarray):
+                 names, offsets: np.ndarray, limits: np.ndarray,
+                 kind: str = "paf"):
         lib = load_library()
         if lib is None:
             raise RuntimeError(
@@ -206,13 +210,13 @@ class NativePafLoad:
         lim = np.ascontiguousarray(limits, np.int64)
         self._keep = (off, lim)
         err = ctypes.create_string_buffer(256)
-        self._h = lib.pancov_paf_load(path.encode(), flags_mask,
-                                      min_mapq, blob, len(blob),
-                                      len(names), off, lim, err,
-                                      len(err))
+        fn = lib.pancov_sam_load if kind == "sam" else \
+            lib.pancov_paf_load
+        self._h = fn(path.encode(), flags_mask, min_mapq, blob,
+                     len(blob), len(names), off, lim, err, len(err))
         if not self._h:
             raise ValueError(
-                f"pancov_paf_load({path}): {err.value.decode()}")
+                f"pancov_{kind}_load({path}): {err.value.decode()}")
         self.n_events = int(lib.pancov_paf_n_events(self._h))
         self.n_lines = int(lib.pancov_paf_n_lines(self._h))
 

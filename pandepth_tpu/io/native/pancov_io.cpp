@@ -1048,6 +1048,108 @@ void* pancov_paf_load(const char* path, uint32_t flags_mask,
   return pl;
 }
 
+// SAM text straight to depth intervals: FLAG/MAPQ filters and
+// M/=/X-add, D/N-skip CIGAR semantics identical to the BAM walker.
+// names_blob defines the tid space (the caller's contig table, which
+// in multi-sample mode is the FIRST file's); unknown RNAMEs drop.
+void* pancov_sam_load(const char* path, uint32_t flags_mask,
+                      int32_t min_mapq, const char* names_blob,
+                      int64_t names_len, int64_t n_names,
+                      const int64_t* offsets, const int64_t* limits,
+                      char* err, int err_len) {
+  auto fail = [&](const char* m) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", m);
+    return nullptr;
+  };
+  std::vector<uint8_t> text;
+  if (!read_text_maybe_gz(path, text)) return fail("cannot read SAM");
+
+  std::vector<std::pair<std::string, int64_t>> names;
+  {
+    int64_t tid = 0;
+    const char* p = names_blob;
+    const char* end = names_blob + names_len;
+    while (p < end && tid < n_names) {
+      size_t l = strnlen(p, end - p);
+      names.emplace_back(std::string(p, l), tid++);
+      p += l + 1;
+    }
+  }
+  std::sort(names.begin(), names.end());
+  auto tid_of = [&](const char* s, size_t l) -> int64_t {
+    auto it = std::lower_bound(
+        names.begin(), names.end(),
+        std::make_pair(std::string(s, l), (int64_t)-1));
+    if (it != names.end() && it->first.size() == l &&
+        std::memcmp(it->first.data(), s, l) == 0)
+      return it->second;
+    return -1;
+  };
+
+  auto* pl = new PafLoad();  // same (starts, ends, n_lines) payload
+  const char* p = (const char*)text.data();
+  const char* end = p + text.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le == p || *p == '@') {
+      p = le + 1;
+      continue;
+    }
+    // fields: QNAME FLAG RNAME POS MAPQ CIGAR ...
+    const char* f[8];
+    size_t fl[8];
+    int nf = 0;
+    const char* q = p;
+    while (q < le && nf < 7) {
+      const char* t = q;
+      while (q < le && *q != '\t') q++;
+      f[nf] = t;
+      fl[nf] = q - t;
+      nf++;
+      if (q < le) q++;
+    }
+    if (nf >= 6) {
+      pl->n_lines++;
+      int64_t flag = atoll(std::string(f[1], fl[1]).c_str());
+      int64_t tid = tid_of(f[2], fl[2]);
+      int64_t pos0 = atoll(std::string(f[3], fl[3]).c_str()) - 1;
+      int64_t mq = atoll(std::string(f[4], fl[4]).c_str());
+      bool keep = tid >= 0 && !(flag & flags_mask) &&
+                  !(min_mapq >= 1 && mq < min_mapq) &&
+                  !(fl[5] == 1 && f[5][0] == '*');
+      if (keep) {
+        int64_t floor = offsets[tid], limit = limits[tid];
+        int64_t cur = floor + pos0;
+        const char* c = f[5];
+        const char* ce = f[5] + fl[5];
+        while (c < ce) {
+          int64_t num = 0;
+          while (c < ce && *c >= '0' && *c <= '9')
+            num = num * 10 + (*c++ - '0');
+          if (c >= ce) break;
+          char op = *c++;
+          if (op == 'M' || op == '=' || op == 'X') {
+            int64_t a = cur < floor ? floor
+                                    : (cur > limit ? limit : cur);
+            int64_t b = cur + num;
+            b = b < floor ? floor : (b > limit ? limit : b);
+            if (b > a) {
+              pl->starts.push_back(a);
+              pl->ends.push_back(b);
+            }
+            cur += num;
+          } else if (op == 'D' || op == 'N') {
+            cur += num;
+          }
+        }
+      }
+    }
+    p = le + 1;
+  }
+  return pl;
+}
+
 int64_t pancov_paf_n_events(void* h) {
   return (int64_t)((PafLoad*)h)->starts.size();
 }

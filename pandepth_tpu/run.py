@@ -373,6 +373,33 @@ def run_alignment(config: RunConfig) -> int:
             r.close()
             continue
         regs = regions_for(path, getattr(r, "header", hdr_i))
+        from pandepth_tpu.io.sam_text import SamReader as _SR
+
+        if regs is None and isinstance(r, _SR):
+            # native SAM text parse straight to events
+            try:
+                from pandepth_tpu.io.native import (NativePafLoad,
+                                                    load_library)
+                if load_library() is not None:
+                    from pandepth_tpu.device.events import pad_pow2
+
+                    sl = NativePafLoad(path, config.flags,
+                                       config.min_mapq, names,
+                                       engine.layout.offsets,
+                                       engine.layout.limits,
+                                       kind="sam")
+                    if engine.pos_dtype is np.int32:
+                        s32, e32 = sl.events32_padded(
+                            pad_pow2(max(sl.n_events, 1)),
+                            engine.pos_sentinel)
+                        engine.add_padded_events(s32, e32)
+                    else:
+                        engine.add_start_end(*sl.events64())
+                    engine.n_reads_seen += sl.n_lines
+                    sl.close()
+                    continue
+            except (ValueError, RuntimeError, OSError):
+                pass
         if regs is None and hasattr(r, "interval_batches"):
             # vectorized CRAM slice -> aligned-run intervals; collect
             # before committing so a mid-file fallback never
