@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 import sys
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 from pandepth_tpu.config import MODE_BED3, MODE_BED4, MODE_GFF, MODE_GTF
 from pandepth_tpu.targets.model import GeneAccumulator, TargetSet
