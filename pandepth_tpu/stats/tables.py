@@ -119,9 +119,12 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
             out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
             return
 
-        order = np.lexsort((
-            np.array([i.encode() for i in targets.gene_id]),
-            targets.gene_start, targets.gene_tid))
+        if targets.gene_id is not None:
+            order = np.lexsort((
+                np.array([i.encode() for i in targets.gene_id]),
+                targets.gene_start, targets.gene_tid))
+        else:  # synthesized tilings have unique starts per contig
+            order = np.lexsort((targets.gene_start, targets.gene_tid))
 
         if mode == MODE_CHR:
             # per-chromosome aggregation of the 10 Mb pseudo-genes

@@ -30,7 +30,7 @@ class TargetSet:
     mode: int
     # per-gene arrays (row index = gene index, insertion order)
     gene_tid: np.ndarray      # int32
-    gene_id: List[str]
+    gene_id: Optional[List[str]]  # None for synthesized tilings (never printed)
     gene_start: np.ndarray    # int64, 1-based min segment start
     gene_end: np.ndarray      # int64, 1-based max segment end
     gene_length: np.ndarray   # int64, sum of segment lengths (overlaps double-count)
