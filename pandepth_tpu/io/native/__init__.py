@@ -129,6 +129,10 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int]
+        lib.pancov_win_rows_write.restype = ctypes.c_int
+        lib.pancov_win_rows_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, i64p, i64p,
+            i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.pancov_itf8_decode_all.restype = ctypes.c_int64
         lib.pancov_itf8_decode_all.argtypes = [

@@ -95,6 +95,11 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
     ``win6_rows``: for mode 6 only — list of (tid, start1, end1, length,
     cover, dsum, gc_count) rows already in output order.
     """
+    if mode == MODE_WIN_BIG and targets.n_genes > 50_000 and \
+            _write_win_big_native(path, gc, names, targets, gene_cover,
+                                  gene_dsum):
+        return
+
     with GzTextWriter(path) as out:
         out.write(table_header(mode, gc))
         ss_len = ss_cov = ss_total = ss_gc = 0
@@ -174,6 +179,51 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
             ss_total += dsum
             ss_gc += gcc
         out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+
+
+def _write_win_big_native(path: str, gc: bool, names: Sequence[str],
+                          targets: TargetSet, gene_cover: np.ndarray,
+                          gene_dsum: np.ndarray) -> bool:
+    """Genome-scale mode-5 tables: stream rows through the C formatter
+    (one gzip member per contig; header/footer as python members)."""
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+    except Exception:
+        lib = None
+    if lib is None:
+        return False
+    import gzip as _gzip
+
+    with _gzip.open(path, "wt", compresslevel=1) as fh:
+        fh.write(table_header(MODE_WIN_BIG, gc))
+    # synthesized tilings are already (tid, start)-sorted
+    z = np.zeros(targets.n_genes, np.int64)
+    gcc = np.ascontiguousarray(targets.gene_gc, np.int64) if gc else z
+    length = np.ascontiguousarray(targets.gene_length, np.int64)
+    cover = np.ascontiguousarray(gene_cover, np.int64)
+    dsum = np.ascontiguousarray(gene_dsum, np.int64)
+    starts = np.ascontiguousarray(targets.gene_start, np.int64)
+    ends = np.ascontiguousarray(targets.gene_end, np.int64)
+    tid_arr = targets.gene_tid
+    for tid in np.unique(tid_arr):
+        sel = np.nonzero(tid_arr == tid)[0]
+        a, b = int(sel[0]), int(sel[-1]) + 1
+        rc = lib.pancov_win_rows_write(
+            path.encode(), 1, names[int(tid)].encode(),
+            np.ascontiguousarray(starts[a:b]),
+            np.ascontiguousarray(ends[a:b]),
+            np.ascontiguousarray(length[a:b]),
+            np.ascontiguousarray(cover[a:b]),
+            np.ascontiguousarray(dsum[a:b]),
+            np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
+        if rc != 0:
+            raise OSError(f"win table write failed ({rc}): {path}")
+    with _gzip.open(path, "at", compresslevel=1) as fh:
+        fh.write(_footer(int(length.sum()), int(cover.sum()),
+                         int(dsum.sum()), gc, int(gcc.sum())))
+    return True
 
 
 def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,

@@ -1,0 +1,69 @@
+"""Native table/site writers must emit byte-identical decompressed
+content to the Python paths."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from pandepth_tpu.stats.tables import write_tables
+from pandepth_tpu.targets.windows import synthesize_default_targets
+
+
+def _gunzip(p):
+    with gzip.open(p, "rb") as fh:
+        return fh.read()
+
+
+def test_win_big_native_matches_python(tmp_path, monkeypatch):
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    if native.load_library() is None:
+        pytest.skip("native unavailable")
+
+    lengths = np.array([9_000_123, 1_500_001])
+    mode, t = synthesize_default_targets(["cA", "cB"], lengths, 150)
+    assert t.n_genes > 50_000
+    rng = np.random.RandomState(0)
+    cover = rng.randint(0, 151, t.n_genes).astype(np.int64)
+    dsum = (cover * rng.randint(1, 40, t.n_genes)).astype(np.int64)
+
+    p_native = str(tmp_path / "n.win.stat.gz")
+    write_tables(p_native, mode, False, ["cA", "cB"], t, cover, dsum)
+
+    # force the Python formatter
+    import pandepth_tpu.io.native as nat
+
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_build_error", "forced off")
+    p_py = str(tmp_path / "p.win.stat.gz")
+    write_tables(p_py, mode, False, ["cA", "cB"], t, cover, dsum)
+
+    assert _gunzip(p_native) == _gunzip(p_py)
+
+
+def test_win_big_native_gc_matches(tmp_path, monkeypatch):
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    if native.load_library() is None:
+        pytest.skip("native unavailable")
+
+    lengths = np.array([8_000_000])
+    seq = bytes((np.random.RandomState(1).randint(0, 256, 8_000_000) %
+                 4 + ord("A")).astype(np.uint8))
+    mode, t = synthesize_default_targets(["c"], lengths, 200,
+                                         ref_bases={0: seq})
+    rng = np.random.RandomState(2)
+    cover = rng.randint(0, 201, t.n_genes).astype(np.int64)
+    dsum = cover * 3
+
+    p_native = str(tmp_path / "n.win.stat.gz")
+    write_tables(p_native, mode, True, ["c"], t, cover, dsum)
+
+    import pandepth_tpu.io.native as nat
+
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_build_error", "forced off")
+    p_py = str(tmp_path / "p.win.stat.gz")
+    write_tables(p_py, mode, True, ["c"], t, cover, dsum)
+
+    assert _gunzip(p_native) == _gunzip(p_py)
