@@ -258,6 +258,10 @@ def write_uniform_bam(path: str, names: Sequence[str],
             off += len(blk)
         fh.write(b"".join(blocks) + BGZF_EOF)
 
+    if make_index and max(lengths, default=0) >= (1 << 29):
+        # BAI's 6-level binning cannot address positions >= 2^29;
+        # writing one anyway makes htslib miss reads silently
+        make_index = False
     if make_index:
         # map each record's uncompressed offset to a virtual offset
         u0 = len(hdr) + np.arange(n, dtype=np.int64) * rec_size
