@@ -206,6 +206,43 @@ def test_gc_mode_small_windows_documented_divergence(tmp_path, oracle_bin):
     assert ref == ours
 
 
+def test_multi_file_mixed_formats(tmp_path, oracle_bin):
+    # one .list mixing BAM + SAM + CRAM (htslib sniffs per file)
+    from tests.fixtures import CONTIGS, random_reads
+    from pandepth_tpu.io.bam_writer import cigar_str_to_ops
+    from pandepth_tpu.io.cram_writer import write_cram
+
+    tmp = str(tmp_path)
+    bam = os.path.join(tmp, "a.bam")
+    make_bam(bam, n=200, seed=41, end_slack=90)
+    sam = os.path.join(tmp, "b.sam")
+    recs_s = random_reads(n=200, seed=42, end_slack=90)
+    lines = ["@HD\tVN:1.6\tSO:coordinate"] + [
+        f"@SQ\tSN:{n}\tLN:{l}" for n, l in CONTIGS]
+    for i, (t, p, f, q, c) in enumerate(recs_s):
+        sl = sum(l for op, l in cigar_str_to_ops(c)
+                 if op in (0, 1, 4, 7, 8)) if c != "*" else 0
+        seq = "A" * sl if sl else "*"
+        lines.append(f"r{i}\t{f}\t{CONTIGS[t][0]}\t{p + 1}\t{q}\t{c}"
+                     f"\t*\t0\t0\t{seq}\t*")
+    with open(sam, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    cram = os.path.join(tmp, "c.cram")
+    recs_c = [(t, p, f, q, c.replace("=", "M").replace("X", "M"))
+              for t, p, f, q, c in random_reads(n=200, seed=43,
+                                                end_slack=90)]
+    write_cram(cram, [x[0] for x in CONTIGS], [x[1] for x in CONTIGS],
+               recs_c)
+    lst = os.path.join(tmp, "mix.list")
+    with open(lst, "w") as fh:
+        fh.write(f"{bam}\n{sam}\n{cram}\n")
+    subprocess.run([oracle_bin, "-i", lst, "-o",
+                    os.path.join(tmp, "ref")], check=True,
+                   capture_output=True)
+    run_ours(tmp, ["-i", lst, "-o", os.path.join(tmp, "ours")])
+    compare_outputs(tmp, "ref", "ours")
+
+
 def test_multi_file_list(tmp_path, oracle_bin):
     tmp = str(tmp_path)
     bam1 = os.path.join(tmp, "a.bam")
