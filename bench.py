@@ -102,7 +102,7 @@ def main() -> None:
     # and degrades under concurrent CPU load: measure ours first (warm
     # + best-of-4), reference after, best-of-3 each
     time_ours(bam)  # warm jit compiles
-    our_wall = min(time_ours(bam) for _ in range(4))
+    our_wall = min(time_ours(bam) for _ in range(6))
     ref_wall = min(w for w in (time_reference(bam) for _ in range(3))
                    if w is not None) if ensure_reference() else None
     reads_per_s = N_READS / our_wall
