@@ -258,10 +258,6 @@ def write_uniform_bam(path: str, names: Sequence[str],
             off += len(blk)
         fh.write(b"".join(blocks) + BGZF_EOF)
 
-    if make_index and max(lengths, default=0) >= (1 << 29):
-        # BAI's 6-level binning cannot address positions >= 2^29;
-        # writing one anyway makes htslib miss reads silently
-        make_index = False
     if make_index:
         # map each record's uncompressed offset to a virtual offset
         u0 = len(hdr) + np.arange(n, dtype=np.int64) * rec_size
@@ -272,8 +268,83 @@ def write_uniform_bam(path: str, names: Sequence[str],
         v0 = (boffs[blk_idx0] << 16) | (u0 % chunk)
         v1 = (boffs[np.minimum(blk_idx1, len(boffs) - 1)] << 16) | \
             (u1 % chunk)
-        _write_bai_from_voffsets(path + ".bai", len(names), tid, pos,
-                                 end, b, v0, v1)
+        if max(lengths, default=0) >= (1 << 29):
+            # BAI's 6-level binning cannot address positions >= 2^29;
+            # write a CSI instead (htslib also prefers .csi when both
+            # exist)
+            write_csi(path + ".csi", len(names), tid, pos, end, v0, v1)
+        else:
+            _write_bai_from_voffsets(path + ".bai", len(names), tid,
+                                     pos, end, b, v0, v1)
+
+
+def write_csi(path: str, n_ref: int, tid, pos, end, v0, v1,
+              min_shift: int = 14, depth: int = 6) -> None:
+    """CSI v1 index (generalized binning; depth 6 covers 2^32 bases).
+
+    Stored as plain (uncompressed) gzip-less binary is NOT allowed by
+    the spec — CSI files are BGZF — so the payload is BGZF-framed.
+    """
+    import gzip as _gzip
+
+    import numpy as np
+
+    def reg2bin_csi(b0, e0):
+        e0 = np.maximum(e0 - 1, b0)
+        out = np.zeros(b0.shape[0], np.int64)
+        done = np.zeros(b0.shape[0], bool)
+        s = min_shift
+        t = ((1 << (3 * depth)) - 1) // 7
+        lvl_t = t
+        while s <= min_shift + 3 * depth:
+            hit = (~done) & ((b0 >> s) == (e0 >> s))
+            lvl_t = ((1 << (3 * (depth - (s - min_shift) // 3))) - 1) \
+                // 7
+            out[hit] = lvl_t + (b0[hit] >> s)
+            done |= hit
+            s += 3
+        return out
+
+    tid = np.asarray(tid)
+    pos = np.asarray(pos, np.int64)
+    end = np.asarray(end, np.int64)
+    bins = reg2bin_csi(pos, end)
+
+    body = bytearray(b"CSI\x01")
+    body += struct.pack("<iii", min_shift, depth, 0)
+    body += struct.pack("<i", n_ref)
+    for t in range(n_ref):
+        sel = np.nonzero(tid == t)[0]
+        if sel.size == 0:
+            body += struct.pack("<i", 0)
+            continue
+        tb = bins[sel]
+        order = np.argsort(tb, kind="stable")
+        sel_s = sel[order]
+        tb_s = tb[order]
+        uniq, starts = np.unique(tb_s, return_index=True)
+        body += struct.pack("<i", len(uniq))
+        for k, bval in enumerate(uniq):
+            lo = starts[k]
+            hi = starts[k + 1] if k + 1 < len(uniq) else len(sel_s)
+            idxs = sel_s[lo:hi]
+            a = v0[idxs].astype(np.int64)
+            bb = v1[idxs].astype(np.int64)
+            brk = np.nonzero(bb[:-1] != a[1:])[0]
+            si = np.concatenate(([0], brk + 1))
+            ei = np.concatenate((brk, [len(idxs) - 1]))
+            loff = int(a[0])
+            body += struct.pack("<IQi", int(bval), loff, len(si))
+            pairs = np.empty((len(si), 2), "<u8")
+            pairs[:, 0] = a[si]
+            pairs[:, 1] = bb[ei]
+            body += pairs.tobytes()
+    # CSI is BGZF-framed; reuse the BGZF writer
+    from pandepth_tpu.io.bgzf import BgzfWriter
+
+    with open(path, "wb") as fh:
+        with BgzfWriter(fh) as w:
+            w.write(bytes(body))
 
 
 def _write_bai_from_voffsets(path: str, n_ref: int, tid, pos, end,
