@@ -27,7 +27,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from pandepth_tpu.device.events import SENTINEL
 
 WRAP18_MASK = 0x3FFFF
 
@@ -127,36 +126,4 @@ def finalize_segments(ev_pos, ev_delta, seg_lo, seg_hi,
     return cover, dsum, pos_s, depth, c_cov, c_sum, delta_s
 
 
-@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18"))
-def segment_stats(ev_pos, ev_delta, seg_lo, seg_hi,
-                  min_dep: int = 1, wrap18: bool = False):
-    """CoveredSite and TotalDepth per segment.
 
-    seg_lo/seg_hi: (B,) int64 0-based half-open global coordinates.
-    Returns (cover, depth_sum) int64 arrays of shape (B,).
-    """
-    pos_s, depth, c_cov, c_sum, _ = sort_events(ev_pos, ev_delta,
-                                                min_dep=min_dep,
-                                                wrap18=wrap18)
-    md = jnp.int32(min_dep)
-    ql_cov, ql_sum = eval_boundaries(pos_s, depth, c_cov, c_sum, md, seg_lo)
-    qh_cov, qh_sum = eval_boundaries(pos_s, depth, c_cov, c_sum, md, seg_hi)
-    return qh_cov - ql_cov, qh_sum - ql_sum
-
-
-def dense_depth(pos_s, delta_s, lo: int, hi: int,
-                wrap18: bool = False):
-    """Host-side dense per-base depth over [lo, hi) from sorted events.
-
-    numpy implementation for the ``-a`` SiteDepth dump, which is
-    dominated by gzip text output anyway (src/PanDepth.cpp:4264-4284).
-    """
-    import numpy as np
-
-    cum = np.cumsum(delta_s, dtype=np.int64)
-    idx = np.searchsorted(pos_s, np.arange(lo, hi, dtype=np.int64),
-                          side="right")
-    d = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
-    if wrap18:
-        d = d & WRAP18_MASK
-    return d.astype(np.int32)
