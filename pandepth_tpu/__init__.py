@@ -4,16 +4,15 @@ A from-scratch re-design of the capabilities of PanDepth
 (https://github.com/HuiyangYu/PanDepth, reference layout surveyed in
 SURVEY.md) for TPU hardware:
 
-* hosts decode alignment files (SAM/BAM/CRAM/PAF) into flat columnar
-  batches (``pandepth_tpu.io``),
-* CIGAR expansion, FLAG/MAPQ filtering and per-base depth accumulation
-  run on-device as difference-array scatter + prefix-scan ops
-  (``pandepth_tpu.ops``),
+* hosts decode alignment files (SAM/BAM/CRAM/PAF) into coverage events
+  (``pandepth_tpu.io`` + the C++ ``io/native`` library),
+* depth reconstruction and region statistics run on-device as one
+  sort + prefix scans + boundary gathers (``pandepth_tpu.device``),
 * interval statistics (Length / CoveredSite / TotalDepth / Coverage% /
   MeanDepth / GC%) for chromosomes, windows, BED regions and GFF/GTF
-  features fall out as masked-prefix-sum boundary gathers,
-* multi-chip scaling uses ``jax.sharding`` meshes with psum /
-  reduce_scatter merges (``pandepth_tpu.parallel``).
+  features are prefix-integral differences (``pandepth_tpu.stats``),
+* multi-chip scaling shards genome ranges over a ``jax.sharding`` mesh
+  with psum merges (``pandepth_tpu.sharding``).
 
 The CLI (``pandepth_tpu.cli``) is flag-compatible with the reference
 ``pandepth`` binary and produces byte-identical (decompressed) stat
