@@ -110,6 +110,8 @@ def _parse_header(data: bytes) -> Tuple[BamHeader, int]:
     for i in range(n_ref):
         (l_name,) = struct.unpack_from("<i", data, off)
         off += 4
+        if l_name < 1:
+            raise ValueError("malformed BAM header (l_name < 1)")
         names.append(data[off: off + l_name - 1].decode())
         off += l_name
         (lengths[i],) = struct.unpack_from("<i", data, off)

@@ -264,10 +264,12 @@ def write_uniform_bam(path: str, names: Sequence[str],
         u1 = u0 + rec_size
         blk_idx0 = u0 // chunk
         blk_idx1 = u1 // chunk
-        boffs = np.asarray(block_offs, np.int64)
+        # a record ending exactly on a 0xFF00 boundary has blk_idx1 one
+        # past the last data block: its end virtual offset must point
+        # just past that block (before BGZF_EOF), not back into it
+        boffs = np.append(np.asarray(block_offs, np.int64), off)
         v0 = (boffs[blk_idx0] << 16) | (u0 % chunk)
-        v1 = (boffs[np.minimum(blk_idx1, len(boffs) - 1)] << 16) | \
-            (u1 % chunk)
+        v1 = (boffs[blk_idx1] << 16) | (u1 % chunk)
         if max(lengths, default=0) >= (1 << 29):
             # BAI's 6-level binning cannot address positions >= 2^29;
             # write a CSI instead (htslib also prefers .csi when both

@@ -114,7 +114,11 @@ bool scan_blocks(const std::vector<uint8_t>& raw, std::vector<Block>& blocks,
         bsize = (long)le16(raw.data() + xp + 4) + 1;
       xp += 4 + slen;
     }
-    if (bsize < 0 || off + (size_t)bsize > n) return false;
+    // a block must at least hold its own header + CRC32/ISIZE trailer,
+    // or payload_len below underflows size_t
+    if (bsize < 0 || off + (size_t)bsize > n ||
+        (size_t)bsize < (xend - off) + 8)
+      return false;
     size_t payload = xend;
     size_t payload_len = off + bsize - 8 - payload;
     uint32_t isize = le32(raw.data() + off + bsize - 4);
@@ -202,7 +206,8 @@ bool parse_header(BamFile* bf, size_t& off) {
     if (off + 4 > d.size()) return false;
     uint32_t l_name = le32(d.data() + off);
     off += 4;
-    if (off + l_name + 4 > d.size()) return false;
+    // l_name counts the NUL terminator; 0 would wrap l_name - 1
+    if (l_name < 1 || off + l_name + 4 > d.size()) return false;
     bf->names.emplace_back((const char*)d.data() + off, l_name - 1);
     off += l_name;
     bf->lengths.push_back((int32_t)le32(d.data() + off));
@@ -225,6 +230,12 @@ bool index_records(BamFile* bf, size_t off) {
     }
     size_t r = off + 4;
     uint16_t n_cigar = le16(d.data() + r + 12);
+    // the fixed fields + read name + CIGAR must fit inside the record,
+    // or decode walks out of bounds on a corrupt/hostile file
+    if (32u + d.data()[r + 8] + 4u * n_cigar > block_size) {
+      bf->error = "truncated BAM record";
+      return false;
+    }
     bf->rec_off.push_back(r);
     bf->rec_ncigar.push_back(n_cigar);
     bf->total_ops += n_cigar;
@@ -579,12 +590,14 @@ void* pancov_bam_load(const char* path, int n_threads,
       }
       uint32_t l_name = le32(bf->data.data() + off);
       off += 4;
-      if (off + l_name + 4 > total || !wait_ready(off + l_name + 4)) {
+      // l_name counts the NUL terminator; 0 is malformed
+      if (l_name < 1 || off + l_name + 4 > total ||
+          !wait_ready(off + l_name + 4)) {
         finish();
         return fail("truncated BAM header");
       }
       bf->names.emplace_back((const char*)bf->data.data() + off,
-                             l_name ? l_name - 1 : 0);
+                             l_name - 1);
       off += l_name;
       bf->lengths.push_back((int32_t)le32(bf->data.data() + off));
       off += 4;
@@ -644,6 +657,8 @@ void* pancov_bam_load(const char* path, int n_threads,
     if (off2 + 4 + block_size > total || block_size < 32) return 0;
     const uint8_t* p = d + off2 + 4;
     uint16_t nc = le16(p + 12);
+    // fixed fields + read name + CIGAR must fit inside the record
+    if (32u + p[8] + 4u * nc > block_size) return 0;
     sk.rec_off.push_back(off2 + 4);
     sk.rec_nc.push_back(nc);
     sk.ops += nc;

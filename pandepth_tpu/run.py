@@ -67,7 +67,11 @@ def open_alignment(path: str, threads: int = 0):
             pass
         try:
             return BamReader(path)
-        except ValueError:
+        except ValueError as e:
+            # only fall back to gzipped SAM text when the stream is NOT
+            # a BAM; a malformed BAM (bad header/record) is a hard error
+            if "bad magic" not in str(e):
+                raise
             return SamReader(path)
     return SamReader(path)
 

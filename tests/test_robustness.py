@@ -73,6 +73,62 @@ def test_empty_bed(tmp_path):
         assert fh.readline().startswith("#Chr")
 
 
+def _bgzf_wrap(payload: bytes) -> bytes:
+    """One BGZF member + EOF marker around raw payload bytes."""
+    import struct
+    import zlib
+
+    def member(pl):
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(pl) + co.flush()
+        bsize = len(cdata) + 26
+        return (struct.pack("<4BI2BH2BH H", 0x1F, 0x8B, 8, 4, 0, 0,
+                            0xFF, 6, 0x42, 0x43, 2, bsize - 1) + cdata +
+                struct.pack("<II", zlib.crc32(pl) & 0xFFFFFFFF, len(pl)))
+
+    eof = bytes.fromhex("1f8b08040000000000ff0600424302001b0003000000"
+                        "000000000000")
+    return member(payload) + eof
+
+
+def test_hostile_header_zero_lname(tmp_path):
+    """A header claiming l_name=0 must be a clean error, not a segfault
+    (size_t wrap in parse_header)."""
+    import struct
+
+    payload = (b"BAM\x01" + struct.pack("<I", 0) +          # no text
+               struct.pack("<I", 1) +                        # n_ref=1
+               struct.pack("<I", 0) +                        # l_name=0 !
+               struct.pack("<I", 1000))
+    p = str(tmp_path / "h.bam")
+    with open(p, "wb") as fh:
+        fh.write(_bgzf_wrap(payload))
+    rc = _run(str(tmp_path), ["-i", p])
+    assert rc != 0 or not glob.glob(str(tmp_path / "o*.gz"))
+
+
+def test_hostile_record_huge_ncigar(tmp_path, capsys):
+    """A 36-byte record claiming n_cigar=60000 must be rejected, not
+    decoded via out-of-bounds heap reads."""
+    import struct
+
+    hdr = (b"BAM\x01" + struct.pack("<I", 0) +
+           struct.pack("<I", 1) +
+           struct.pack("<I", 5) + b"chr1\x00" +
+           struct.pack("<I", 1000))
+    # block_size=36: fixed 32 + l_read_name(2) -> room for ZERO cigar
+    # ops, but n_cigar claims 60000
+    rec = struct.pack("<iiBBHHHiiii", 0, 10, 2, 30, 4680, 60000, 0,
+                      0, -1, -1, 0) + b"r\x00"
+    payload = hdr + struct.pack("<I", len(rec)) + rec
+    p = str(tmp_path / "r.bam")
+    with open(p, "wb") as fh:
+        fh.write(_bgzf_wrap(payload))
+    rc = _run(str(tmp_path), ["-i", p])
+    assert rc != 0 or not glob.glob(str(tmp_path / "o*.gz"))
+    assert "Traceback" not in capsys.readouterr().err
+
+
 def test_bad_gff_rejected(tmp_path, capsys):
     tmp = str(tmp_path)
     bam = os.path.join(tmp, "t.bam")
