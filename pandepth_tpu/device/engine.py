@@ -43,8 +43,35 @@ class SegmentStats:
     depth_sum: np.ndarray  # int64 per segment
 
 
+def dense_from_state(pos_np: np.ndarray, depth_np: np.ndarray,
+                     lo: int, hi: int) -> np.ndarray:
+    """Per-base depth over global [lo, hi) from sorted breakpoints.
+
+    Depth is piecewise constant between sorted events, so the dense
+    array is a run-length expansion (np.repeat) — O(range), not a
+    per-base binary search."""
+    if hi <= lo:
+        return np.zeros(0, np.int32)
+    a = int(np.searchsorted(pos_np, lo, side="right"))
+    b = int(np.searchsorted(pos_np, hi, side="left"))
+    # runs: [lo, p_a), [p_a, p_{a+1}), ..., [p_{b-1}, hi)
+    bounds = np.empty(b - a + 2, np.int64)
+    bounds[0] = lo
+    bounds[1:-1] = pos_np[a:b]
+    bounds[-1] = hi
+    vals = np.empty(b - a + 1, np.int32)
+    vals[0] = depth_np[a - 1] if a > 0 else 0
+    vals[1:] = depth_np[a:b]
+    return np.repeat(vals, np.diff(bounds)).astype(np.int32,
+                                                   copy=False)
+
+
 class CoverageEngine:
     """Accumulates coverage events for one genome layout."""
+
+    # the device transfer wants sentinel-padded pos_dtype arrays
+    # (native loaders produce them with zero host-side copies)
+    wants_padded_events = True
 
     def __init__(self, layout: GenomeLayout, flags_mask: int = 1796,
                  min_mapq: int = -1, min_dep: int = 1,
@@ -244,30 +271,12 @@ class CoverageEngine:
 
     def dense_depth(self, tid: int, start0: int = 0,
                     end0: Optional[int] = None) -> np.ndarray:
-        """Per-base depth for one contig (0-based half-open range).
-
-        Depth is piecewise constant between sorted events, so the dense
-        array is a run-length expansion (np.repeat) — O(range), not a
-        per-base binary search."""
+        """Per-base depth for one contig (0-based half-open range)."""
         lay = self.layout
         if end0 is None:
             end0 = int(lay.lengths[tid])
         pos_s, depth, _, _ = self.sweep_state()
-        pos_np = np.asarray(pos_s)
-        depth_np = np.asarray(depth)
         lo = int(lay.offsets[tid]) + start0
         hi = int(lay.offsets[tid]) + end0
-        if hi <= lo:
-            return np.zeros(0, np.int32)
-        a = int(np.searchsorted(pos_np, lo, side="right"))
-        b = int(np.searchsorted(pos_np, hi, side="left"))
-        # runs: [lo, p_a), [p_a, p_{a+1}), ..., [p_{b-1}, hi)
-        bounds = np.empty(b - a + 2, np.int64)
-        bounds[0] = lo
-        bounds[1:-1] = pos_np[a:b]
-        bounds[-1] = hi
-        vals = np.empty(b - a + 1, np.int32)
-        vals[0] = depth_np[a - 1] if a > 0 else 0
-        vals[1:] = depth_np[a:b]
-        return np.repeat(vals, np.diff(bounds)).astype(np.int32,
-                                                       copy=False)
+        return dense_from_state(np.asarray(pos_s), np.asarray(depth),
+                                lo, hi)

@@ -81,6 +81,23 @@ def index_present(path: str) -> bool:
                for suf in (".bai", ".csi", ".crai"))
 
 
+def make_engine(layout, **kw):
+    """Production engine selection: the genome-range-sharded engine
+    whenever the process sees more than one device (the TPU analog of
+    the reference's chromosome-group thread scheduler,
+    src/PanDepth.cpp:4151-4260); the single-chip engine otherwise.
+    ``PANDEPTH_SHARDED=0/1`` forces either path."""
+    force = os.environ.get("PANDEPTH_SHARDED")
+    if force != "0":
+        import jax
+
+        if force == "1" or len(jax.devices()) > 1:
+            from pandepth_tpu.sharding.engine import ShardedCoverageEngine
+
+            return ShardedCoverageEngine(layout, **kw)
+    return CoverageEngine(layout, **kw)
+
+
 def run(config: RunConfig) -> int:
     if not config.inputs or not config.out_prefix:
         print("Error: lack argument -i or -o ", file=sys.stderr)
@@ -337,10 +354,10 @@ def run_alignment(config: RunConfig) -> int:
             return cursor_reg
         return None
 
-    engine = CoverageEngine(GenomeLayout(lengths),
-                            flags_mask=config.flags,
-                            min_mapq=config.min_mapq,
-                            min_dep=config.min_depth, wrap18=wrap18)
+    engine = make_engine(GenomeLayout(lengths),
+                         flags_mask=config.flags,
+                         min_mapq=config.min_mapq,
+                         min_dep=config.min_depth, wrap18=wrap18)
 
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
@@ -363,7 +380,8 @@ def run_alignment(config: RunConfig) -> int:
             if r is None:
                 r = open_alignment(path, threads=config.threads)
         if hasattr(r, "events"):
-            if engine.pos_dtype is np.int32 and \
+            if engine.wants_padded_events and \
+                    engine.pos_dtype is np.int32 and \
                     hasattr(r, "events32_padded"):
                 from pandepth_tpu.device.events import pad_pow2
 
@@ -392,7 +410,8 @@ def run_alignment(config: RunConfig) -> int:
                                        engine.layout.offsets,
                                        engine.layout.limits,
                                        kind="sam")
-                    if engine.pos_dtype is np.int32:
+                    if engine.wants_padded_events and \
+                            engine.pos_dtype is np.int32:
                         s32, e32 = sl.events32_padded(
                             pad_pow2(max(sl.n_events, 1)),
                             engine.pos_sentinel)
@@ -478,10 +497,10 @@ def run_paf(config: RunConfig) -> int:
     mode, targets = _prepare_targets(config, names, lengths, chr2tid,
                                      ref_by_tid)
 
-    engine = CoverageEngine(GenomeLayout(lengths),
-                            flags_mask=config.flags,
-                            min_mapq=config.min_mapq,
-                            min_dep=config.min_depth, wrap18=True)
+    engine = make_engine(GenomeLayout(lengths),
+                         flags_mask=config.flags,
+                         min_mapq=config.min_mapq,
+                         min_dep=config.min_depth, wrap18=True)
 
     for path in config.inputs:
         native_done = False
@@ -494,7 +513,8 @@ def run_paf(config: RunConfig) -> int:
                 pl = NativePafLoad(path, config.flags, config.min_mapq,
                                    names, engine.layout.offsets,
                                    engine.layout.limits)
-                if engine.pos_dtype is np.int32:
+                if engine.wants_padded_events and \
+                        engine.pos_dtype is np.int32:
                     s32, e32 = pl.events32_padded(
                         pad_pow2(max(pl.n_events, 1)),
                         engine.pos_sentinel)

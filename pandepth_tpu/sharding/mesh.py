@@ -1,27 +1,34 @@
-"""Multi-chip scaling: read-batch data parallelism x genome-range
-sharding over a 2-D device mesh.
+"""Multi-chip scaling for on-device read feeds: genome-range sharding
+with a range-bucketed ``all_to_all`` event exchange.
 
 The reference's only parallelism is one process's std::threads over
 chromosome groups (scheduler at src/PanDepth.cpp:4151-4260). The TPU
-mapping (SURVEY.md §2.3):
+mapping (SURVEY.md §2.3): every device owns a contiguous range of the
+flattened genome axis; coverage statistics are *additive over disjoint
+position ranges*, so each device sweeps only its range and the final
+tables are one ``psum`` away.
 
-- axis ``dp``  — read batches are sharded across devices (the decode
-  feed is embarrassingly parallel);
-- axis ``gs`` — the flattened genome axis is cut into contiguous
-  ranges; coverage statistics are *additive over disjoint position
-  ranges*, so each device sweeps only its range and the final tables
-  are one ``psum`` away.
+Two formulations exist:
 
-Every (dp, gs) program owns the genome range indexed by its flattened
-mesh position, so all ``dp x gs`` devices sweep distinct ranges — the
-2-D mesh is a convenience for feeding reads, not a replication grid.
-Events cross the mesh with one ``all_gather`` (ICI); the depth carried
-into a range is the sum of all event deltas left of it, injected as a
-single synthetic event at the range start.
+- the **production CLI path** (sharding/engine.py) buckets events on
+  the host and places each bucket directly on its owning device —
+  zero event collectives;
+- this module's ``sharded_coverage_step`` takes raw *read columns*
+  already sharded across devices (multi-host feeds where every process
+  decodes its own files): events are extracted on-device, bucketed by
+  owning range, and exchanged with one ``all_to_all`` whose per-pair
+  capacity adapts to the event distribution (retry-on-overflow, a
+  replicated scalar check). Per-device memory stays
+  O(local events + owned-range events) — the round-1 ``all_gather``
+  formulation was O(total events) per device and is gone.
+
+The depth carried into each range is the psum of per-range delta sums
+left of it, injected as one synthetic event at the range start.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -29,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pandepth_tpu.device.events import SENTINEL, extract_events
+from pandepth_tpu.device.events import SENTINEL, extract_events, pad_pow2
 from pandepth_tpu.device import sweep as sweep_mod
 
 
@@ -50,61 +57,122 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
-def sharded_coverage_step(mesh: Mesh, flags_mask: int, min_mapq: int,
-                          min_dep: int, wrap18: bool = False):
-    """Build a jitted full coverage step over the mesh.
-
-    The returned function takes globally-shaped arrays:
-      tid/pos/flag/mapq: (N,) int32 — reads, sharded over (dp, gs)
-      op_code/op_len/op_read: (M,) int32 — CIGAR stream, sharded over
-        (dp, gs); op_read indexes into the *local* read shard
-      offsets/limits: (n_targets,) int64 — replicated genome layout
-      bounds: (n_dev + 1,) int64 — replicated genome range cuts
-      seg_lo/seg_hi: (B,) int64 — replicated segment boundaries
-    and returns replicated (cover, depth_sum) int64 arrays of shape (B,).
-    """
-    axes = ("dp", "gs")
-    n_gs = mesh.shape["gs"]
+@functools.lru_cache(maxsize=None)
+def _exchange_step(mesh: Mesh, n_dev: int, cap: int, flags_mask: int,
+                   min_mapq: int, min_dep: int, wrap18: bool):
+    """One jitted bucketed-exchange coverage step at per-pair event
+    capacity ``cap``. Returns (cover, dsum, overflow); overflow > 0
+    means some (src, dst) bucket exceeded ``cap`` and the caller must
+    retry with a larger capacity."""
 
     def step(tid, pos, flag, mapq, opc, opl, opr, offsets, limits,
              bounds, seg_lo, seg_hi):
         ev_pos, ev_delta = extract_events(
             tid, pos, flag, mapq, opc, opl, opr, offsets, limits,
             flags_mask=flags_mask, min_mapq=min_mapq)
-        # one hop over ICI: every device sees every event
-        ev_pos = jax.lax.all_gather(ev_pos, axes, tiled=True)
-        ev_delta = jax.lax.all_gather(ev_delta, axes, tiled=True)
+        rid = jax.lax.axis_index("x")
+        lo, hi = bounds[rid], bounds[rid + 1]
 
-        rid = jax.lax.axis_index("dp") * n_gs + jax.lax.axis_index("gs")
-        lo = bounds[rid]
-        hi = bounds[rid + 1]
+        # destination range of every local event; dead (sentinel /
+        # filtered) slots go to a virtual bucket n_dev
+        live = ev_delta != 0
+        dest = jnp.clip(
+            jnp.searchsorted(bounds[1:-1], ev_pos, side="right"),
+            0, n_dev - 1).astype(jnp.int32)
+        dest = jnp.where(live, dest, n_dev)
 
-        # depth flowing into this range + events inside it
-        left = ev_pos < lo
-        carry = jnp.sum(jnp.where(left, ev_delta, 0), dtype=jnp.int32)
-        inside = (ev_pos >= lo) & (ev_pos < hi)
-        pos_m = jnp.where(inside, ev_pos, SENTINEL)
-        del_m = jnp.where(inside, ev_delta, 0)
-        pos2 = jnp.concatenate([jnp.full((1,), lo, jnp.int64), pos_m])
-        del2 = jnp.concatenate([carry[None], del_m])
+        # per-range delta sums -> carry flowing into each range
+        local_sums = jax.ops.segment_sum(
+            ev_delta.astype(jnp.int64), dest, num_segments=n_dev + 1)
+        range_sums = jax.lax.psum(local_sums[:n_dev], "x")
+        carry = (jnp.cumsum(range_sums) - range_sums)[rid].astype(
+            jnp.int32)
 
-        pos_s, depth, c_cov, c_sum, _ = sweep_mod.sort_events(
+        # bucket locally: sort by destination, then slot within bucket
+        dest_s, order = jax.lax.sort_key_val(
+            dest, jnp.arange(dest.shape[0], dtype=jnp.int32))
+        pos_s = ev_pos[order]
+        del_s = ev_delta[order]
+        starts = jnp.searchsorted(
+            dest_s, jnp.arange(n_dev, dtype=jnp.int32), side="left")
+        slot = jnp.arange(dest_s.shape[0], dtype=jnp.int32) - \
+            starts[jnp.minimum(dest_s, n_dev - 1)]
+        ok = (dest_s < n_dev) & (slot < cap)
+        overflow = jnp.sum(
+            jnp.where((dest_s < n_dev) & (slot >= cap), 1, 0))
+        overflow = jax.lax.psum(overflow, "x")
+        flat = jnp.where(ok, dest_s * cap + slot, n_dev * cap)
+        send_pos = jnp.full((n_dev * cap + 1,), SENTINEL,
+                            ev_pos.dtype).at[flat].set(
+            pos_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
+        send_del = jnp.zeros((n_dev * cap + 1,),
+                             jnp.int32).at[flat].set(
+            del_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
+
+        # one hop: row j of the send buffer goes to device j
+        recv_pos = jax.lax.all_to_all(send_pos, "x", 0, 0,
+                                      tiled=True).reshape(-1)
+        recv_del = jax.lax.all_to_all(send_del, "x", 0, 0,
+                                      tiled=True).reshape(-1)
+
+        pos2 = jnp.concatenate(
+            [lo[None].astype(recv_pos.dtype), recv_pos])
+        del2 = jnp.concatenate([carry[None], recv_del])
+        pos_sw, depth, c_cov, c_sum, _ = sweep_mod.sort_events(
             pos2, del2, min_dep=min_dep, wrap18=wrap18)
         md = jnp.int32(min_dep)
         lo_q = jnp.clip(seg_lo, lo, hi)
         hi_q = jnp.clip(seg_hi, lo, hi)
-        ql_c, ql_s = sweep_mod.eval_boundaries(pos_s, depth, c_cov,
-                                               c_sum, md, lo_q)
-        qh_c, qh_s = sweep_mod.eval_boundaries(pos_s, depth, c_cov,
-                                               c_sum, md, hi_q)
-        cover = jax.lax.psum(qh_c - ql_c, axes)
-        dsum = jax.lax.psum(qh_s - ql_s, axes)
-        return cover, dsum
+        cover, dsum = sweep_mod.eval_pair(pos_sw, depth, c_cov, c_sum,
+                                          md, lo_q, hi_q)
+        return (jax.lax.psum(cover, "x"), jax.lax.psum(dsum, "x"),
+                overflow)
 
-    sharded = shard_map_fn(
+    sh = P("x")
+    rep = P()
+    return jax.jit(shard_map_fn(
         step, mesh,
-        in_specs=(P(axes), P(axes), P(axes), P(axes),   # reads
-                  P(axes), P(axes), P(axes),            # cigar stream
-                  P(), P(), P(), P(), P()),             # replicated
-        out_specs=(P(), P()))
-    return jax.jit(sharded)
+        in_specs=(sh, sh, sh, sh,      # reads
+                  sh, sh, sh,          # cigar stream
+                  rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep)))
+
+
+def sharded_coverage_step(mesh: Mesh, flags_mask: int, min_mapq: int,
+                          min_dep: int, wrap18: bool = False):
+    """Build a full coverage step over the mesh (any shape; devices are
+    flattened into one range-sharding axis).
+
+    The returned function takes globally-shaped arrays:
+      tid/pos/flag/mapq: (N,) int32 — reads, sharded over devices
+      op_code/op_len/op_read: (M,) int32 — CIGAR stream, sharded over
+        devices; op_read indexes into the *local* read shard
+      offsets/limits: (n_targets,) int64 — replicated genome layout
+      bounds: (n_dev + 1,) int64 — replicated genome range cuts
+      seg_lo/seg_hi: (B,) int64 — replicated segment boundaries
+    and returns replicated (cover, depth_sum) int64 arrays of shape
+    (B,). Capacity for the bucketed exchange starts at 2x the balanced
+    per-pair load and doubles on overflow (hot ranges are rare but
+    must stay correct).
+    """
+    flat = Mesh(mesh.devices.reshape(-1), ("x",))
+    n_dev = int(mesh.devices.size)
+
+    def run(tid, pos, flag, mapq, opc, opl, opr, offsets, limits,
+            bounds, seg_lo, seg_hi):
+        m_local = -(-int(opc.shape[0]) // n_dev)
+        # 2 events per op, 2x safety over the balanced per-pair share
+        cap = pad_pow2(-(-4 * m_local // n_dev), floor=8)
+        max_cap = pad_pow2(2 * m_local, floor=8)
+        while True:
+            step = _exchange_step(flat, n_dev, cap, int(flags_mask),
+                                  int(min_mapq), int(min_dep),
+                                  bool(wrap18))
+            cover, dsum, overflow = step(tid, pos, flag, mapq, opc,
+                                         opl, opr, offsets, limits,
+                                         bounds, seg_lo, seg_hi)
+            if int(overflow) == 0 or cap >= max_cap:
+                return cover, dsum
+            cap = min(cap * 2, max_cap)
+
+    return run

@@ -81,13 +81,14 @@ def test_two_process_distributed(tmp_path, port):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.skip("distributed workers timed out")
-        if p.returncode != 0:
-            pytest.skip(f"distributed unavailable: {err[-500:]}")
+            pytest.fail("distributed workers timed out (the 2-process "
+                        "jax.distributed path regressed)")
+        assert p.returncode == 0, \
+            f"distributed worker failed: {err[-1500:]}"
         outs.append(out)
 
     results = [ln for o in outs for ln in o.splitlines()
