@@ -125,6 +125,46 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_load_bam.argtypes = [ctypes.c_void_p]
         lib.pancov_load_close.restype = None
         lib.pancov_load_close.argtypes = [ctypes.c_void_p]
+        lib.pancov_stream_open.restype = ctypes.c_void_p
+        lib.pancov_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int]
+        for name, res, args in [
+            ("pancov_stream_wait", ctypes.c_int64, [ctypes.c_void_p]),
+            ("pancov_stream_win_records", ctypes.c_int64,
+             [ctypes.c_void_p]),
+            ("pancov_stream_n_records", ctypes.c_int64,
+             [ctypes.c_void_p]),
+            ("pancov_stream_error", None,
+             [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
+            ("pancov_stream_n_targets", ctypes.c_int64,
+             [ctypes.c_void_p]),
+            ("pancov_stream_name_len", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64]),
+            ("pancov_stream_name", None,
+             [ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p]),
+            ("pancov_stream_target_len", ctypes.c_int64,
+             [ctypes.c_void_p, ctypes.c_int64]),
+            ("pancov_stream_text_len", ctypes.c_int64,
+             [ctypes.c_void_p]),
+            ("pancov_stream_text", None,
+             [ctypes.c_void_p, ctypes.c_char_p]),
+            ("pancov_stream_close", None, [ctypes.c_void_p]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = args
+        lib.pancov_stream_take32.restype = None
+        lib.pancov_stream_take32.argtypes = [
+            ctypes.c_void_p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32]
+        lib.pancov_stream_take64.restype = None
+        lib.pancov_stream_take64.argtypes = [ctypes.c_void_p, i64p,
+                                             i64p]
         lib.pancov_site_depth_write.restype = ctypes.c_int
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
@@ -360,6 +400,120 @@ class NativeBamLoad:
     def close(self) -> None:
         if self._h:
             self._lib.pancov_load_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBamStream:
+    """Bounded-memory streaming load: the producer thread reads,
+    inflates (parallel) and walks one compressed window at a time;
+    the consumer pulls each window's coverage events while the next
+    window inflates. Peak RSS is O(window), so files many times host
+    RAM stream fine (the reference's htslib-streaming + 10 Mb window
+    memory model, src/PanDepth.cpp:676-723, re-done TPU-side)."""
+
+    def __init__(self, path: str, flags_mask: int, min_mapq: int,
+                 pad: int = 512, threads: int = 0,
+                 ext_offsets: Optional[np.ndarray] = None,
+                 ext_limits: Optional[np.ndarray] = None,
+                 regions=None, window_bytes: int = 0):
+        from pandepth_tpu.io.bam import BamHeader
+
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                f"libpancov_io unavailable: {build_error()}")
+        self._lib = lib
+        if threads <= 0:
+            threads = min(os.cpu_count() or 1, 16)
+        if window_bytes <= 0:
+            window_bytes = int(os.environ.get(
+                "PANDEPTH_STREAM_WINDOW", 32 << 20))
+        err = ctypes.create_string_buffer(256)
+        keep = []
+        if ext_offsets is not None:
+            eo = np.ascontiguousarray(ext_offsets, np.int64)
+            el = np.ascontiguousarray(ext_limits, np.int64)
+            keep += [eo, el]
+            op, lp, ne = eo.ctypes.data, el.ctypes.data, eo.shape[0]
+        else:
+            op = lp = None
+            ne = 0
+        if regions is not None:
+            ro = np.ascontiguousarray(regions[0], np.int64)
+            rs = np.ascontiguousarray(regions[1], np.int64)
+            re_ = np.ascontiguousarray(regions[2], np.int64)
+            rmode = int(regions[3])
+            keep += [ro, rs, re_]
+            rop, rsp, rep, nr = (ro.ctypes.data, rs.ctypes.data,
+                                 re_.ctypes.data, rs.shape[0])
+        else:
+            rop = rsp = rep = None
+            nr = 0
+            rmode = 0
+        self._h = lib.pancov_stream_open(
+            path.encode(), threads, flags_mask, min_mapq, pad, op, lp,
+            ne, rop, rsp, rep, nr, rmode, window_bytes, err, len(err))
+        del keep  # the C side copies region/layout arrays
+        if not self._h:
+            raise ValueError(
+                f"pancov_stream_open({path}): {err.value.decode()}")
+        n = lib.pancov_stream_n_targets(self._h)
+        names = []
+        lengths = np.zeros(n, np.int64)
+        for i in range(n):
+            ln = lib.pancov_stream_name_len(self._h, i)
+            buf = ctypes.create_string_buffer(max(ln, 1))
+            lib.pancov_stream_name(self._h, i, buf)
+            names.append(buf.raw[:ln].decode())
+            lengths[i] = lib.pancov_stream_target_len(self._h, i)
+        tl = lib.pancov_stream_text_len(self._h)
+        tbuf = ctypes.create_string_buffer(max(tl, 1))
+        if tl:
+            lib.pancov_stream_text(self._h, tbuf)
+        self.header = BamHeader(text=tbuf.raw[:tl].decode("utf-8",
+                                                          "replace"),
+                                names=names, lengths=lengths)
+
+    def wait(self) -> int:
+        """Block for the next window; its event count, or -1 at EOF."""
+        n = int(self._lib.pancov_stream_wait(self._h))
+        if n == -2:
+            err = ctypes.create_string_buffer(256)
+            self._lib.pancov_stream_error(self._h, err, len(err))
+            raise ValueError(
+                f"pancov stream: {err.value.decode() or 'error'}")
+        return n
+
+    def win_records(self) -> int:
+        return int(self._lib.pancov_stream_win_records(self._h))
+
+    def take32(self, cap: int, sentinel: int):
+        s = np.empty(cap, np.int32)
+        e = np.empty(cap, np.int32)
+        self._lib.pancov_stream_take32(self._h, s, e, cap, sentinel)
+        return s, e
+
+    def take64(self, n: int):
+        # always call through: the C side also RELEASES the window
+        # (an empty window must still be consumed or wait() spins)
+        s = np.empty(max(n, 1), np.int64)
+        e = np.empty(max(n, 1), np.int64)
+        self._lib.pancov_stream_take64(self._h, s, e)
+        return s[:n], e[:n]
+
+    @property
+    def n_records(self) -> int:
+        return int(self._lib.pancov_stream_n_records(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pancov_stream_close(self._h)
             self._h = None
 
     def __del__(self):

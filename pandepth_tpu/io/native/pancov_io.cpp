@@ -22,6 +22,9 @@
 #include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
 #include <cstdint>
 #include <cstdlib>
 #include <memory>
@@ -446,6 +449,138 @@ struct LoadedBam {
   std::vector<int64_t> offsets, limits;
 };
 
+// per-walker output buffers (ranged mode walks in parallel)
+struct EvSink {
+  std::vector<size_t> rec_off;
+  std::vector<int32_t> rec_nc;
+  int64_t ops = 0;
+  int64_t n_rec = 0;
+  bool track_records = true;  // streaming sinks only count
+  std::vector<int64_t> es, ee;
+};
+
+// Record filtering + event extraction shared by the one-shot loader
+// and the streaming loader. Replicates which reads the reference
+// actually counts (see pancov_bam_load's header comment for the
+// region_mode semantics).
+struct WalkCtx {
+  uint32_t flags_mask = 0;
+  int32_t min_mapq = -1;
+  const int64_t* offsets = nullptr;
+  const int64_t* limits = nullptr;
+  int64_t n_targets = 0;
+  const int64_t* reg_off = nullptr;
+  const int64_t* reg_start = nullptr;
+  const int64_t* reg_end = nullptr;
+  int64_t n_regions = 0;
+  int region_mode = 0;
+  // region-cursor state (region_mode 2; persists across windows)
+  std::vector<int64_t> cursor;
+  std::vector<uint8_t> chr_done;
+  int64_t chrs_left = 0;
+  bool stream_done = false;  // the reference `break`s out of the loop
+
+  void init_cursor() {
+    if (n_regions > 0 && region_mode == 2) {
+      cursor.resize(n_targets);
+      chr_done.resize(n_targets);
+      for (int64_t t = 0; t < n_targets; t++) {
+        cursor[t] = reg_off[t];
+        chr_done[t] = reg_off[t] == reg_off[t + 1];
+        if (!chr_done[t]) chrs_left++;
+      }
+    }
+  }
+
+  // one record at `off2` in stream bytes d[0, total): index + filter +
+  // extract into `sk`; returns next offset, or 0 on malformed framing
+  size_t process_record(const uint8_t* d, size_t total, size_t off2,
+                        EvSink& sk) {
+    uint32_t block_size = le32(d + off2);
+    if (off2 + 4 + block_size > total || block_size < 32) return 0;
+    const uint8_t* p = d + off2 + 4;
+    uint16_t nc = le16(p + 12);
+    // fixed fields + read name + CIGAR must fit inside the record
+    if (32u + p[8] + 4u * nc > block_size) return 0;
+    if (sk.track_records) {
+      sk.rec_off.push_back(off2 + 4);
+      sk.rec_nc.push_back(nc);
+      sk.ops += nc;
+    }
+    sk.n_rec++;
+
+    int32_t tid = (int32_t)le32(p);
+    bool keep = tid >= 0 && tid < n_targets && nc > 0;
+    if (keep) {
+      uint16_t flag = le16(p + 14);
+      if (flag & flags_mask) keep = false;
+      if (keep && min_mapq >= 1 && p[9] < min_mapq) keep = false;
+    }
+    if (keep && n_regions > 0) {
+      int64_t pos0 = (int32_t)le32(p + 4);
+      int64_t span = 0;
+      const uint8_t* cig = p + 32 + p[8];
+      for (uint16_t k = 0; k < nc; k++) {
+        uint32_t v = le32(cig + 4 * k);
+        if ((kRefConsume >> (v & 0xF)) & 1) span += v >> 4;
+      }
+      int64_t end0 = span > 0 ? pos0 + span : pos0 + 1;
+      if (region_mode == 1) {
+        // does the read overlap any fetch window of its contig?
+        int64_t a = reg_off[tid], b2 = reg_off[tid + 1];
+        const int64_t* first = reg_start + a;
+        const int64_t* last = reg_start + b2;
+        const int64_t* it = std::upper_bound(first, last, end0 - 1);
+        keep = (it != first) && reg_end[a + (it - first) - 1] > pos0;
+      } else if (region_mode == 2) {
+        // stateful sorted-stream cursor
+        if (stream_done || chr_done[tid]) {
+          keep = false;
+        } else if (end0 < reg_start[cursor[tid]]) {
+          keep = false;  // note: raw 0-based end vs 1-based start
+        } else if (pos0 > reg_end[cursor[tid]]) {
+          int64_t c = cursor[tid] + 1;
+          int64_t b2 = reg_off[tid + 1];
+          while (c < b2 && pos0 > reg_end[c]) c++;
+          if (c >= b2) {
+            chr_done[tid] = 1;
+            chrs_left--;
+            if (chrs_left == 0) {
+              // the reference breaks the read loop HERE, so the
+              // finishing read is only counted when other
+              // chromosomes were still pending
+              stream_done = true;
+              keep = false;
+            }
+          }
+          cursor[tid] = c < b2 ? c : b2 - 1;
+        }
+      }
+    }
+    if (keep) {
+      int64_t cur = offsets[tid] + (int32_t)le32(p + 4);
+      int64_t floor = offsets[tid], limit = limits[tid];
+      const uint8_t* cig = p + 32 + p[8];
+      for (uint16_t k = 0; k < nc; k++) {
+        uint32_t v = le32(cig + 4 * k);
+        uint32_t op = v & 0xF;
+        int64_t len = v >> 4;
+        if ((kAddsDepth >> op) & 1) {
+          int64_t s = cur < floor ? floor : (cur > limit ? limit : cur);
+          int64_t e = cur + len;
+          e = e < floor ? floor : (e > limit ? limit : e);
+          if (e > s) {
+            sk.es.push_back(s);
+            sk.ee.push_back(e);
+          }
+        }
+        if ((kRefConsume >> op) & 1) cur += len;
+      }
+    }
+    return off2 + 4 + (size_t)block_size;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -626,112 +761,22 @@ void* pancov_bam_load(const char* path, int n_threads,
   bf->rec_ncigar.reserve(guess);
   lb->ev_starts.reserve(guess);
   lb->ev_ends.reserve(guess);
-  // region-cursor state (region_mode 2)
-  std::vector<int64_t> cursor;
-  std::vector<uint8_t> chr_done;
-  int64_t chrs_left = 0;   // chromosomes with regions not yet finished
-  bool stream_done = false;  // the reference `break`s out of the loop
-  if (n_regions > 0 && region_mode == 2) {
-    cursor.resize(n_targets);
-    chr_done.resize(n_targets);
-    for (int64_t t = 0; t < n_targets; t++) {
-      cursor[t] = reg_off[t];
-      chr_done[t] = reg_off[t] == reg_off[t + 1];
-      if (!chr_done[t]) chrs_left++;
-    }
-  }
+  WalkCtx ctx;
+  ctx.flags_mask = flags_mask;
+  ctx.min_mapq = min_mapq;
+  ctx.offsets = lb->offsets.data();
+  ctx.limits = lb->limits.data();
+  ctx.n_targets = n_targets;
+  ctx.reg_off = reg_off;
+  ctx.reg_start = reg_start;
+  ctx.reg_end = reg_end;
+  ctx.n_regions = n_regions;
+  ctx.region_mode = region_mode;
+  ctx.init_cursor();
   const uint8_t* d = bf->data.data();
-
-  // per-walker output buffers (ranged mode walks in parallel)
-  struct Sink {
-    std::vector<size_t> rec_off;
-    std::vector<int32_t> rec_nc;
-    int64_t ops = 0;
-    std::vector<int64_t> es, ee;
-  };
-
-  // one record at `off`: index + filter + extract into `sk`; returns
-  // the next offset, or 0 on malformed framing
+  using Sink = EvSink;
   auto process_record = [&](size_t off2, Sink& sk) -> size_t {
-    uint32_t block_size = le32(d + off2);
-    if (off2 + 4 + block_size > total || block_size < 32) return 0;
-    const uint8_t* p = d + off2 + 4;
-    uint16_t nc = le16(p + 12);
-    // fixed fields + read name + CIGAR must fit inside the record
-    if (32u + p[8] + 4u * nc > block_size) return 0;
-    sk.rec_off.push_back(off2 + 4);
-    sk.rec_nc.push_back(nc);
-    sk.ops += nc;
-
-    int32_t tid = (int32_t)le32(p);
-    bool keep = tid >= 0 && tid < n_targets && nc > 0;
-    if (keep) {
-      uint16_t flag = le16(p + 14);
-      if (flag & flags_mask) keep = false;
-      if (keep && min_mapq >= 1 && p[9] < min_mapq) keep = false;
-    }
-    if (keep && n_regions > 0) {
-      int64_t pos0 = (int32_t)le32(p + 4);
-      int64_t span = 0;
-      const uint8_t* cig = p + 32 + p[8];
-      for (uint16_t k = 0; k < nc; k++) {
-        uint32_t v = le32(cig + 4 * k);
-        if ((kRefConsume >> (v & 0xF)) & 1) span += v >> 4;
-      }
-      int64_t end0 = span > 0 ? pos0 + span : pos0 + 1;
-      if (region_mode == 1) {
-        // does the read overlap any fetch window of its contig?
-        int64_t a = reg_off[tid], b2 = reg_off[tid + 1];
-        const int64_t* first = reg_start + a;
-        const int64_t* last = reg_start + b2;
-        const int64_t* it = std::upper_bound(first, last, end0 - 1);
-        keep = (it != first) && reg_end[a + (it - first) - 1] > pos0;
-      } else if (region_mode == 2) {
-        // stateful sorted-stream cursor (see header comment)
-        if (stream_done || chr_done[tid]) {
-          keep = false;
-        } else if (end0 < reg_start[cursor[tid]]) {
-          keep = false;  // note: raw 0-based end vs 1-based start
-        } else if (pos0 > reg_end[cursor[tid]]) {
-          int64_t c = cursor[tid] + 1;
-          int64_t b2 = reg_off[tid + 1];
-          while (c < b2 && pos0 > reg_end[c]) c++;
-          if (c >= b2) {
-            chr_done[tid] = 1;
-            chrs_left--;
-            if (chrs_left == 0) {
-              // the reference breaks the read loop HERE, so the
-              // finishing read is only counted when other
-              // chromosomes were still pending
-              stream_done = true;
-              keep = false;
-            }
-          }
-          cursor[tid] = c < b2 ? c : b2 - 1;
-        }
-      }
-    }
-    if (keep) {
-      int64_t cur = lb->offsets[tid] + (int32_t)le32(p + 4);
-      int64_t floor = lb->offsets[tid], limit = lb->limits[tid];
-      const uint8_t* cig = p + 32 + p[8];
-      for (uint16_t k = 0; k < nc; k++) {
-        uint32_t v = le32(cig + 4 * k);
-        uint32_t op = v & 0xF;
-        int64_t len = v >> 4;
-        if ((kAddsDepth >> op) & 1) {
-          int64_t s = cur < floor ? floor : (cur > limit ? limit : cur);
-          int64_t e = cur + len;
-          e = e < floor ? floor : (e > limit ? limit : e);
-          if (e > s) {
-            sk.es.push_back(s);
-            sk.ee.push_back(e);
-          }
-        }
-        if ((kRefConsume >> op) & 1) cur += len;
-      }
-    }
-    return off2 + 4 + (size_t)block_size;
+    return ctx.process_record(d, total, off2, sk);
   };
 
   auto merge_sinks = [&](std::vector<Sink>& sinks) {
@@ -882,6 +927,462 @@ void pancov_load_events32(void* h, int32_t* starts, int32_t* ends,
 void* pancov_load_bam(void* h) { return &((LoadedBam*)h)->bam; }
 
 void pancov_load_close(void* h) { delete (LoadedBam*)h; }
+
+// ---------------------------------------------------------------------
+// Streaming bounded-memory load: the file is processed in fixed-size
+// compressed windows (read -> parallel inflate -> record walk ->
+// events), double-buffered behind a producer thread so the consumer's
+// device uploads overlap the next window's inflate. Peak RSS is
+// O(window + events-in-flight) regardless of file size — the TPU-era
+// equivalent of the reference's bounded 10 Mb sliding-window memory
+// model (src/PanDepth.cpp:676-723), where htslib streams records and
+// never holds the file.
+
+namespace {
+
+// like scan_blocks but tolerates a trailing partial block, reporting
+// how many bytes were consumed; malformed framing still returns false
+bool scan_blocks_partial(const uint8_t* raw, size_t n,
+                         std::vector<Block>& blocks, size_t& total_out,
+                         size_t& consumed) {
+  size_t off = 0;
+  total_out = 0;
+  while (off + 18 <= n) {
+    const uint8_t* p = raw + off;
+    if (p[0] != 0x1f || p[1] != 0x8b) return false;
+    if (!(p[3] & 4)) return false;  // FEXTRA required for BGZF
+    uint16_t xlen = le16(p + 10);
+    size_t xp = off + 12, xend = xp + xlen;
+    if (xend + 8 > n) break;  // partial header
+    long bsize = -1;
+    while (xp + 4 <= xend) {
+      uint8_t si1 = raw[xp], si2 = raw[xp + 1];
+      uint16_t slen = le16(raw + xp + 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2)
+        bsize = (long)le16(raw + xp + 4) + 1;
+      xp += 4 + slen;
+    }
+    if (bsize < 0 || (size_t)bsize < (xend - off) + 8) return false;
+    if (off + (size_t)bsize > n) break;  // partial payload
+    size_t payload = xend;
+    size_t payload_len = off + bsize - 8 - payload;
+    uint32_t isize = le32(raw + off + bsize - 4);
+    blocks.push_back({off, payload, payload_len, total_out, isize});
+    total_out += isize;
+    off += (size_t)bsize;
+  }
+  consumed = off;
+  return true;
+}
+
+bool inflate_window(const uint8_t* raw, const std::vector<Block>& blocks,
+                    uint8_t* out_base, int n_threads) {
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || !ok.load()) break;
+      const Block& b = blocks[i];
+      if (b.out_len &&
+          !inflate_block(raw + b.in_off, b.in_len, out_base + b.out_off,
+                         b.out_len))
+        ok.store(false);
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> ts;
+  for (int t = 1; t < n_threads; t++) ts.emplace_back(worker);
+  worker();
+  for (auto& t : ts) t.join();
+  return ok.load();
+}
+
+// 1 = parsed (hdr_end set), 0 = need more bytes, -1 = malformed
+int try_parse_header(const std::vector<uint8_t>& d,
+                     std::vector<std::string>& names,
+                     std::vector<int64_t>& lengths, std::string& text,
+                     size_t& hdr_end) {
+  names.clear();
+  lengths.clear();
+  if (d.size() < 4) return 0;
+  if (std::memcmp(d.data(), "BAM\x01", 4) != 0) return -1;
+  if (d.size() < 8) return 0;
+  uint32_t l_text = le32(d.data() + 4);
+  size_t off = 8;
+  if (off + (size_t)l_text + 4 > d.size()) return 0;
+  const char* tp = (const char*)d.data() + off;
+  text.assign(tp, strnlen(tp, l_text));
+  off += l_text;
+  uint32_t n_ref = le32(d.data() + off);
+  off += 4;
+  for (uint32_t i = 0; i < n_ref; i++) {
+    if (off + 4 > d.size()) return 0;
+    uint32_t l_name = le32(d.data() + off);
+    off += 4;
+    if (l_name < 1) return -1;
+    if (off + l_name + 4 > d.size()) return 0;
+    names.emplace_back((const char*)d.data() + off, l_name - 1);
+    off += l_name;
+    lengths.push_back((int32_t)le32(d.data() + off));
+    off += 4;
+  }
+  hdr_end = off;
+  return 1;
+}
+
+struct StreamWin {
+  std::vector<int64_t> es, ee;
+  int64_t n_rec = 0;
+};
+
+struct StreamBam {
+  FILE* f = nullptr;
+  bool bgzf = true;
+  size_t window_bytes = 32u << 20;
+  int n_threads = 1;
+  std::vector<int64_t> offsets, limits;
+  std::vector<int64_t> regs_off, regs_start, regs_end;  // owned copies
+  WalkCtx ctx;
+  std::string text;
+  std::vector<std::string> names;
+  std::vector<int64_t> lengths;
+  // inter-window carries (owned by the producer thread after start)
+  std::vector<uint8_t> carry_comp;  // partial BGZF block (compressed)
+  std::vector<uint8_t> carry_rec;   // partial record (decompressed)
+  bool file_eof = false;
+  // producer/consumer handoff
+  std::thread producer;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<StreamWin> q;
+  bool done = false;
+  bool error = false;
+  std::string errmsg;
+  bool stop = false;
+  int64_t total_records = 0;
+  StreamWin cur;
+  bool have_cur = false;
+
+  ~StreamBam() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv.notify_all();
+    if (producer.joinable()) producer.join();
+    if (f) std::fclose(f);
+  }
+
+  void fail(const char* msg) {
+    std::lock_guard<std::mutex> lk(mu);
+    error = true;
+    errmsg = msg;
+    done = true;
+    cv.notify_all();
+  }
+
+  void produce() {
+    std::vector<uint8_t> raw;
+    EvSink sink;
+    sink.track_records = false;
+    for (;;) {
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (stop) return;
+      }
+      if (ctx.stream_done) break;
+      raw.clear();
+      raw.swap(carry_comp);
+      size_t base = raw.size();
+      if (!file_eof) {
+        raw.resize(base + window_bytes);
+        size_t got = std::fread(raw.data() + base, 1, window_bytes, f);
+        raw.resize(base + got);
+        if (got < window_bytes) file_eof = true;
+      }
+      if (raw.empty() && carry_rec.empty() && file_eof) break;
+
+      std::vector<uint8_t> dec;
+      dec.swap(carry_rec);
+      size_t base_dec = dec.size();
+      if (bgzf) {
+        std::vector<Block> blocks;
+        size_t total_out = 0, consumed = 0;
+        if (!scan_blocks_partial(raw.data(), raw.size(), blocks,
+                                 total_out, consumed))
+          return fail("bad BGZF framing");
+        // the window is sized in compressed bytes; hyper-compressible
+        // inputs could inflate it without bound, so also cap the
+        // decompressed side and carry the surplus blocks
+        size_t dec_cap = window_bytes * 4;
+        if (total_out > dec_cap && blocks.size() > 1) {
+          size_t keepb = blocks.size();
+          while (keepb > 1 && blocks[keepb - 1].out_off >= dec_cap)
+            keepb--;
+          consumed = blocks[keepb].src_off;
+          total_out = blocks[keepb].out_off;
+          blocks.resize(keepb);
+        }
+        if (consumed < raw.size()) {
+          if (file_eof && blocks.empty())
+            return fail("truncated BGZF block");
+          carry_comp.assign(raw.begin() + consumed, raw.end());
+        }
+        dec.resize(base_dec + total_out);
+        if (!inflate_window(raw.data(), blocks, dec.data() + base_dec,
+                            n_threads))
+          return fail("BGZF inflate failed");
+      } else {
+        dec.insert(dec.end(), raw.begin(), raw.end());
+      }
+
+      sink.es.clear();
+      sink.ee.clear();
+      sink.n_rec = 0;
+      size_t off = 0, total = dec.size();
+      while (off + 4 <= total && !ctx.stream_done) {
+        uint32_t bsz = le32(dec.data() + off);
+        if (off + 4 + (size_t)bsz > total) break;  // spans windows
+        size_t nxt = ctx.process_record(dec.data(), total, off, sink);
+        if (nxt == 0) return fail("truncated BAM record");
+        off = nxt;
+      }
+      bool last = ctx.stream_done ||
+                  (file_eof && carry_comp.empty());
+      if (!ctx.stream_done) {
+        carry_rec.assign(dec.begin() + off, dec.end());
+        if (last && !carry_rec.empty())
+          return fail("truncated BAM record");
+      }
+
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return q.size() < 2 || stop; });
+        if (stop) return;
+        StreamWin w;
+        w.es.swap(sink.es);
+        w.ee.swap(sink.ee);
+        w.n_rec = sink.n_rec;
+        total_records += w.n_rec;
+        q.push_back(std::move(w));
+        cv.notify_all();
+      }
+      if (last) break;
+    }
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv.notify_all();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Streaming counterpart of pancov_bam_load (same layout/region
+// semantics, no vranges — index-driven block skipping stays on the
+// one-shot path). window_bytes <= 0 selects the default (32 MB
+// compressed per window; PANDEPTH docs: peak RSS ~ 2 windows).
+void* pancov_stream_open(const char* path, int n_threads,
+                         uint32_t flags_mask, int32_t min_mapq,
+                         int64_t pad, const int64_t* ext_offsets,
+                         const int64_t* ext_limits, int64_t n_ext,
+                         const int64_t* reg_off,
+                         const int64_t* reg_start,
+                         const int64_t* reg_end, int64_t n_regions,
+                         int region_mode, int64_t window_bytes,
+                         char* err, int err_len) {
+  auto* sb = new StreamBam();
+  auto fail0 = [&](const char* msg) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", msg);
+    delete sb;
+    return nullptr;
+  };
+  sb->f = std::fopen(path, "rb");
+  if (!sb->f) return fail0("cannot read file");
+  if (n_threads < 1) n_threads = 1;
+  sb->n_threads = n_threads;
+  if (window_bytes >= (1 << 20)) sb->window_bytes = (size_t)window_bytes;
+
+  // --- synchronous incremental header parse ---
+  {
+    std::vector<uint8_t> raw;
+    std::vector<uint8_t> dec;
+    size_t comp_done = 0;  // raw bytes already scanned+inflated
+    bool got_magic = false;
+    for (;;) {
+      size_t base = raw.size();
+      size_t want = 1 << 16;
+      raw.resize(base + want);
+      size_t got = std::fread(raw.data() + base, 1, want, sb->f);
+      raw.resize(base + got);
+      if (got < want) sb->file_eof = true;
+      if (!got_magic) {
+        if (raw.size() < 2) {
+          if (sb->file_eof) return fail0("not a BAM stream");
+          continue;
+        }
+        sb->bgzf = raw[0] == 0x1f && raw[1] == 0x8b;
+        got_magic = true;
+      }
+      if (sb->bgzf) {
+        std::vector<Block> blocks;
+        size_t total_out = 0, consumed = 0;
+        if (!scan_blocks_partial(raw.data() + comp_done,
+                                 raw.size() - comp_done, blocks,
+                                 total_out, consumed))
+          return fail0("bad BGZF framing");
+        size_t base_dec = dec.size();
+        dec.resize(base_dec + total_out);
+        for (auto& b : blocks) {
+          b.in_off += comp_done;
+          b.src_off += comp_done;
+        }
+        if (!inflate_window(raw.data(), blocks, dec.data() + base_dec,
+                            1))
+          return fail0("BGZF inflate failed");
+        comp_done += consumed;
+      } else {
+        dec.assign(raw.begin(), raw.end());
+        comp_done = raw.size();
+      }
+      size_t hdr_end = 0;
+      int rc = try_parse_header(dec, sb->names, sb->lengths, sb->text,
+                                hdr_end);
+      if (rc < 0) return fail0("not a BAM stream");
+      if (rc == 1) {
+        sb->carry_rec.assign(dec.begin() + hdr_end, dec.end());
+        sb->carry_comp.assign(raw.begin() + comp_done, raw.end());
+        break;
+      }
+      if (sb->file_eof) return fail0("truncated BAM header");
+    }
+  }
+
+  // genome layout (external in multi-sample mode, quirk Q5)
+  if (n_ext > 0) {
+    sb->offsets.assign(ext_offsets, ext_offsets + n_ext);
+    sb->limits.assign(ext_limits, ext_limits + n_ext);
+  } else {
+    int64_t acc = 0;
+    for (size_t i = 0; i < sb->lengths.size(); i++) {
+      sb->offsets.push_back(acc);
+      acc += sb->lengths[i] + pad;
+      sb->limits.push_back(acc);
+    }
+  }
+  if (n_regions > 0) {
+    int64_t nt = (int64_t)(n_ext > 0 ? n_ext : sb->lengths.size());
+    sb->regs_off.assign(reg_off, reg_off + nt + 1);
+    sb->regs_start.assign(reg_start, reg_start + n_regions);
+    sb->regs_end.assign(reg_end, reg_end + n_regions);
+    sb->ctx.reg_off = sb->regs_off.data();
+    sb->ctx.reg_start = sb->regs_start.data();
+    sb->ctx.reg_end = sb->regs_end.data();
+    sb->ctx.n_regions = n_regions;
+    sb->ctx.region_mode = region_mode;
+  }
+  sb->ctx.flags_mask = flags_mask;
+  sb->ctx.min_mapq = min_mapq;
+  sb->ctx.offsets = sb->offsets.data();
+  sb->ctx.limits = sb->limits.data();
+  sb->ctx.n_targets = (int64_t)sb->offsets.size();
+  sb->ctx.init_cursor();
+
+  sb->producer = std::thread([sb] { sb->produce(); });
+  return sb;
+}
+
+// blocks until the next window is ready; returns its event count,
+// -1 on clean EOF, -2 on error (fetch with pancov_stream_error)
+int64_t pancov_stream_wait(void* h) {
+  auto* sb = (StreamBam*)h;
+  std::unique_lock<std::mutex> lk(sb->mu);
+  if (sb->have_cur) return (int64_t)sb->cur.es.size();
+  sb->cv.wait(lk, [&] { return !sb->q.empty() || sb->done; });
+  if (sb->q.empty()) return sb->error ? -2 : -1;
+  sb->cur = std::move(sb->q.front());
+  sb->q.pop_front();
+  sb->have_cur = true;
+  sb->cv.notify_all();
+  return (int64_t)sb->cur.es.size();
+}
+
+int64_t pancov_stream_win_records(void* h) {
+  auto* sb = (StreamBam*)h;
+  std::lock_guard<std::mutex> lk(sb->mu);
+  return sb->have_cur ? sb->cur.n_rec : 0;
+}
+
+void pancov_stream_take32(void* h, int32_t* s, int32_t* e, int64_t cap,
+                          int32_t sentinel) {
+  auto* sb = (StreamBam*)h;
+  int64_t m = (int64_t)sb->cur.es.size();
+  for (int64_t i = 0; i < m; i++) {
+    s[i] = (int32_t)sb->cur.es[i];
+    e[i] = (int32_t)sb->cur.ee[i];
+  }
+  for (int64_t i = m; i < cap; i++) {
+    s[i] = sentinel;
+    e[i] = sentinel;
+  }
+  std::lock_guard<std::mutex> lk(sb->mu);
+  sb->have_cur = false;
+  sb->cur = StreamWin();
+}
+
+void pancov_stream_take64(void* h, int64_t* s, int64_t* e) {
+  auto* sb = (StreamBam*)h;
+  std::memcpy(s, sb->cur.es.data(), sb->cur.es.size() * sizeof(int64_t));
+  std::memcpy(e, sb->cur.ee.data(), sb->cur.ee.size() * sizeof(int64_t));
+  std::lock_guard<std::mutex> lk(sb->mu);
+  sb->have_cur = false;
+  sb->cur = StreamWin();
+}
+
+int64_t pancov_stream_n_records(void* h) {
+  auto* sb = (StreamBam*)h;
+  std::lock_guard<std::mutex> lk(sb->mu);
+  return sb->total_records;
+}
+
+void pancov_stream_error(void* h, char* err, int err_len) {
+  auto* sb = (StreamBam*)h;
+  std::lock_guard<std::mutex> lk(sb->mu);
+  if (err && err_len > 0)
+    std::snprintf(err, err_len, "%s", sb->errmsg.c_str());
+}
+
+int64_t pancov_stream_n_targets(void* h) {
+  return (int64_t)((StreamBam*)h)->names.size();
+}
+
+int64_t pancov_stream_name_len(void* h, int64_t i) {
+  return (int64_t)((StreamBam*)h)->names[i].size();
+}
+
+void pancov_stream_name(void* h, int64_t i, char* dst) {
+  const auto& s = ((StreamBam*)h)->names[i];
+  std::memcpy(dst, s.data(), s.size());
+}
+
+int64_t pancov_stream_target_len(void* h, int64_t i) {
+  return ((StreamBam*)h)->lengths[i];
+}
+
+int64_t pancov_stream_text_len(void* h) {
+  return (int64_t)((StreamBam*)h)->text.size();
+}
+
+void pancov_stream_text(void* h, char* dst) {
+  const auto& s = ((StreamBam*)h)->text;
+  std::memcpy(dst, s.data(), s.size());
+}
+
+void pancov_stream_close(void* h) { delete (StreamBam*)h; }
+
+}  // extern "C"
 
 // ---------------------------------------------------------------------
 // PAF parsing straight to depth intervals (reference engine semantics,

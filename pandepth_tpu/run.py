@@ -169,7 +169,14 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
 
 def _try_native_load(path: str, config: RunConfig,
                      ext_offsets=None, ext_limits=None, regions=None):
-    """NativeBamLoad when the file is BAM and the library builds."""
+    """Native load when the file is BAM and the library builds.
+
+    Targeted runs with an index use the one-shot block-skipping loader
+    (only target-overlapping BGZF blocks are inflated). Everything
+    else uses the bounded-memory streaming loader: windows of the file
+    are inflated and walked behind a producer thread while the engine
+    uploads the previous window's events (``PANDEPTH_STREAM=0`` forces
+    the round-1 whole-file loader)."""
     try:
         with open(path, "rb") as fh:
             magic = fh.read(4)
@@ -178,33 +185,72 @@ def _try_native_load(path: str, config: RunConfig,
     if magic[:2] != b"\x1f\x8b":
         return None
     try:
-        from pandepth_tpu.io.native import NativeBamLoad, load_library
+        from pandepth_tpu.io.native import (NativeBamLoad,
+                                            NativeBamStream,
+                                            load_library)
         if load_library() is None:
             return None
+        use_stream = os.environ.get("PANDEPTH_STREAM", "1") != "0"
         vranges = None
-        if regions is None or regions[3] == 1:
+        if regions is not None and regions[3] == 1:
             from pandepth_tpu.io.bamindex import (chunks_for_windows,
-                                                  full_file_splits,
                                                   load_index_for)
             idx = load_index_for(path)
-            if idx is not None and regions is not None:
+            if idx is not None:
                 # index-driven block skipping: decompress only the
                 # BGZF blocks whose records can overlap the windows
                 vranges = chunks_for_windows(idx, regions)
-            elif idx is not None:
+        elif regions is None and not use_stream:
+            from pandepth_tpu.io.bamindex import (full_file_splits,
+                                                  load_index_for)
+            idx = load_index_for(path)
+            if idx is not None:
                 # no target restriction: split the stream at known
                 # record boundaries for a parallel full-file walk
                 vranges = full_file_splits(
                     idx, max(config.threads, os.cpu_count() or 1))
                 if vranges.shape[0] <= 1:
                     vranges = None
+        if vranges is not None:
+            return NativeBamLoad(path, config.flags, config.min_mapq,
+                                 threads=config.threads,
+                                 ext_offsets=ext_offsets,
+                                 ext_limits=ext_limits,
+                                 regions=regions, vranges=vranges)
+        if use_stream:
+            return NativeBamStream(path, config.flags,
+                                   config.min_mapq,
+                                   threads=config.threads,
+                                   ext_offsets=ext_offsets,
+                                   ext_limits=ext_limits,
+                                   regions=regions)
         return NativeBamLoad(path, config.flags, config.min_mapq,
                              threads=config.threads,
                              ext_offsets=ext_offsets,
-                             ext_limits=ext_limits, regions=regions,
-                             vranges=vranges)
+                             ext_limits=ext_limits, regions=regions)
     except (ValueError, RuntimeError, OSError):
         return None
+
+
+def _feed_stream(engine, r) -> None:
+    """Pull event windows from a NativeBamStream into the engine; each
+    device upload overlaps the producer's next-window inflate."""
+    from pandepth_tpu.device.events import pad_pow2
+
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        if engine.wants_padded_events and \
+                engine.pos_dtype is np.int32:
+            s32, e32 = r.take32(pad_pow2(max(n, 1)),
+                                engine.pos_sentinel)
+            engine.add_padded_events(s32, e32)
+        else:
+            s, e = r.take64(n)
+            engine.add_start_end(s, e)
+    engine.n_reads_seen += r.n_records
+    r.close()
 
 
 def _cheap_header(path: str) -> Optional[BamHeader]:
@@ -379,6 +425,9 @@ def run_alignment(config: RunConfig) -> int:
                                  regions=regions_for(path, hdr_i))
             if r is None:
                 r = open_alignment(path, threads=config.threads)
+        if hasattr(r, "wait") and hasattr(r, "take32"):
+            _feed_stream(engine, r)
+            continue
         if hasattr(r, "events"):
             if engine.wants_padded_events and \
                     engine.pos_dtype is np.int32 and \
