@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -91,6 +92,14 @@ class CoverageEngine:
         self._offsets = jnp.asarray(layout.offsets)
         self._limits = jnp.asarray(layout.limits)
         self._chunks: List[Tuple[jax.Array, jax.Array]] = []
+        # host staging for (starts, ends) event arrays: many small
+        # device uploads serialize on the dispatch queue (each pays a
+        # link round-trip), so windows accumulate here and flush as ONE
+        # padded transfer; the threshold bounds host memory
+        self._stage: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._staged = 0
+        self._flush_events = int(os.environ.get(
+            "PANDEPTH_FLUSH_EVENTS", 48 << 20))
         self._state = None  # cached sweep state after finalize
         self.n_reads_seen = 0
 
@@ -127,31 +136,40 @@ class CoverageEngine:
 
     def add_start_end(self, starts: np.ndarray, ends: np.ndarray) -> None:
         """Append pre-extracted, pre-filtered global [start, end) event
-        pairs (the native C++ fast path). Padding slots must already be
-        SENTINEL; deltas are synthesized on-device so only positions
-        cross the host->device link."""
-        m = starts.shape[0]
-        if m == 0:
+        pairs (the native C++ fast path). Sentinel-tailed slots are
+        fine; deltas are synthesized on-device so only positions cross
+        the host->device link."""
+        if starts.shape[0] == 0:
             return
+        self._stage.append((starts.astype(self.pos_dtype, copy=False),
+                            ends.astype(self.pos_dtype, copy=False)))
+        self._staged += starts.shape[0]
+        self._state = None
+        if self._staged >= self._flush_events:
+            self._flush_stage()
+
+    # native loaders hand over pos_dtype sentinel-tailed arrays; both
+    # shapes stage identically
+    add_padded_events = add_start_end
+
+    def _flush_stage(self) -> None:
+        """One padded H2D transfer + device pack for all staged pairs."""
+        if not self._stage:
+            return
+        m = sum(s.shape[0] for s, _ in self._stage)
         mp = pad_pow2(m)
         s = np.full(mp, self.pos_sentinel, self.pos_dtype)
         e = np.full(mp, self.pos_sentinel, self.pos_dtype)
-        s[:m] = starts
-        e[:m] = ends
+        o = 0
+        for a, b in self._stage:
+            s[o: o + a.shape[0]] = a
+            e[o: o + b.shape[0]] = b
+            o += a.shape[0]
+        self._stage = []
+        self._staged = 0
         pos, delta = _pack_events(jnp.asarray(s), jnp.asarray(e),
                                   self.pos_sentinel)
         self._chunks.append((pos, delta))
-        self._state = None
-
-    def add_padded_events(self, starts: np.ndarray,
-                          ends: np.ndarray) -> None:
-        """Like add_start_end, but the arrays are already pos_dtype and
-        sentinel-padded (native fast path: zero host-side copies)."""
-        assert starts.dtype == self.pos_dtype
-        pos, delta = _pack_events(jnp.asarray(starts),
-                                  jnp.asarray(ends), self.pos_sentinel)
-        self._chunks.append((pos, delta))
-        self._state = None
 
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
@@ -186,6 +204,7 @@ class CoverageEngine:
 
     # ------------------------------------------------------------------
     def _events(self) -> Tuple[jax.Array, jax.Array]:
+        self._flush_stage()
         if not self._chunks:
             z = jnp.full((1,), self.pos_sentinel, self.pos_dtype)
             return z, jnp.zeros((1,), jnp.int32)
@@ -232,16 +251,24 @@ class CoverageEngine:
 
         b = lo.shape[0]
         if self._state is None and b <= chunk:
-            # one fused dispatch: sort + scan + eval; cache the state
+            # one fused dispatch: concat + sort + scan + eval; cache
+            # the state
             bp = pad_pow2(b, floor=256)
             lo_c = np.zeros(bp, self.pos_dtype)
             hi_c = np.zeros(bp, self.pos_dtype)
             lo_c[:b] = lo
             hi_c[:b] = hi
             method = "scan_unrolled" if bp <= 4096 else "sort"
-            pos, delta = self._events()
-            out = sweep_mod.finalize_segments(
-                pos, delta, jnp.asarray(lo_c), jnp.asarray(hi_c),
+            self._flush_stage()
+            if self._chunks:
+                cp = tuple(c[0] for c in self._chunks)
+                cd = tuple(c[1] for c in self._chunks)
+            else:
+                cp = (jnp.full((1,), self.pos_sentinel,
+                               self.pos_dtype),)
+                cd = (jnp.zeros((1,), jnp.int32),)
+            out = sweep_mod.finalize_chunked(
+                cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),
                 min_dep=self.min_dep, wrap18=self.wrap18, method=method)
             cover, dsum = out[0], out[1]
             self._state = out[2:6]

@@ -111,6 +111,22 @@ def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
 
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
                                              "method"))
+def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
+                     min_dep: int = 1, wrap18: bool = False,
+                     method: str = "scan_unrolled"):
+    """finalize_segments over a TUPLE of event chunks: the concat, the
+    sort, the scans and the boundary eval fuse into ONE dispatch — the
+    streaming feed leaves one device array per window, and a tunnel
+    round-trip per op would dominate the small finalize."""
+    pos = jnp.concatenate(list(chunks_pos))
+    delta = jnp.concatenate(list(chunks_delta))
+    return finalize_segments(pos, delta, seg_lo, seg_hi,
+                             min_dep=min_dep, wrap18=wrap18,
+                             method=method)
+
+
+@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
+                                             "method"))
 def finalize_segments(ev_pos, ev_delta, seg_lo, seg_hi,
                       min_dep: int = 1, wrap18: bool = False,
                       method: str = "scan_unrolled"):

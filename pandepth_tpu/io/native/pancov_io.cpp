@@ -1056,6 +1056,8 @@ struct StreamBam {
   std::mutex mu;
   std::condition_variable cv;
   std::deque<StreamWin> q;
+  std::vector<StreamWin> pool;  // consumed windows recycled (their
+                                // vectors keep capacity: no page churn)
   bool done = false;
   bool error = false;
   std::string errmsg;
@@ -1083,33 +1085,59 @@ struct StreamBam {
   }
 
   void produce() {
+    // persistent window buffers: pages fault in once, then stay hot —
+    // re-allocating per window costs ~0.25 ms/MB in soft faults, which
+    // at GB/s inflate rates dominates the whole pipeline
     std::vector<uint8_t> raw;
+    std::vector<uint8_t> dec;
     EvSink sink;
     sink.track_records = false;
+    const bool dbg = std::getenv("PANDEPTH_STREAM_DEBUG") != nullptr;
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration_cast<std::chrono::microseconds>(
+                 b - a).count() / 1000.0;
+    };
+    // carries live at the FRONT of the persistent buffers; lengths
+    // track the live prefix (raw: compressed tail of a split block,
+    // dec: decompressed tail of a split record)
+    raw.assign(carry_comp.begin(), carry_comp.end());
+    carry_comp.clear();
+    size_t raw_len = raw.size();
+    dec.assign(carry_rec.begin(), carry_rec.end());
+    carry_rec.clear();
+    size_t dec_carry = dec.size();
     for (;;) {
       {
         std::lock_guard<std::mutex> lk(mu);
         if (stop) return;
       }
       if (ctx.stream_done) break;
-      raw.clear();
-      raw.swap(carry_comp);
-      size_t base = raw.size();
+      auto t0 = now();
       if (!file_eof) {
-        raw.resize(base + window_bytes);
-        size_t got = std::fread(raw.data() + base, 1, window_bytes, f);
-        raw.resize(base + got);
+        if (raw.size() < raw_len + window_bytes)
+          raw.resize(raw_len + window_bytes);
+        size_t got = std::fread(raw.data() + raw_len, 1, window_bytes,
+                                f);
+        raw_len += got;
         if (got < window_bytes) file_eof = true;
       }
-      if (raw.empty() && carry_rec.empty() && file_eof) break;
+      if (raw_len == 0 && dec_carry == 0 && file_eof) break;
+      auto t1 = now();
 
-      std::vector<uint8_t> dec;
-      dec.swap(carry_rec);
-      size_t base_dec = dec.size();
+      size_t base_dec = dec_carry;
+      sink.es.clear();
+      sink.ee.clear();
+      sink.n_rec = 0;
+      size_t off = 0;
+      size_t grand_total = base_dec;
+      size_t consumed = 0;
+      bool walk_failed = false;
+      auto t2 = t1;
       if (bgzf) {
         std::vector<Block> blocks;
-        size_t total_out = 0, consumed = 0;
-        if (!scan_blocks_partial(raw.data(), raw.size(), blocks,
+        size_t total_out = 0;
+        if (!scan_blocks_partial(raw.data(), raw_len, blocks,
                                  total_out, consumed))
           return fail("bad BGZF framing");
         // the window is sized in compressed bytes; hyper-compressible
@@ -1124,36 +1152,120 @@ struct StreamBam {
           total_out = blocks[keepb].out_off;
           blocks.resize(keepb);
         }
-        if (consumed < raw.size()) {
-          if (file_eof && blocks.empty())
-            return fail("truncated BGZF block");
-          carry_comp.assign(raw.begin() + consumed, raw.end());
+        if (consumed < raw_len && file_eof && blocks.empty())
+          return fail("truncated BGZF block");
+        if (dec.size() < base_dec + total_out)
+          dec.resize(base_dec + total_out);
+        grand_total = base_dec + total_out;
+        // inflate workers race ahead while this thread walks records
+        // chasing the inflated frontier (work-stealing the frontier
+        // block when it is unclaimed) — inflate and walk overlap
+        // within the window, so the producer cycle is inflate-bound
+        size_t nb = blocks.size();
+        std::unique_ptr<std::atomic<uint32_t>[]> done(
+            new std::atomic<uint32_t>[nb + 1]);
+        std::unique_ptr<std::atomic<uint32_t>[]> claim(
+            new std::atomic<uint32_t>[nb + 1]);
+        for (size_t i = 0; i <= nb; i++) {
+          done[i].store(0);
+          claim[i].store(0);
         }
-        dec.resize(base_dec + total_out);
-        if (!inflate_window(raw.data(), blocks, dec.data() + base_dec,
-                            n_threads))
-          return fail("BGZF inflate failed");
+        std::atomic<size_t> nexti(0);
+        std::atomic<bool> ok(true);
+        auto try_inflate = [&](size_t k) -> bool {
+          uint32_t expect = 0;
+          if (!claim[k].compare_exchange_strong(expect, 1)) return false;
+          const Block& b = blocks[k];
+          if (b.out_len &&
+              !inflate_block(raw.data() + b.in_off, b.in_len,
+                             dec.data() + base_dec + b.out_off,
+                             b.out_len))
+            ok.store(false);
+          done[k].store(1, std::memory_order_release);
+          return true;
+        };
+        std::vector<std::thread> ws;
+        for (int t = 1; t < n_threads; t++)
+          ws.emplace_back([&]() {
+            for (;;) {
+              size_t k = nexti.fetch_add(1);
+              if (k >= nb || !ok.load()) break;
+              try_inflate(k);
+            }
+          });
+        size_t frontier = 0;
+        size_t ready = base_dec;
+        auto wait_ready = [&](size_t need) -> bool {
+          while (ready < need) {
+            if (!ok.load()) return false;
+            if (frontier < nb &&
+                done[frontier].load(std::memory_order_acquire)) {
+              ready += blocks[frontier].out_len;
+              frontier++;
+            } else if (frontier >= nb || !try_inflate(frontier)) {
+              std::this_thread::sleep_for(
+                  std::chrono::microseconds(50));
+            }
+          }
+          return true;
+        };
+        while (off + 4 <= grand_total && !ctx.stream_done) {
+          if (!wait_ready(std::min(grand_total, off + 4))) break;
+          uint32_t bsz = le32(dec.data() + off);
+          if (off + 4 + (size_t)bsz > grand_total) break;
+          if (!wait_ready(off + 4 + (size_t)bsz)) break;
+          size_t nxt = ctx.process_record(dec.data(), grand_total, off,
+                                          sink);
+          if (nxt == 0) {
+            walk_failed = true;
+            break;
+          }
+          off = nxt;
+        }
+        for (auto& w : ws) w.join();
+        if (!ok.load()) return fail("BGZF inflate failed");
+        if (walk_failed) return fail("truncated BAM record");
+        t2 = now();  // inflate and walk overlapped; report as walk
       } else {
-        dec.insert(dec.end(), raw.begin(), raw.end());
+        if (dec.size() < base_dec + raw_len)
+          dec.resize(base_dec + raw_len);
+        std::memcpy(dec.data() + base_dec, raw.data(), raw_len);
+        consumed = raw_len;
+        grand_total = base_dec + raw_len;
+        t2 = now();
+        while (off + 4 <= grand_total && !ctx.stream_done) {
+          uint32_t bsz = le32(dec.data() + off);
+          if (off + 4 + (size_t)bsz > grand_total) break;
+          size_t nxt = ctx.process_record(dec.data(), grand_total, off,
+                                          sink);
+          if (nxt == 0) return fail("truncated BAM record");
+          off = nxt;
+        }
       }
+      auto t3 = now();
+      if (dbg)
+        std::fprintf(stderr,
+                     "[stream] raw=%zuMB dec=%zuMB read=%.1fms "
+                     "inflate=%.1fms walk=%.1fms rec=%lld ev=%zu\n",
+                     raw_len >> 20, grand_total >> 20, ms(t0, t1),
+                     ms(t1, t2), ms(t2, t3), (long long)sink.n_rec,
+                     sink.es.size());
 
-      sink.es.clear();
-      sink.ee.clear();
-      sink.n_rec = 0;
-      size_t off = 0, total = dec.size();
-      while (off + 4 <= total && !ctx.stream_done) {
-        uint32_t bsz = le32(dec.data() + off);
-        if (off + 4 + (size_t)bsz > total) break;  // spans windows
-        size_t nxt = ctx.process_record(dec.data(), total, off, sink);
-        if (nxt == 0) return fail("truncated BAM record");
-        off = nxt;
-      }
-      bool last = ctx.stream_done ||
-                  (file_eof && carry_comp.empty());
-      if (!ctx.stream_done) {
-        carry_rec.assign(dec.begin() + off, dec.end());
-        if (last && !carry_rec.empty())
-          return fail("truncated BAM record");
+      // compact the persistent buffers: unscanned compressed bytes and
+      // the split record's decompressed tail move to the front
+      if (consumed > 0 && consumed < raw_len)
+        std::memmove(raw.data(), raw.data() + consumed,
+                     raw_len - consumed);
+      raw_len -= consumed;
+      bool last = ctx.stream_done || (file_eof && raw_len == 0);
+      if (ctx.stream_done) {
+        dec_carry = 0;
+      } else {
+        dec_carry = grand_total - off;
+        if (dec_carry > 0) {
+          if (last) return fail("truncated BAM record");
+          std::memmove(dec.data(), dec.data() + off, dec_carry);
+        }
       }
 
       {
@@ -1161,6 +1273,10 @@ struct StreamBam {
         cv.wait(lk, [&] { return q.size() < 2 || stop; });
         if (stop) return;
         StreamWin w;
+        if (!pool.empty()) {
+          w = std::move(pool.back());
+          pool.pop_back();
+        }
         w.es.swap(sink.es);
         w.ee.swap(sink.ee);
         w.n_rec = sink.n_rec;
@@ -1315,6 +1431,18 @@ int64_t pancov_stream_win_records(void* h) {
   return sb->have_cur ? sb->cur.n_rec : 0;
 }
 
+namespace {
+
+void release_cur(StreamBam* sb) {
+  std::lock_guard<std::mutex> lk(sb->mu);
+  sb->have_cur = false;
+  if (sb->pool.size() < 4)
+    sb->pool.push_back(std::move(sb->cur));
+  sb->cur = StreamWin();
+}
+
+}  // namespace
+
 void pancov_stream_take32(void* h, int32_t* s, int32_t* e, int64_t cap,
                           int32_t sentinel) {
   auto* sb = (StreamBam*)h;
@@ -1327,18 +1455,14 @@ void pancov_stream_take32(void* h, int32_t* s, int32_t* e, int64_t cap,
     s[i] = sentinel;
     e[i] = sentinel;
   }
-  std::lock_guard<std::mutex> lk(sb->mu);
-  sb->have_cur = false;
-  sb->cur = StreamWin();
+  release_cur(sb);
 }
 
 void pancov_stream_take64(void* h, int64_t* s, int64_t* e) {
   auto* sb = (StreamBam*)h;
   std::memcpy(s, sb->cur.es.data(), sb->cur.es.size() * sizeof(int64_t));
   std::memcpy(e, sb->cur.ee.data(), sb->cur.ee.size() * sizeof(int64_t));
-  std::lock_guard<std::mutex> lk(sb->mu);
-  sb->have_cur = false;
-  sb->cur = StreamWin();
+  release_cur(sb);
 }
 
 int64_t pancov_stream_n_records(void* h) {

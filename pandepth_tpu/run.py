@@ -233,18 +233,14 @@ def _try_native_load(path: str, config: RunConfig,
 
 
 def _feed_stream(engine, r) -> None:
-    """Pull event windows from a NativeBamStream into the engine; each
-    device upload overlaps the producer's next-window inflate."""
-    from pandepth_tpu.device.events import pad_pow2
-
+    """Pull event windows from a NativeBamStream into the engine (the
+    engine stages them host-side and uploads in large batches)."""
     while True:
         n = r.wait()
         if n < 0:
             break
-        if engine.wants_padded_events and \
-                engine.pos_dtype is np.int32:
-            s32, e32 = r.take32(pad_pow2(max(n, 1)),
-                                engine.pos_sentinel)
+        if engine.pos_dtype is np.int32:
+            s32, e32 = r.take32(max(n, 1), engine.pos_sentinel)
             engine.add_padded_events(s32, e32)
         else:
             s, e = r.take64(n)
@@ -432,10 +428,8 @@ def run_alignment(config: RunConfig) -> int:
             if engine.wants_padded_events and \
                     engine.pos_dtype is np.int32 and \
                     hasattr(r, "events32_padded"):
-                from pandepth_tpu.device.events import pad_pow2
-
                 s32, e32, _m = r.events32_padded(
-                    pad_pow2(max(r.n_events, 1)), engine.pos_sentinel)
+                    max(r.n_events, 1), engine.pos_sentinel)
                 engine.add_padded_events(s32, e32)
             else:
                 starts, ends = r.events()
@@ -452,8 +446,6 @@ def run_alignment(config: RunConfig) -> int:
                 from pandepth_tpu.io.native import (NativePafLoad,
                                                     load_library)
                 if load_library() is not None:
-                    from pandepth_tpu.device.events import pad_pow2
-
                     sl = NativePafLoad(path, config.flags,
                                        config.min_mapq, names,
                                        engine.layout.offsets,
@@ -462,7 +454,7 @@ def run_alignment(config: RunConfig) -> int:
                     if engine.wants_padded_events and \
                             engine.pos_dtype is np.int32:
                         s32, e32 = sl.events32_padded(
-                            pad_pow2(max(sl.n_events, 1)),
+                            max(sl.n_events, 1),
                             engine.pos_sentinel)
                         engine.add_padded_events(s32, e32)
                     else:
@@ -557,15 +549,13 @@ def run_paf(config: RunConfig) -> int:
             from pandepth_tpu.io.native import (NativePafLoad,
                                                 load_library)
             if load_library() is not None:
-                from pandepth_tpu.device.events import pad_pow2
-
                 pl = NativePafLoad(path, config.flags, config.min_mapq,
                                    names, engine.layout.offsets,
                                    engine.layout.limits)
                 if engine.wants_padded_events and \
                         engine.pos_dtype is np.int32:
                     s32, e32 = pl.events32_padded(
-                        pad_pow2(max(pl.n_events, 1)),
+                        max(pl.n_events, 1),
                         engine.pos_sentinel)
                     engine.add_padded_events(s32, e32)
                 else:
