@@ -146,6 +146,47 @@ def _gather_le(u8: np.ndarray, offsets: np.ndarray, nbytes: int) -> np.ndarray:
     return (b << shifts).sum(axis=1)
 
 
+_AUX_FIXED = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+              ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+_B_ELSIZE = {ord("c"): 1, ord("C"): 1, ord("s"): 2, ord("S"): 2,
+             ord("i"): 4, ord("I"): 4, ord("f"): 4}
+
+
+def _find_cg(data: bytes, aux: int, end: int) -> Optional[Tuple[int, int]]:
+    """Scan aux tags in data[aux:end] for CG:B,I; returns (byte offset
+    of the op array, op count) or None. Mirrors htslib's tolerance:
+    malformed aux keeps the in-place placeholder CIGAR."""
+    off = aux
+    while off + 3 <= end:
+        t1, t2, typ = data[off], data[off + 1], data[off + 2]
+        off += 3
+        if typ in _AUX_FIXED:
+            off += _AUX_FIXED[typ]
+        elif typ in (ord("Z"), ord("H")):
+            z = data.find(b"\x00", off, end)
+            if z < 0:
+                return None
+            off = z + 1
+        elif typ == ord("B"):
+            if off + 5 > end:
+                return None
+            sub = data[off]
+            if sub not in _B_ELSIZE:
+                return None
+            (cnt,) = struct.unpack_from("<I", data, off + 1)
+            if off + 5 + cnt * _B_ELSIZE[sub] > end:
+                return None
+            if t1 == ord("C") and t2 == ord("G") and \
+                    sub in (ord("I"), ord("i")):
+                if cnt < 1 or cnt >= 1 << 29:
+                    return None
+                return off + 5, cnt
+            off += 5 + cnt * _B_ELSIZE[sub]
+        else:
+            return None
+    return None
+
+
 def decode_records(data: bytes, offsets: np.ndarray) -> ReadBatch:
     """Decode the records whose data starts at ``offsets`` (columnar)."""
     n = len(offsets)
@@ -161,6 +202,27 @@ def decode_records(data: bytes, offsets: np.ndarray) -> ReadBatch:
     flag = _gather_le(u8, offsets + 14, 2).astype(np.int32)
 
     cig_off = offsets + 32 + l_read_name
+
+    # long-CIGAR records (>2^16-1 ops): htslib rewrites the `lqseq S,
+    # span N` placeholder from the CG:B,I aux tag on read (sam.c
+    # bam_tag2cigar, the layer under the reference's sam_read1 at
+    # src/PanDepth.cpp:4604); candidates = first op S of exactly l_qseq
+    lqseq = _gather_le(u8, offsets + 16, 4)
+    cand = np.flatnonzero(
+        (n_cigar > 0) & (lqseq > 0) &
+        (_gather_le(u8, np.where(n_cigar > 0, cig_off, 0), 4)
+         == ((lqseq << 4) | CIGAR_S)))
+    if cand.size:
+        n_cigar = n_cigar.copy()
+        cig_off = cig_off.copy()
+        bsize = _gather_le(u8, offsets - 4, 4)
+        for i in cand:
+            aux = int(cig_off[i] + 4 * n_cigar[i] +
+                      (lqseq[i] + 1) // 2 + lqseq[i])
+            hit = _find_cg(data, aux, int(offsets[i] + bsize[i]))
+            if hit is not None:
+                cig_off[i], n_cigar[i] = hit
+
     total_ops = int(n_cigar.sum())
     if total_ops:
         n_ops64 = n_cigar.astype(np.int64)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import struct
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from pandepth_tpu.io.bgzf import BGZF_EOF
 import zlib
 
@@ -18,6 +20,7 @@ _OP_CHARS = "MIDNSHP=X"
 _OP_OF = {c: i for i, c in enumerate(_OP_CHARS)}
 _SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 _REF_CONSUME = {0, 2, 3, 7, 8}
+CIGAR_N_OP, CIGAR_S_OP = 3, 4
 
 
 def cigar_str_to_ops(cig: str) -> List[Tuple[int, int]]:
@@ -61,13 +64,25 @@ def encode_record(tid: int, pos: int, flag: int, mapq: int, cigar: str,
     seq = seq or ""
     span = ref_span(ops)
     end = pos + span if span > 0 else pos + 1
+    # BAM caps n_cigar at 2^16-1: store the htslib placeholder
+    # (l_qseq S, ref_span N) in the CIGAR field and the real ops in a
+    # CG:B,I aux tag (the convention bam_tag2cigar reverses on read)
+    use_cg = len(ops) > 0xFFFF and len(seq) > 0
+    stored = [(CIGAR_S_OP, len(seq)), (CIGAR_N_OP, span)] if use_cg \
+        else ops
     name_b = qname.encode() + b"\x00"
     rec = struct.pack("<iiBBHHHiiii", tid, pos, len(name_b), mapq,
                       reg2bin(pos, end) if tid >= 0 else 4680,
-                      len(ops), flag, len(seq), -1, -1, 0)
+                      len(stored), flag, len(seq), -1, -1, 0)
     rec += name_b
-    for op, l in ops:
-        rec += struct.pack("<I", (l << 4) | op)
+    cig = np.empty(len(ops), np.uint32)
+    for k, (op, l) in enumerate(ops):
+        cig[k] = (l << 4) | op
+    if use_cg:
+        rec += struct.pack("<II", (len(seq) << 4) | CIGAR_S_OP,
+                           (span << 4) | CIGAR_N_OP)
+    else:
+        rec += cig.tobytes()
     packed = bytearray()
     for i in range(0, len(seq), 2):
         hi = _SEQ_NT16.get(seq[i].upper(), 15) << 4
@@ -75,6 +90,8 @@ def encode_record(tid: int, pos: int, flag: int, mapq: int, cigar: str,
         packed.append(hi | lo)
     rec += bytes(packed)
     rec += b"\xff" * len(seq)  # qual: missing
+    if use_cg:
+        rec += b"CGBI" + struct.pack("<I", len(ops)) + cig.tobytes()
     return struct.pack("<i", len(rec)) + rec
 
 

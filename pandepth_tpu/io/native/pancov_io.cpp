@@ -219,6 +219,75 @@ bool parse_header(BamFile* bf, size_t& off) {
   return true;
 }
 
+// Long-CIGAR records: BAM caps n_cigar at 2^16-1, so writers store a
+// `l_qseq S, ref_span N` placeholder in the CIGAR field and the real
+// ops in a CG:B,I aux tag. htslib 1.11 (the decode layer under the
+// reference's sam_read1, src/PanDepth.cpp:4604) rewrites the record on
+// read (sam.c bam_tag2cigar): first op S of exactly l_qseq + a CG:B,I
+// tag => the tag holds the CIGAR. Mirror that rule; any malformed tag
+// keeps the placeholder, as htslib does.
+bool cg_real_cigar(const uint8_t* p, uint32_t block_size, uint32_t nc,
+                   const uint8_t** cig_out, int64_t* nc_out) {
+  uint32_t lqseq = le32(p + 16);
+  if (nc == 0 || lqseq == 0) return false;
+  const uint8_t* cig = p + 32 + p[8];
+  uint32_t v0 = le32(cig);
+  if ((v0 & 0xF) != 4 /*S*/ || (v0 >> 4) != lqseq) return false;
+  // walk aux tags for CG:B,I
+  size_t off = 32u + p[8] + 4u * nc + (lqseq + 1) / 2 + lqseq;
+  while (off + 3 <= block_size) {
+    uint8_t t1 = p[off], t2 = p[off + 1], type = p[off + 2];
+    off += 3;
+    size_t vlen;
+    switch (type) {
+      case 'A': case 'c': case 'C': vlen = 1; break;
+      case 's': case 'S': vlen = 2; break;
+      case 'i': case 'I': case 'f': vlen = 4; break;
+      case 'Z': case 'H': {
+        size_t z = off;
+        while (z < block_size && p[z]) z++;
+        if (z >= block_size) return false;
+        vlen = z - off + 1;
+        break;
+      }
+      case 'B': {
+        if (off + 5 > block_size) return false;
+        uint8_t sub = p[off];
+        uint32_t cnt = le32(p + off + 1);
+        size_t es;
+        switch (sub) {
+          case 'c': case 'C': es = 1; break;
+          case 's': case 'S': es = 2; break;
+          case 'i': case 'I': case 'f': es = 4; break;
+          default: return false;
+        }
+        if (off + 5 + (size_t)cnt * es > block_size) return false;
+        if (t1 == 'C' && t2 == 'G' && (sub == 'I' || sub == 'i')) {
+          if (cnt < 1 || cnt >= (1u << 29)) return false;
+          *cig_out = p + off + 5;
+          *nc_out = cnt;
+          return true;
+        }
+        vlen = 5 + (size_t)cnt * es;
+        break;
+      }
+      default: return false;
+    }
+    off += vlen;
+  }
+  return false;
+}
+
+// effective (cigar ptr, op count) for the record at p: the in-place
+// CIGAR unless a valid CG:B,I substitution applies
+inline void effective_cigar(const uint8_t* p, uint32_t block_size,
+                            uint32_t nc, const uint8_t** cig,
+                            int64_t* n) {
+  *cig = p + 32 + p[8];
+  *n = nc;
+  if (nc > 0) cg_real_cigar(p, block_size, nc, cig, n);
+}
+
 bool index_records(BamFile* bf, size_t off) {
   const auto& d = bf->data;
   size_t n = d.size();
@@ -240,8 +309,12 @@ bool index_records(BamFile* bf, size_t off) {
       return false;
     }
     bf->rec_off.push_back(r);
-    bf->rec_ncigar.push_back(n_cigar);
-    bf->total_ops += n_cigar;
+    const uint8_t* cg;
+    int64_t nc_eff = n_cigar;
+    if (n_cigar > 0)
+      cg_real_cigar(d.data() + r, block_size, n_cigar, &cg, &nc_eff);
+    bf->rec_ncigar.push_back((int32_t)nc_eff);
+    bf->total_ops += nc_eff;
     off += 4 + (size_t)block_size;
   }
   return true;
@@ -330,13 +403,13 @@ int64_t pancov_bam_decode(void* h, int64_t r0, int64_t r1, int32_t* tid,
     int64_t i = r - r0;
     tid[i] = (int32_t)le32(p);
     pos[i] = (int32_t)le32(p + 4);
-    uint8_t l_read_name = p[8];
     mapq[i] = p[9];
-    int32_t nc = bf->rec_ncigar[r];
-    n_ops[i] = nc;
     flag[i] = le16(p + 14);
-    const uint8_t* cig = p + 32 + l_read_name;
-    for (int32_t k = 0; k < nc; k++) {
+    const uint8_t* cig;
+    int64_t nc;
+    effective_cigar(p, le32(p - 4), le16(p + 12), &cig, &nc);
+    n_ops[i] = (int32_t)nc;
+    for (int64_t k = 0; k < nc; k++) {
       uint32_t v = le32(cig + 4 * k);
       op_code[m] = (int32_t)(v & 0xF);
       op_len[m] = (int32_t)(v >> 4);
@@ -372,12 +445,13 @@ void extract_chunk(const BamFile* bf, int64_t r0, int64_t r1,
     uint16_t flag = le16(p + 14);
     if (flag & flags_mask) continue;
     if (min_mapq >= 1 && p[9] < min_mapq) continue;
-    int32_t nc = bf->rec_ncigar[r];
-    if (!nc) continue;
+    if (!bf->rec_ncigar[r]) continue;
     int64_t cur = offsets[tid] + (int32_t)le32(p + 4);
     int64_t floor = offsets[tid], limit = limits[tid];
-    const uint8_t* cig = p + 32 + p[8];
-    for (int32_t k = 0; k < nc; k++) {
+    const uint8_t* cig;
+    int64_t nc;
+    effective_cigar(p, le32(p - 4), le16(p + 12), &cig, &nc);
+    for (int64_t k = 0; k < nc; k++) {
       uint32_t v = le32(cig + 4 * k);
       uint32_t op = v & 0xF;
       int64_t len = v >> 4;
@@ -499,18 +573,26 @@ struct WalkCtx {
     uint32_t block_size = le32(d + off2);
     if (off2 + 4 + block_size > total || block_size < 32) return 0;
     const uint8_t* p = d + off2 + 4;
-    uint16_t nc = le16(p + 12);
+    uint16_t nc_raw = le16(p + 12);
     // fixed fields + read name + CIGAR must fit inside the record
-    if (32u + p[8] + 4u * nc > block_size) return 0;
+    if (32u + p[8] + 4u * nc_raw > block_size) return 0;
+    const uint8_t* cig;
+    int64_t nc;
+    effective_cigar(p, block_size, nc_raw, &cig, &nc);
     if (sk.track_records) {
       sk.rec_off.push_back(off2 + 4);
-      sk.rec_nc.push_back(nc);
+      sk.rec_nc.push_back((int32_t)nc);
       sk.ops += nc;
     }
     sk.n_rec++;
 
+    // NB: no-CIGAR records (unmapped `*`) are NOT pre-filtered here —
+    // when the flag mask admits them (-x without 0x4) the reference
+    // still walks them through its region cursor (bam_endpos = pos+1,
+    // src/PanDepth.cpp:4616-4645), so they can advance mode-2 state;
+    // they emit no events either way.
     int32_t tid = (int32_t)le32(p);
-    bool keep = tid >= 0 && tid < n_targets && nc > 0;
+    bool keep = tid >= 0 && tid < n_targets;
     if (keep) {
       uint16_t flag = le16(p + 14);
       if (flag & flags_mask) keep = false;
@@ -519,8 +601,7 @@ struct WalkCtx {
     if (keep && n_regions > 0) {
       int64_t pos0 = (int32_t)le32(p + 4);
       int64_t span = 0;
-      const uint8_t* cig = p + 32 + p[8];
-      for (uint16_t k = 0; k < nc; k++) {
+      for (int64_t k = 0; k < nc; k++) {
         uint32_t v = le32(cig + 4 * k);
         if ((kRefConsume >> (v & 0xF)) & 1) span += v >> 4;
       }
@@ -560,8 +641,7 @@ struct WalkCtx {
     if (keep) {
       int64_t cur = offsets[tid] + (int32_t)le32(p + 4);
       int64_t floor = offsets[tid], limit = limits[tid];
-      const uint8_t* cig = p + 32 + p[8];
-      for (uint16_t k = 0; k < nc; k++) {
+      for (int64_t k = 0; k < nc; k++) {
         uint32_t v = le32(cig + 4 * k);
         uint32_t op = v & 0xF;
         int64_t len = v >> 4;

@@ -68,6 +68,16 @@ def _gen_case(tmp: str, seed: int):
             if pos + ref_span(cigar_str_to_ops(cigar)) > clen + 90:
                 continue
         recs.append((tid, pos, flag, mapq, cigar))
+    if rng.random() < 0.05:
+        # long-CIGAR read (>2^16-1 ops, stored via CG:B,I): needs its
+        # own big contig so the span stays inside the sequence
+        contigs.append((f"big{seed}", 170_000))
+        names.append(contigs[-1][0])
+        lengths.append(contigs[-1][1])
+        pairs = rng.randint(32_769, 40_000)
+        recs.append((len(contigs) - 1, rng.randint(0, 80_000),
+                     0x10 if rng.random() < 0.5 else 0,
+                     rng.choice([0, 30, 60]), "1M1D" * pairs))
     recs.sort(key=lambda x: (x[0], x[1]))
     bam = os.path.join(tmp, f"f{seed}.bam")
     write_bam(bam, names, lengths, recs,
