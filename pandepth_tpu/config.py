@@ -22,7 +22,7 @@ mode  meaning
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 # Default FLAG exclusion mask: UNMAP(4) | SECONDARY(256) | QCFAIL(512) | DUP(1024)
 DEFAULT_FLAGS = 1796
@@ -60,11 +60,8 @@ class RunConfig:
     use_index: bool = True          # hidden -s flag sets False
 
     # --- engine knobs (no reference equivalent) ---
-    tile_size: int = 1 << 20        # genome scan tile (device)
     max_reads_per_batch: int = 1 << 20
-    max_ops_per_batch: int = 1 << 20
     verbose: bool = False
-    device_kind: Optional[str] = None  # force 'cpu' for tests
     # Documented divergence (quirk Q4): the reference clears RefBase
     # before the mode-6 window writer runs, so its GC(%) column reads
     # freed memory — nondeterministic garbage (src/PanDepth.cpp:4094 vs

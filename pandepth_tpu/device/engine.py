@@ -38,6 +38,31 @@ def _pack_events(starts, ends, sentinel: int):
     return pos, delta
 
 
+def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
+                    excl: np.ndarray, base: int,
+                    n: Optional[int] = None):
+    """Numpy twin of the device decode in sweep.finalize_encoded
+    (spill path + differential tests)."""
+    if n is None:
+        n = d8.shape[0]
+    zz = d8[:n].astype(np.int32)
+    is_d = zz == 255
+    delta = (zz >> 1) ^ -(zz & 1)
+    delta[is_d] = excd[: int(is_d.sum())]
+    starts = base + np.cumsum(delta, dtype=np.int32)
+    l32 = l8[:n].astype(np.int32)
+    is_l = l32 == 255
+    l32[is_l] = excl[: int(is_l.sum())]
+    return starts, starts + l32
+
+
+@functools.lru_cache(maxsize=4)
+def _zero_enc_window(cap: int, ce: int):
+    z8 = jnp.zeros(cap, jnp.uint8)
+    z32 = jnp.zeros(ce, jnp.int32)
+    return (z8, z8, z32, z32)
+
+
 @dataclasses.dataclass
 class SegmentStats:
     cover: np.ndarray      # int64 per segment
@@ -102,6 +127,18 @@ class CoverageEngine:
             "PANDEPTH_FLUSH_EVENTS", 48 << 20))
         self._state = None  # cached sweep state after finalize
         self.n_reads_seen = 0
+        # compact encoded windows (device-resident, uploaded async
+        # during the feed; ~2 B/event over the tunnel instead of 8)
+        self.enc_cap = int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19))
+        self.enc_exc = int(os.environ.get("PANDEPTH_ENC_EXC", 1 << 13))
+        self._enc: List[tuple] = []  # (d8, l8, excd, excl) device arrays
+        self._enc_bases: List[int] = []
+        self._max_enc = 64  # beyond this, decode on host (degenerate)
+
+    @property
+    def wants_encoded_windows(self) -> bool:
+        return (self.pos_dtype is np.int32
+                and os.environ.get("PANDEPTH_ENC", "1") != "0")
 
     # ------------------------------------------------------------------
     def add_batch(self, batch: ReadBatch) -> None:
@@ -171,6 +208,48 @@ class CoverageEngine:
                                   self.pos_sentinel)
         self._chunks.append((pos, delta))
 
+    def add_encoded_window(self, n: int, d8: np.ndarray,
+                           l8: np.ndarray, excd: np.ndarray,
+                           excl: np.ndarray, base: int) -> None:
+        """Upload one compact-encoded event window (see
+        sweep.finalize_encoded for the wire format). The device_put is
+        asynchronous, so the transfer overlaps the next window's
+        decode — by finalize time the events are already resident."""
+        assert d8.shape[0] == self.enc_cap
+        self._enc.append((jax.device_put(d8), jax.device_put(l8),
+                          jax.device_put(excd), jax.device_put(excl)))
+        self._enc_bases.append(int(base))
+        self._state = None
+        if len(self._enc) > self._max_enc:
+            self._spill_enc()
+
+    def _spill_enc(self) -> None:
+        """Degenerate feeds (thousands of escape-stalled windows, e.g.
+        an unsorted BAM forced down the enc path) fold back into the
+        raw staging so the finalize signature stays bounded."""
+        for (d8, l8, excd, excl), base in zip(self._enc,
+                                              self._enc_bases):
+            s, e = decode_enc_host(np.asarray(d8), np.asarray(l8),
+                                   np.asarray(excd), np.asarray(excl),
+                                   base)
+            self.add_start_end(s, e)
+        self._enc = []
+        self._enc_bases = []
+
+    def _enc_args(self):
+        """(d8s, l8s, excds, excls, bases) tuples padded to a pow2
+        window count with cached zero windows (a zero window decodes
+        to zero-length events — depth-neutral)."""
+        k = len(self._enc)
+        kp = pad_pow2(k, floor=1)
+        z = _zero_enc_window(self.enc_cap, self.enc_exc)
+        wins = self._enc + [z] * (kp - k)
+        bases = np.zeros(kp, np.int32)
+        bases[:k] = self._enc_bases
+        return (tuple(w[0] for w in wins), tuple(w[1] for w in wins),
+                tuple(w[2] for w in wins), tuple(w[3] for w in wins),
+                jnp.asarray(bases))
+
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
         """Append depth +1 over 0-based half-open [start0, end0) intervals
@@ -225,6 +304,12 @@ class CoverageEngine:
     def sweep_state(self):
         """(pos_sorted, depth, c_cov, c_sum); cached until new events."""
         if self._state is None:
+            if self._enc:
+                # ride the fused encoded finalize with a dummy query
+                self.segment_stats(np.zeros(1, np.int64),
+                                   np.ones(1, np.int64),
+                                   np.ones(1, np.int64))
+                return self._state
             pos, delta = self._events()
             full = sweep_mod.sort_events(
                 pos, delta, min_dep=self.min_dep, wrap18=self.wrap18)
@@ -267,9 +352,20 @@ class CoverageEngine:
                 cp = (jnp.full((1,), self.pos_sentinel,
                                self.pos_dtype),)
                 cd = (jnp.zeros((1,), jnp.int32),)
-            out = sweep_mod.finalize_chunked(
-                cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),
-                min_dep=self.min_dep, wrap18=self.wrap18, method=method)
+            if self._enc:
+                d8s, l8s, excds, excls, bases = self._enc_args()
+                out = sweep_mod.finalize_encoded(
+                    d8s, l8s, excds, excls, bases, cp, cd,
+                    jnp.asarray(lo_c), jnp.asarray(hi_c),
+                    min_dep=self.min_dep, wrap18=self.wrap18,
+                    method=method)
+                self._enc = []
+                self._enc_bases = []
+            else:
+                out = sweep_mod.finalize_chunked(
+                    cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),
+                    min_dep=self.min_dep, wrap18=self.wrap18,
+                    method=method)
             cover, dsum = out[0], out[1]
             self._state = out[2:6]
             self._chunks = [(out[2], out[6])]

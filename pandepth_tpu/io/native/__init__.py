@@ -154,6 +154,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             ("pancov_stream_text", None,
              [ctypes.c_void_p, ctypes.c_char_p]),
             ("pancov_stream_close", None, [ctypes.c_void_p]),
+            ("pancov_stream_win_remaining", ctypes.c_int64,
+             [ctypes.c_void_p]),
         ]:
             fn = getattr(lib, name)
             fn.restype = res
@@ -165,6 +167,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_stream_take64.restype = None
         lib.pancov_stream_take64.argtypes = [ctypes.c_void_p, i64p,
                                              i64p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        lib.pancov_stream_take_enc.restype = ctypes.c_int64
+        lib.pancov_stream_take_enc.argtypes = [
+            ctypes.c_void_p, u8p, u8p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.pancov_site_depth_write.restype = ctypes.c_int
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
@@ -432,8 +441,12 @@ class NativeBamStream:
         if threads <= 0:
             threads = min(os.cpu_count() or 1, 16)
         if window_bytes <= 0:
+            # 8 MB compressed windows: small enough that the encoded
+            # device uploads pipeline behind the producer (several
+            # windows in flight per second), large enough that the
+            # parallel inflate has hundreds of BGZF blocks per cycle
             window_bytes = int(os.environ.get(
-                "PANDEPTH_STREAM_WINDOW", 32 << 20))
+                "PANDEPTH_STREAM_WINDOW", 8 << 20))
         err = ctypes.create_string_buffer(256)
         keep = []
         if ext_offsets is not None:
@@ -506,6 +519,34 @@ class NativeBamStream:
         e = np.empty(max(n, 1), np.int64)
         self._lib.pancov_stream_take64(self._h, s, e)
         return s[:n], e[:n]
+
+    def take_enc(self, cap: int, exc_cap: int):
+        """Compact-encode up to ``cap`` (start, end) pairs of the
+        current window (~2 B/pair over the device link vs 8). Returns
+        (n, d8, l8, excd, excl, base) with fixed-shape zero-tailed
+        buffers, or None when the window is exhausted (released; call
+        wait() for the next). Valid only for int32-safe layouts."""
+        d8 = np.empty(cap, np.uint8)
+        l8 = np.empty(cap, np.uint8)
+        excd = np.empty(exc_cap, np.int32)
+        excl = np.empty(exc_cap, np.int32)
+        base = ctypes.c_int32(0)
+        nd = ctypes.c_int64(0)
+        nl = ctypes.c_int64(0)
+        n = int(self._lib.pancov_stream_take_enc(
+            self._h, d8, l8, excd, excl, cap, exc_cap,
+            ctypes.byref(base), ctypes.byref(nd), ctypes.byref(nl)))
+        if n == 0:
+            return None
+        if n < 0:
+            # escape-list overflow before any pair encoded: the caller
+            # drains the remainder with take32 (win_remaining gives m)
+            return "stall"
+        return n, d8, l8, excd, excl, int(base.value)
+
+    def win_remaining(self) -> int:
+        """Pairs left in the current window (after partial take_enc)."""
+        return int(self._lib.pancov_stream_win_remaining(self._h))
 
     @property
     def n_records(self) -> int:

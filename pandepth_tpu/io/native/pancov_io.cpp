@@ -1145,6 +1145,7 @@ struct StreamBam {
   int64_t total_records = 0;
   StreamWin cur;
   bool have_cur = false;
+  int64_t take_pos = 0;  // encoder cursor into cur (take_enc)
 
   ~StreamBam() {
     {
@@ -1516,6 +1517,7 @@ namespace {
 void release_cur(StreamBam* sb) {
   std::lock_guard<std::mutex> lk(sb->mu);
   sb->have_cur = false;
+  sb->take_pos = 0;
   if (sb->pool.size() < 4)
     sb->pool.push_back(std::move(sb->cur));
   sb->cur = StreamWin();
@@ -1523,13 +1525,18 @@ void release_cur(StreamBam* sb) {
 
 }  // namespace
 
+// take32/take64 drain from take_pos so they compose with a partial
+// take_enc (the fallback when an escape list overflows mid-window)
 void pancov_stream_take32(void* h, int32_t* s, int32_t* e, int64_t cap,
                           int32_t sentinel) {
   auto* sb = (StreamBam*)h;
-  int64_t m = (int64_t)sb->cur.es.size();
+  int64_t m = (int64_t)sb->cur.es.size() - sb->take_pos;
+  const int64_t* es = sb->cur.es.data() + sb->take_pos;
+  const int64_t* ee = sb->cur.ee.data() + sb->take_pos;
+  if (m > cap) m = cap;
   for (int64_t i = 0; i < m; i++) {
-    s[i] = (int32_t)sb->cur.es[i];
-    e[i] = (int32_t)sb->cur.ee[i];
+    s[i] = (int32_t)es[i];
+    e[i] = (int32_t)ee[i];
   }
   for (int64_t i = m; i < cap; i++) {
     s[i] = sentinel;
@@ -1540,9 +1547,79 @@ void pancov_stream_take32(void* h, int32_t* s, int32_t* e, int64_t cap,
 
 void pancov_stream_take64(void* h, int64_t* s, int64_t* e) {
   auto* sb = (StreamBam*)h;
-  std::memcpy(s, sb->cur.es.data(), sb->cur.es.size() * sizeof(int64_t));
-  std::memcpy(e, sb->cur.ee.data(), sb->cur.ee.size() * sizeof(int64_t));
+  int64_t m = (int64_t)sb->cur.es.size() - sb->take_pos;
+  std::memcpy(s, sb->cur.es.data() + sb->take_pos,
+              (size_t)m * sizeof(int64_t));
+  std::memcpy(e, sb->cur.ee.data() + sb->take_pos,
+              (size_t)m * sizeof(int64_t));
   release_cur(sb);
+}
+
+int64_t pancov_stream_win_remaining(void* h) {
+  auto* sb = (StreamBam*)h;
+  return (int64_t)sb->cur.es.size() - sb->take_pos;
+}
+
+// Compact event encoding for the device link (~2 B/event vs 8):
+// consumes up to `cap` (start, end) pairs of the current window.
+// d8[i] = zigzag(start_i - start_{i-1}) when it fits [0, 254], else
+// 255 with the true int32 delta appended to excd; l8[i] =
+// end_i - start_i when < 255, else 255 with the true int32 length
+// appended to excl. *base_out = first encoded start (so d8[0]
+// encodes delta 0). Tails of all four buffers are zeroed (a zero
+// slot decodes to a zero-length event at the previous position —
+// depth-neutral). Returns pairs encoded; 0 when the window is
+// exhausted (releasing it — call wait() for the next). Stops early
+// when an escape list would overflow exc_cap (the caller falls back
+// to take32 for pathological inputs). Valid only when every global
+// position fits int32 (the caller guarantees it).
+int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
+                               int32_t* excd, int32_t* excl,
+                               int64_t cap, int64_t exc_cap,
+                               int32_t* base_out, int64_t* n_excd_out,
+                               int64_t* n_excl_out) {
+  auto* sb = (StreamBam*)h;
+  const auto& es = sb->cur.es;
+  const auto& ee = sb->cur.ee;
+  int64_t m = (int64_t)es.size();
+  int64_t i = sb->take_pos;
+  *n_excd_out = 0;
+  *n_excl_out = 0;
+  *base_out = 0;
+  if (i >= m) {
+    release_cur(sb);
+    return 0;
+  }
+  int64_t n = 0, nd = 0, nl = 0;
+  int32_t prev = (int32_t)es[i];
+  *base_out = prev;
+  while (i < m && n < cap) {
+    // (the first pair can never stall: its delta is 0 and a length
+    // escape fits while nl == 0 < exc_cap; -1 below is still guarded)
+    int32_t s = (int32_t)es[i];
+    int32_t len32 = (int32_t)(ee[i] - es[i]);
+    int32_t delta = s - prev;
+    uint32_t zz = ((uint32_t)delta << 1) ^ (uint32_t)(delta >> 31);
+    bool de = zz >= 255;
+    bool le = len32 >= 255;
+    if ((de && nd >= exc_cap) || (le && nl >= exc_cap)) break;
+    d8[n] = de ? 255 : (uint8_t)zz;
+    if (de) excd[nd++] = delta;
+    l8[n] = le ? 255 : (uint8_t)len32;
+    if (le) excl[nl++] = len32;
+    prev = s;
+    i++;
+    n++;
+  }
+  sb->take_pos = i;
+  if (n == 0) return -1;  // stall: drain the rest via take32/take64
+  std::memset(d8 + n, 0, (size_t)(cap - n));
+  std::memset(l8 + n, 0, (size_t)(cap - n));
+  std::memset(excd + nd, 0, sizeof(int32_t) * (size_t)(exc_cap - nd));
+  std::memset(excl + nl, 0, sizeof(int32_t) * (size_t)(exc_cap - nl));
+  *n_excd_out = nd;
+  *n_excl_out = nl;
+  return n;
 }
 
 int64_t pancov_stream_n_records(void* h) {

@@ -233,12 +233,34 @@ def _try_native_load(path: str, config: RunConfig,
 
 
 def _feed_stream(engine, r) -> None:
-    """Pull event windows from a NativeBamStream into the engine (the
-    engine stages them host-side and uploads in large batches)."""
+    """Pull event windows from a NativeBamStream into the engine.
+
+    The compact-encoded path (engine.wants_encoded_windows) ships
+    ~2 B/event and uploads each window asynchronously while the
+    producer decodes the next one — by finalize time the events are
+    already device-resident (the tunnel's forced round-trip is
+    ~35 MB/s, so wire bytes — not device compute — set the tail).
+    A window that stalls the encoder (escape-list overflow, e.g. an
+    unsorted BAM) drains through the raw take32 path instead."""
+    enc = getattr(engine, "wants_encoded_windows", False) and \
+        hasattr(r, "take_enc")
     while True:
         n = r.wait()
         if n < 0:
             break
+        if enc:
+            exhausted = False
+            while True:
+                win = r.take_enc(engine.enc_cap, engine.enc_exc)
+                if win is None:
+                    exhausted = True
+                    break
+                if win == "stall":
+                    break
+                engine.add_encoded_window(*win)
+            if exhausted:
+                continue
+            n = r.win_remaining()
         if engine.pos_dtype is np.int32:
             s32, e32 = r.take32(max(n, 1), engine.pos_sentinel)
             engine.add_padded_events(s32, e32)

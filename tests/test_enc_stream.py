@@ -1,0 +1,207 @@
+"""Compact event-window encoding (the ~2 B/event device-link format
+produced by pancov_stream_take_enc and decoded on-device by
+sweep.finalize_encoded). Differential: encoded path vs raw take32/64
+path on identical inputs, covering both escape kinds and the stall
+fallback."""
+
+import numpy as np
+import pytest
+
+from pandepth_tpu.device.engine import (CoverageEngine,
+                                        decode_enc_host)
+from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.io.bam import read_bam_header
+from pandepth_tpu.io.bam_writer import write_bam
+
+
+def _native_stream(path, **kw):
+    from pandepth_tpu.io import native
+
+    if native.load_library() is None:
+        pytest.skip(f"native build failed: {native.build_error()}")
+    return native.NativeBamStream(path, 1796, -1, **kw)
+
+
+def _raw_pairs(path):
+    r = _native_stream(path)
+    ss, ee = [], []
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        s, e = r.take64(n)
+        ss.append(s)
+        ee.append(e)
+    r.close()
+    return np.concatenate(ss), np.concatenate(ee)
+
+
+def _enc_pairs(path, cap, exc_cap):
+    """Decode the encoded stream on the host; exercises partial
+    windows, both escape kinds, and the stall fallback."""
+    r = _native_stream(path)
+    ss, ee = [], []
+    stalled = 0
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        while True:
+            win = r.take_enc(cap, exc_cap)
+            if win is None:
+                break
+            if win == "stall":
+                stalled += 1
+                m = r.win_remaining()
+                s32, e32 = r.take32(max(m, 1), 2**31 - 1)
+                ss.append(s32[:m].astype(np.int64))
+                ee.append(e32[:m].astype(np.int64))
+                break
+            n_enc, d8, l8, excd, excl, base = win
+            s, e = decode_enc_host(d8, l8, excd, excl, base, n_enc)
+            ss.append(s.astype(np.int64))
+            ee.append(e.astype(np.int64))
+    r.close()
+    return np.concatenate(ss), np.concatenate(ee), stalled
+
+
+def _mixed_bam(path):
+    """Short reads (direct codes), >=255-long segments (len escape),
+    multi-segment reads with big D jumps (delta escapes, including
+    negative deltas at the next record), interleaved contigs."""
+    rng = np.random.RandomState(11)
+    names = ["c0", "c1"]
+    lengths = [120_000, 90_000]
+    recs = []
+    for _ in range(600):
+        tid = int(rng.randint(0, 2))
+        pos = int(rng.randint(0, 50_000))
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            cig = f"{rng.randint(30, 200)}M"
+        elif kind == 1:
+            cig = f"{rng.randint(255, 2000)}M"      # len escape
+        elif kind == 2:
+            cig = f"120M{rng.randint(300, 30000)}D150M"  # delta escape
+        else:
+            cig = "40M10I40M5D60M"
+        recs.append((tid, pos, 0, 60, cig))
+    recs.sort(key=lambda t: (t[0], t[1]))
+    write_bam(path, names, lengths, recs)
+
+
+def test_enc_matches_raw(tmp_path):
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    rs, re_ = _raw_pairs(bam)
+    for cap, ce in [(1 << 15, 1 << 10), (509, 16), (64, 3)]:
+        es, ee, _ = _enc_pairs(bam, cap, ce)
+        assert np.array_equal(rs, es), (cap, ce)
+        assert np.array_equal(re_, ee), (cap, ce)
+
+
+def test_enc_tiny_exc_cap_partial_takes(tmp_path):
+    """exc_cap=1 never stalls (every call encodes at least one pair —
+    the first delta is 0 and the escape lists reset per call) but
+    forces many partial takes; the reassembled stream must still be
+    exact."""
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    rs, re_ = _raw_pairs(bam)
+    es, ee, stalled = _enc_pairs(bam, 1 << 15, 1)
+    assert stalled == 0
+    assert np.array_equal(rs, es)
+    assert np.array_equal(re_, ee)
+
+
+def test_enc_then_take32_drain(tmp_path):
+    """A partial take_enc followed by take32 must hand over exactly
+    the remaining pairs (the mid-window mixed-path contract)."""
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    rs, re_ = _raw_pairs(bam)
+    r = _native_stream(bam)
+    ss, ee = [], []
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        win = r.take_enc(97, 1 << 10)  # at most 97 pairs
+        if win is None:
+            continue
+        assert win != "stall"
+        n_enc, d8, l8, excd, excl, base = win
+        s, e = decode_enc_host(d8, l8, excd, excl, base, n_enc)
+        ss.append(s.astype(np.int64))
+        ee.append(e.astype(np.int64))
+        m = r.win_remaining()
+        s32, e32 = r.take32(max(m, 1), 2**31 - 1)
+        ss.append(s32[:m].astype(np.int64))
+        ee.append(e32[:m].astype(np.int64))
+    r.close()
+    assert np.array_equal(rs, np.concatenate(ss))
+    assert np.array_equal(re_, np.concatenate(ee))
+
+
+def test_engine_enc_equals_raw(tmp_path):
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    rs, re_ = _raw_pairs(bam)
+    eng1 = CoverageEngine(lay)
+    eng1.add_start_end(rs, re_)
+
+    eng2 = CoverageEngine(lay)
+    assert eng2.wants_encoded_windows
+    r = _native_stream(bam)
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        while True:
+            win = r.take_enc(eng2.enc_cap, eng2.enc_exc)
+            if win is None:
+                break
+            assert win != "stall"
+            eng2.add_encoded_window(*win)
+    r.close()
+    seg_tid = np.arange(len(hdr.lengths), dtype=np.int64)
+    st1 = eng1.segment_stats(seg_tid, np.ones(2), hdr.lengths)
+    st2 = eng2.segment_stats(seg_tid, np.ones(2), hdr.lengths)
+    assert np.array_equal(st1.cover, st2.cover)
+    assert np.array_equal(st1.depth_sum, st2.depth_sum)
+
+
+def test_engine_enc_spill(tmp_path):
+    """Exceeding the bounded window count folds encoded windows back
+    into the raw staging with identical results."""
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    rs, re_ = _raw_pairs(bam)
+    eng1 = CoverageEngine(lay)
+    eng1.add_start_end(rs, re_)
+
+    eng2 = CoverageEngine(lay)
+    eng2._max_enc = 2   # force the spill path
+    eng2.enc_cap = 256  # many small windows
+    r = _native_stream(bam)
+    while True:
+        n = r.wait()
+        if n < 0:
+            break
+        while True:
+            win = r.take_enc(eng2.enc_cap, eng2.enc_exc)
+            if win is None:
+                break
+            assert win != "stall"
+            eng2.add_encoded_window(*win)
+    r.close()
+    assert len(eng2._enc) <= 2
+    seg_tid = np.arange(len(hdr.lengths), dtype=np.int64)
+    st1 = eng1.segment_stats(seg_tid, np.ones(2), hdr.lengths)
+    st2 = eng2.segment_stats(seg_tid, np.ones(2), hdr.lengths)
+    assert np.array_equal(st1.cover, st2.cover)
+    assert np.array_equal(st1.depth_sum, st2.depth_sum)
