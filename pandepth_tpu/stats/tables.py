@@ -89,15 +89,18 @@ def aggregate_genes(targets: TargetSet, seg_cover: np.ndarray,
 def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
                  targets: TargetSet, gene_cover: np.ndarray,
                  gene_dsum: np.ndarray,
-                 win6_rows: Optional[List[tuple]] = None) -> None:
+                 win6_rows=None) -> None:
     """Write the stat table for any mode.
 
-    ``win6_rows``: for mode 6 only — list of (tid, start1, end1, length,
-    cover, dsum, gc_count) rows already in output order.
+    ``win6_rows``: for mode 6 only — (tid, start1, end1, cover, dsum,
+    gc_count) arrays already in output order (mode6_window_rows).
     """
     if mode == MODE_WIN_BIG and targets.n_genes > 50_000 and \
             _write_win_big_native(path, gc, names, targets, gene_cover,
                                   gene_dsum):
+        return
+    if mode == MODE_WIN_SMALL and win6_rows[0].shape[0] > 50_000 and \
+            _write_win6_native(path, gc, names, win6_rows):
         return
 
     with GzTextWriter(path) as out:
@@ -105,18 +108,23 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
         ss_len = ss_cov = ss_total = ss_gc = 0
 
         if mode == MODE_WIN_SMALL:
-            for tid, start1, end1, length, cov, dsum, gcc in win6_rows:
+            w_tid, w_s, w_e, w_cov, w_dsum, w_gcc = win6_rows
+            w_len = w_e - w_s + 1
+            for i in range(w_tid.shape[0]):
+                length = int(w_len[i])
+                cov, dsum, gcc = int(w_cov[i]), int(w_dsum[i]), \
+                    int(w_gcc[i])
                 coverage = cov * 100.0 / length
                 mean = dsum * 1.0 / length
                 if gc:
                     gcr = gcc * 100.0 / length
-                    out.write(f"{names[tid]}\t{start1}\t{end1}\t{length}\t"
-                              f"{cov}\t{dsum}\t{gcr:.2f}\t{coverage:.2f}\t"
-                              f"{mean:.2f}\n")
+                    out.write(f"{names[w_tid[i]]}\t{w_s[i]}\t{w_e[i]}\t"
+                              f"{length}\t{cov}\t{dsum}\t{gcr:.2f}\t"
+                              f"{coverage:.2f}\t{mean:.2f}\n")
                 else:
-                    out.write(f"{names[tid]}\t{start1}\t{end1}\t{length}\t"
-                              f"{cov}\t{dsum}\t{coverage:.2f}\t"
-                              f"{mean:.2f}\n")
+                    out.write(f"{names[w_tid[i]]}\t{w_s[i]}\t{w_e[i]}\t"
+                              f"{length}\t{cov}\t{dsum}\t"
+                              f"{coverage:.2f}\t{mean:.2f}\n")
                 ss_len += length
                 ss_cov += cov
                 ss_total += dsum
@@ -226,6 +234,44 @@ def _write_win_big_native(path: str, gc: bool, names: Sequence[str],
     return True
 
 
+def _write_win6_native(path: str, gc: bool, names: Sequence[str],
+                       win6_rows) -> bool:
+    """Genome-scale mode-6 tables through the same C row formatter as
+    mode 5 (identical column layout; src/PanDepth.cpp:4313-4340)."""
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+    except Exception:
+        lib = None
+    if lib is None:
+        return False
+    import gzip as _gzip
+
+    w_tid, w_s, w_e, w_cov, w_dsum, w_gcc = win6_rows
+    w_len = w_e - w_s + 1
+    with _gzip.open(path, "wt", compresslevel=1) as fh:
+        fh.write(table_header(MODE_WIN_SMALL, gc))
+    gcc = w_gcc if gc else np.zeros(w_tid.shape[0], np.int64)
+    for tid in np.unique(w_tid):
+        sel = np.nonzero(w_tid == tid)[0]
+        a, b = int(sel[0]), int(sel[-1]) + 1
+        rc = lib.pancov_win_rows_write(
+            path.encode(), 1, names[int(tid)].encode(),
+            np.ascontiguousarray(w_s[a:b]),
+            np.ascontiguousarray(w_e[a:b]),
+            np.ascontiguousarray(w_len[a:b]),
+            np.ascontiguousarray(w_cov[a:b]),
+            np.ascontiguousarray(w_dsum[a:b]),
+            np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
+        if rc != 0:
+            raise OSError(f"win table write failed ({rc}): {path}")
+    with _gzip.open(path, "at", compresslevel=1) as fh:
+        fh.write(_footer(int(w_len.sum()), int(w_cov.sum()),
+                         int(w_dsum.sum()), gc, int(gcc.sum())))
+    return True
+
+
 def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
                      tids_with_regions: np.ndarray, dense_depth_fn) -> None:
     """``.SiteDepth.gz``: chr, 0-based pos, depth for every base of every
@@ -276,30 +322,45 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
 
 def mode6_window_rows(names: Sequence[str], lengths: np.ndarray,
                       tids_with_regions: np.ndarray, win_size: int,
-                      stats_fn, gc_counts_fn=None) -> List[tuple]:
+                      stats_fn, gc_counts_fn=None):
     """Build mode-6 rows: re-tile each regioned contig with the small
     window size (src/PanDepth.cpp:4313-4317).
 
-    ``stats_fn(seg_tid, seg_start, seg_end) -> (cover, dsum)`` and
-    ``gc_counts_fn(tid, starts, ends) -> int64 array`` (or None for the
-    reference's cleared-RefBase 0.00 behavior, quirk Q4).
+    One batched ``stats_fn(seg_tid, seg_start, seg_end) -> (cover,
+    dsum)`` call over every window of every contig (a 3 Gb genome at
+    ``-w 100`` is ~30 M windows — one device dispatch, not one per
+    contig); ``gc_counts_fn(tid, starts, ends) -> int64 array`` (or
+    None for the reference's cleared-RefBase 0.00 behavior, quirk Q4).
+    Returns (tid, start1, end1, cover, dsum, gcc) arrays in output
+    order.
     """
-    rows: List[tuple] = []
     region_set = set(int(t) for t in tids_with_regions)
+    tids, tiles = [], []
     for tid in range(len(names)):
         if tid not in region_set:
             continue
         tiling = small_window_tiling(int(lengths[tid]), win_size)
         if tiling.shape[0] == 0:
             continue
-        seg_tid = np.full(tiling.shape[0], tid, np.int32)
-        cover, dsum = stats_fn(seg_tid, tiling[:, 0], tiling[:, 1])
-        if gc_counts_fn is not None:
-            gcc = gc_counts_fn(tid, tiling[:, 0], tiling[:, 1])
-        else:
-            gcc = np.zeros(tiling.shape[0], np.int64)
-        for i in range(tiling.shape[0]):
-            s, e = int(tiling[i, 0]), int(tiling[i, 1])
-            rows.append((tid, s, e, e - s + 1, int(cover[i]),
-                         int(dsum[i]), int(gcc[i])))
-    return rows
+        tids.append(np.full(tiling.shape[0], tid, np.int32))
+        tiles.append(tiling)
+    if not tids:
+        z64 = np.zeros(0, np.int64)
+        return (np.zeros(0, np.int32), z64, z64, z64, z64, z64)
+    seg_tid = np.concatenate(tids)
+    tiling = np.concatenate(tiles)
+    starts, ends = tiling[:, 0], tiling[:, 1]
+    cover, dsum = stats_fn(seg_tid, starts, ends)
+    if gc_counts_fn is not None:
+        gcc = np.empty(seg_tid.shape[0], np.int64)
+        off = 0
+        for t, til in zip(tids, tiles):
+            n = til.shape[0]
+            gcc[off: off + n] = gc_counts_fn(int(t[0]), til[:, 0],
+                                             til[:, 1])
+            off += n
+    else:
+        gcc = np.zeros(seg_tid.shape[0], np.int64)
+    return (seg_tid, np.asarray(starts, np.int64),
+            np.asarray(ends, np.int64), np.asarray(cover, np.int64),
+            np.asarray(dsum, np.int64), gcc)
