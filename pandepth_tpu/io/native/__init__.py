@@ -168,12 +168,15 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_stream_take64.argtypes = [ctypes.c_void_p, i64p,
                                              i64p]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
-        lib.pancov_stream_take_enc.restype = ctypes.c_int64
-        lib.pancov_stream_take_enc.argtypes = [
-            ctypes.c_void_p, u8p, u8p, i32p, i32p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64)]
+        for enc_name in ("pancov_stream_take_enc",
+                         "pancov_stream_take_enc_acc"):
+            fn = getattr(lib, enc_name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p, u8p, u8p, i32p, i32p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
         lib.pancov_site_depth_write.restype = ctypes.c_int
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
@@ -547,6 +550,31 @@ class NativeBamStream:
     def win_remaining(self) -> int:
         """Pairs left in the current window (after partial take_enc)."""
         return int(self._lib.pancov_stream_win_remaining(self._h))
+
+    def take_enc_acc(self, cap: int, exc_cap: int):
+        """Like take_enc but fills the whole cap-size buffer ACROSS
+        windows (blocking on the producer), so device buffers stay
+        full and sort padding stays O(1/K). Returns the same tuple,
+        or None at clean EOF; escape-heavy inputs yield partial
+        buffers (never a stall)."""
+        d8 = np.empty(cap, np.uint8)
+        l8 = np.empty(cap, np.uint8)
+        excd = np.empty(exc_cap, np.int32)
+        excl = np.empty(exc_cap, np.int32)
+        base = ctypes.c_int32(0)
+        nd = ctypes.c_int64(0)
+        nl = ctypes.c_int64(0)
+        n = int(self._lib.pancov_stream_take_enc_acc(
+            self._h, d8, l8, excd, excl, cap, exc_cap,
+            ctypes.byref(base), ctypes.byref(nd), ctypes.byref(nl)))
+        if n == -2:
+            err = ctypes.create_string_buffer(256)
+            self._lib.pancov_stream_error(self._h, err, len(err))
+            raise ValueError(
+                f"pancov stream: {err.value.decode() or 'error'}")
+        if n == 0:
+            return None
+        return n, d8, l8, excd, excl, int(base.value)
 
     @property
     def n_records(self) -> int:

@@ -1622,6 +1622,89 @@ int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
   return n;
 }
 
+// Accumulating variant: fills the buffer ACROSS stream windows
+// (blocking on the producer as needed) so every upload is a full
+// cap-size buffer — padding waste in the device sort stays O(1/K)
+// instead of O(windows). Returns pairs encoded (0 = clean EOF,
+// -2 = stream error). The delta chain runs through window seams, so
+// no seam fixups are needed.
+int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
+                                   int32_t* excd, int32_t* excl,
+                                   int64_t cap, int64_t exc_cap,
+                                   int32_t* base_out,
+                                   int64_t* n_excd_out,
+                                   int64_t* n_excl_out) {
+  auto* sb = (StreamBam*)h;
+  int64_t n = 0, nd = 0, nl = 0;
+  int32_t prev = 0;
+  bool have_base = false;
+  *base_out = 0;
+  for (;;) {
+    {
+      std::unique_lock<std::mutex> lk(sb->mu);
+      if (!sb->have_cur) {
+        sb->cv.wait(lk, [&] { return !sb->q.empty() || sb->done; });
+        if (sb->q.empty()) {
+          if (sb->error && n == 0) return -2;
+          break;  // EOF (or error after partial data: surface it on
+                  // the NEXT call so accumulated pairs are not lost)
+        }
+        sb->cur = std::move(sb->q.front());
+        sb->q.pop_front();
+        sb->have_cur = true;
+        sb->cv.notify_all();
+      }
+    }
+    const auto& es = sb->cur.es;
+    const auto& ee = sb->cur.ee;
+    int64_t m = (int64_t)es.size();
+    int64_t i = sb->take_pos;
+    if (i >= m) {
+      release_cur(sb);
+      continue;
+    }
+    if (!have_base) {
+      prev = (int32_t)es[i];
+      *base_out = prev;
+      have_base = true;
+    }
+    bool full = false;
+    while (i < m) {
+      if (n >= cap) {
+        full = true;
+        break;
+      }
+      int32_t s = (int32_t)es[i];
+      int32_t len32 = (int32_t)(ee[i] - es[i]);
+      int32_t delta = s - prev;
+      uint32_t zz = ((uint32_t)delta << 1) ^ (uint32_t)(delta >> 31);
+      bool de = zz >= 255;
+      bool le = len32 >= 255;
+      if ((de && nd >= exc_cap) || (le && nl >= exc_cap)) {
+        full = true;  // escape list full: hand out a partial buffer
+        break;
+      }
+      d8[n] = de ? 255 : (uint8_t)zz;
+      if (de) excd[nd++] = delta;
+      l8[n] = le ? 255 : (uint8_t)len32;
+      if (le) excl[nl++] = len32;
+      prev = s;
+      i++;
+      n++;
+    }
+    sb->take_pos = i;
+    if (i >= m) release_cur(sb);
+    if (full) break;
+  }
+  std::memset(d8 + n, 0, (size_t)(cap - n));
+  std::memset(l8 + n, 0, (size_t)(cap - n));
+  std::memset(excd + nd, 0, sizeof(int32_t) * (size_t)(exc_cap - nd));
+  std::memset(excl + nl, 0, sizeof(int32_t) * (size_t)(exc_cap - nl));
+  *n_excd_out = nd;
+  *n_excl_out = nl;
+  return n;
+}
+
 int64_t pancov_stream_n_records(void* h) {
   auto* sb = (StreamBam*)h;
   std::lock_guard<std::mutex> lk(sb->mu);

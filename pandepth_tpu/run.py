@@ -242,25 +242,20 @@ def _feed_stream(engine, r) -> None:
     ~35 MB/s, so wire bytes — not device compute — set the tail).
     A window that stalls the encoder (escape-list overflow, e.g. an
     unsorted BAM) drains through the raw take32 path instead."""
-    enc = getattr(engine, "wants_encoded_windows", False) and \
-        hasattr(r, "take_enc")
+    if getattr(engine, "wants_encoded_windows", False) and \
+            hasattr(r, "take_enc_acc"):
+        while True:
+            win = r.take_enc_acc(engine.enc_cap, engine.enc_exc)
+            if win is None:
+                break
+            engine.add_encoded_window(*win)
+        engine.n_reads_seen += r.n_records
+        r.close()
+        return
     while True:
         n = r.wait()
         if n < 0:
             break
-        if enc:
-            exhausted = False
-            while True:
-                win = r.take_enc(engine.enc_cap, engine.enc_exc)
-                if win is None:
-                    exhausted = True
-                    break
-                if win == "stall":
-                    break
-                engine.add_encoded_window(*win)
-            if exhausted:
-                continue
-            n = r.win_remaining()
         if engine.pos_dtype is np.int32:
             s32, e32 = r.take32(max(n, 1), engine.pos_sentinel)
             engine.add_padded_events(s32, e32)
@@ -313,6 +308,31 @@ def _filter_batch_to_windows(batch, windows) -> None:
         ok &= ends[a:b][cand] > pos[sel]
         keep[sel] = ok
     batch.tid[~keep] = -1
+
+
+def _intervals_in_windows(tid: np.ndarray, read_lo: np.ndarray,
+                          read_hi: np.ndarray, windows) -> np.ndarray:
+    """Mode-1 fetch filter on whole-read spans (the per-run twin of
+    _filter_batch_to_windows): keep runs whose READ overlaps any fetch
+    window of its contig."""
+    off, starts, ends = windows[:3]
+    keep = np.zeros(tid.shape[0], bool)
+    if starts.shape[0] == 0:
+        return keep
+    for t in np.unique(tid):
+        if t < 0 or t + 1 >= off.shape[0]:
+            continue
+        a, b = int(off[t]), int(off[t + 1])
+        if a == b:
+            continue
+        sel = tid == t
+        idx = np.searchsorted(starts[a:b], read_hi[sel] - 1,
+                              side="right")
+        ok = idx > 0
+        cand = np.maximum(idx - 1, 0)
+        ok &= ends[a:b][cand] > read_lo[sel]
+        keep[sel] = ok
+    return keep
 
 
 class _RegionCursor:
@@ -486,23 +506,41 @@ def run_alignment(config: RunConfig) -> int:
                     continue
             except (ValueError, RuntimeError, OSError):
                 pass
-        if regs is None and hasattr(r, "interval_batches"):
+        crai_offsets = None
+        if regs is not None and regs[3] == 1 and \
+                hasattr(r, "interval_batches"):
+            # indexed CRAM: .crai query -> decode only containers
+            # whose span overlaps a fetch window (block skipping, the
+            # sam_index_load/cram path of the reference,
+            # src/PanDepth.cpp:4120-4124, :430-434)
+            from pandepth_tpu.io.cram import (crai_select_offsets,
+                                              load_crai)
+
+            crai = load_crai(path + ".crai")
+            if crai is not None:
+                crai_offsets = crai_select_offsets(crai, regs)
+        if (regs is None or crai_offsets is not None) and \
+                hasattr(r, "interval_batches"):
             # vectorized CRAM slice -> aligned-run intervals; collect
             # before committing so a mid-file fallback never
             # double-counts
             from pandepth_tpu.io.cram import CramVectorFallback
 
             try:
-                collected = list(r.interval_batches())
+                collected = list(r.interval_batches(
+                    offsets=crai_offsets))
             except CramVectorFallback:
                 collected = None
             if collected is not None:
-                for (tid_a, flag_a, mapq_a, s0, e0,
-                     n_rec) in collected:
+                for (tid_a, flag_a, mapq_a, s0, e0, n_rec,
+                     read_lo, read_hi) in collected:
                     keep = (flag_a & config.flags) == 0
                     if config.min_mapq >= 1:
                         keep &= mapq_a >= config.min_mapq
                     keep &= (tid_a >= 0) & (tid_a < n_targets)
+                    if crai_offsets is not None:
+                        keep &= _intervals_in_windows(
+                            tid_a, read_lo, read_hi, regs)
                     engine.add_intervals(tid_a[keep], s0[keep],
                                          e0[keep])
                     engine.n_reads_seen += n_rec

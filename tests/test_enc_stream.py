@@ -205,3 +205,25 @@ def test_engine_enc_spill(tmp_path):
     st2 = eng2.segment_stats(seg_tid, np.ones(2), hdr.lengths)
     assert np.array_equal(st1.cover, st2.cover)
     assert np.array_equal(st1.depth_sum, st2.depth_sum)
+
+
+def test_take_enc_acc_matches_raw(tmp_path):
+    """The accumulating encoder (full buffers across window seams)
+    must reproduce the raw pair stream exactly."""
+    bam = str(tmp_path / "m.bam")
+    _mixed_bam(bam)
+    rs, re_ = _raw_pairs(bam)
+    for cap, ce in [(1 << 15, 1 << 10), (701, 64), (64, 2)]:
+        r = _native_stream(bam, window_bytes=1 << 20)
+        ss, ee = [], []
+        while True:
+            win = r.take_enc_acc(cap, ce)
+            if win is None:
+                break
+            n, d8, l8, excd, excl, base = win
+            s, e = decode_enc_host(d8, l8, excd, excl, base, n)
+            ss.append(s.astype(np.int64))
+            ee.append(e.astype(np.int64))
+        r.close()
+        assert np.array_equal(rs, np.concatenate(ss)), (cap, ce)
+        assert np.array_equal(re_, np.concatenate(ee)), (cap, ce)
