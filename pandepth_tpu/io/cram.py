@@ -545,6 +545,52 @@ class CramVectorFallback(Exception):
     """Slice layout needs the general record-loop decoder."""
 
 
+def load_crai(path: str):
+    """Parse a ``.crai`` (CRAM spec §12: gzip TSV of seq_id, 1-based
+    start, span, container offset, slice offset, slice size). Returns
+    (seq_id, start1, span, c_off) int64 arrays or None when absent or
+    malformed."""
+    import gzip
+
+    try:
+        with gzip.open(path, "rt") as fh:
+            rows = [ln.split("\t") for ln in fh.read().splitlines()
+                    if ln]
+        if not rows:
+            return None
+        a = np.asarray([[int(r[0]), int(r[1]), int(r[2]), int(r[3])]
+                        for r in rows], np.int64)
+    except (OSError, ValueError, IndexError):
+        return None
+    return a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def crai_select_offsets(crai, regions) -> np.ndarray:
+    """Container byte offsets whose indexed span overlaps any fetch
+    window (the htslib cram_index_query analog — only these containers
+    are inflated; the rest of the file is never touched). ``regions``
+    is the (off, starts, ends, mode) fetch-window tuple of run.py."""
+    seq, start1, span, c_off = crai
+    off, ws, we = (np.asarray(a, np.int64) for a in regions[:3])
+    n_tid = off.shape[0] - 1
+    keep = np.zeros(seq.shape[0], bool)
+    s0 = start1 - 1          # 0-based half-open [s0, s0 + span)
+    e0 = s0 + np.maximum(span, 0)
+    for tid in np.unique(seq):
+        if tid < 0 or tid >= n_tid:
+            continue
+        a, b = int(off[tid]), int(off[tid + 1])
+        if a == b:
+            continue
+        sel = seq == tid
+        idx = np.searchsorted(ws[a:b], e0[sel] - 1, side="right")
+        ok = idx > 0
+        cand = np.maximum(idx - 1, 0)
+        ok &= we[a:b][cand] > s0[sel]
+        keep[sel] = ok
+    return np.unique(c_off[keep])
+
+
 class CramReader:
     """Whole-file CRAM reader yielding columnar ReadBatches."""
 
@@ -579,6 +625,7 @@ class CramReader:
         self.header = BamHeader(text=sam_text, names=names,
                                 lengths=np.asarray(lengths, np.int64))
         self._data_off = off
+        self.bytes_decoded = 0
 
     # -- container plumbing ------------------------------------------
     def _read_container_header(self, off: int):
@@ -608,27 +655,37 @@ class CramReader:
         return blocks, end
 
     # -- record decode -----------------------------------------------
-    def batches(self, max_reads: int = 1 << 18) -> Iterator[ReadBatch]:
-        acc = _BatchAccum()
-        off = self._data_off
+    def _iter_slices(self, offsets=None):
+        """Yield (comp_header, slice_header, slice_blocks) walking the
+        container stream — all of it, or (``offsets``) only the
+        containers a .crai query selected (block skipping: nothing
+        outside those byte ranges is ever inflated). Tracks
+        ``bytes_decoded`` so tests can assert on sparseness."""
         n = len(self._buf)
+        if offsets is None:
+            offs = None
+        else:
+            offs = iter(np.asarray(offsets, np.int64))
+        off = self._data_off if offs is None else next(offs, n)
         while off < n:
             if self._buf[off: off + 4] == b"\x0f\x00\x00\x00" and \
-                    self._buf[off + 4: off + 13] == b"\xff\xff\xff\xff\x0f\xe0\x45\x4f\x46":
+                    self._buf[off + 4: off + 13] == \
+                    b"\xff\xff\xff\xff\x0f\xe0\x45\x4f\x46":
                 break  # EOF container
             length, ref_id, n_rec, n_blocks, boff = \
                 self._read_container_header(off)
             end = boff + length
             if n_rec == 0 and length <= 15:
-                off = end
+                off = end if offs is None else next(offs, n)
                 continue
             blocks = []
             while boff < end and len(blocks) < n_blocks:
                 b, boff = block_read(self._buf, boff)
                 blocks.append(b)
-            off = end
+            off = end if offs is None else next(offs, n)
             if not blocks:
                 continue
+            self.bytes_decoded += length
             comp = parse_compression_header(blocks[0].data)
             i = 1
             while i < len(blocks):
@@ -638,50 +695,28 @@ class CramReader:
                 sh = parse_slice_header(blocks[i].data)
                 slice_blocks = blocks[i + 1: i + 1 + sh.n_blocks]
                 i += 1 + sh.n_blocks
-                self._decode_slice(comp, sh, slice_blocks, acc)
-                while acc.n >= max_reads:
-                    yield acc.emit(max_reads)
+                yield comp, sh, slice_blocks
+
+    def batches(self, max_reads: int = 1 << 18,
+                offsets=None) -> Iterator[ReadBatch]:
+        acc = _BatchAccum()
+        for comp, sh, slice_blocks in self._iter_slices(offsets):
+            self._decode_slice(comp, sh, slice_blocks, acc)
+            while acc.n >= max_reads:
+                yield acc.emit(max_reads)
         if acc.n:
             yield acc.emit(acc.n)
 
-    def interval_batches(self):
+    def interval_batches(self, offsets=None):
         """Yield (tid, flag, mapq, start0, end0, n_records) per slice
         via the vectorized decoder. Raises CramVectorFallback when a
         slice needs the general record loop (caller should restart with
         ``batches()``)."""
-        off = self._data_off
-        n = len(self._buf)
-        while off < n:
-            if self._buf[off: off + 4] == b"\x0f\x00\x00\x00" and \
-                    self._buf[off + 4: off + 13] == \
-                    b"\xff\xff\xff\xff\x0f\xe0\x45\x4f\x46":
-                break
-            length, ref_id, n_rec, n_blocks, boff = \
-                self._read_container_header(off)
-            end = boff + length
-            if n_rec == 0 and length <= 15:
-                off = end
-                continue
-            blocks = []
-            while boff < end and len(blocks) < n_blocks:
-                b, boff = block_read(self._buf, boff)
-                blocks.append(b)
-            off = end
-            if not blocks:
-                continue
-            comp = parse_compression_header(blocks[0].data)
-            i = 1
-            while i < len(blocks):
-                if blocks[i].content_type != CT_SLICE_HEADER:
-                    i += 1
-                    continue
-                sh = parse_slice_header(blocks[i].data)
-                slice_blocks = blocks[i + 1: i + 1 + sh.n_blocks]
-                i += 1 + sh.n_blocks
-                out = decode_slice_events(comp, sh, slice_blocks)
-                if out is None:
-                    raise CramVectorFallback()
-                yield out
+        for comp, sh, slice_blocks in self._iter_slices(offsets):
+            out = decode_slice_events(comp, sh, slice_blocks)
+            if out is None:
+                raise CramVectorFallback()
+            yield out
 
     def _decode_slice(self, comp: CompressionHeader, sh: SliceHeader,
                       blocks: List[Block], acc: "_BatchAccum") -> None:
@@ -1024,10 +1059,15 @@ def decode_slice_events(comp: CompressionHeader, sh: SliceHeader,
     mapq_runs = np.concatenate([mq[mapped_idx][rec_of], mq[mapped_idx]])
     start0 = np.concatenate([starts_f, fin_lo])
     end0 = np.concatenate([ends_f, fin_hi])
+    # whole-read alignment span per run (region filters act on the
+    # READ like the reference's indexed fetch, not on each run: a read
+    # overlapping a window only via a deletion gap still counts fully)
+    read_lo = np.concatenate([ap0_m[rec_of], ap0_m])
+    read_hi = np.concatenate([fin_hi[rec_of], fin_hi])
     live = end0 > start0
     return (tid_runs[live], flag_runs[live].astype(np.int32),
             mapq_runs[live].astype(np.int32), start0[live], end0[live],
-            n)
+            n, read_lo[live], read_hi[live])
 
 
 class _BatchAccum:

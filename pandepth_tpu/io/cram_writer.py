@@ -164,8 +164,17 @@ def _read_features(ops: Sequence[Tuple[int, int]], streams: _Streams
 def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
                records: Sequence[Tuple],
                header_text: Optional[str] = None,
-               records_per_container: int = 10000) -> None:
-    """records: (tid, pos0, flag, mapq, cigar_str[, qname]) tuples."""
+               records_per_container: int = 10000,
+               index: bool = False) -> None:
+    """records: (tid, pos0, flag, mapq, cigar_str[, qname]) tuples.
+
+    ``index=True`` also writes ``path + ".crai"`` (CRAM spec §12: gzip
+    TSV of seq_id, 1-based start, span, container byte offset, slice
+    byte offset inside the container, slice size — one line per
+    reference contributing to each multi-ref slice), the same shape
+    htslib's cram_index_build emits and sam_index_load consumes
+    (the layer under the reference's indexed fetch,
+    /root/reference/src/PanDepth.cpp:4120-4124)."""
     if header_text is None:
         header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in zip(names, lengths))
@@ -182,8 +191,10 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
     out += _container(-1, 0, 0, 0, 0, 0, [hdr_block], [0])
 
     counter = 0
+    crai_lines: List[str] = []
     for c0 in range(0, len(records), records_per_container):
         chunk = records[c0: c0 + records_per_container]
+        container_off = len(out)
         streams = _Streams()
         n_bases = 0
         for ri, rec in enumerate(chunk):
@@ -237,8 +248,32 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
         landmarks = [len(comp_block)]
         out += _container(-2, 0, 0, len(chunk), counter, n_bases,
                           blocks, landmarks)
+        if index:
+            slice_size = len(slice_block) + len(core_block) + \
+                sum(len(b) for b in ext_blocks)
+            spans: Dict[int, Tuple[int, int]] = {}
+            for rec in chunk:
+                tid, pos, flag, _mq, cigar = rec[:5]
+                ops = cigar_str_to_ops(cigar) if cigar and \
+                    cigar != "*" else []
+                span = sum(ln for op, ln in ops
+                           if op in (0, 2, 3, 7, 8)) if not (flag & 4) \
+                    else 0
+                s1, e1 = pos + 1, pos + 1 + max(span, 0)
+                lo, hi = spans.get(tid, (s1, e1))
+                spans[tid] = (min(lo, s1), max(hi, e1))
+            for tid in sorted(spans):
+                lo, hi = spans[tid]
+                crai_lines.append(
+                    f"{tid}\t{lo}\t{hi - lo}\t{container_off}\t"
+                    f"{landmarks[0]}\t{slice_size}\n")
         counter += len(chunk)
 
     out += CRAM_EOF
     with open(path, "wb") as fh:
         fh.write(bytes(out))
+    if index:
+        import gzip
+
+        with gzip.open(path + ".crai", "wt") as fh:
+            fh.writelines(crai_lines)

@@ -114,7 +114,8 @@ def test_vectorized_events_match_record_loop(tmp_path):
     r1 = CramReader(path)
     eng_a = CoverageEngine(GenomeLayout(lengths))
     n_runs = 0
-    for tid, flag, mapq, s0, e0, _n in r1.interval_batches():
+    for tid, flag, mapq, s0, e0, _n, _rlo, _rhi in \
+            r1.interval_batches():
         keep = (flag & 1796) == 0
         eng_a.add_intervals(tid[keep], s0[keep], e0[keep])
         n_runs += int(keep.sum())
@@ -153,3 +154,94 @@ def test_cram_parity_filters_and_windows(tmp_path, oracle_bin):
     tmp = str(tmp_path)
     cram = _write_fixture_cram(tmp, seed=67)
     _both(tmp, oracle_bin, cram, ["-w", "250", "-q", "30", "-x", "260"])
+
+
+def test_crai_block_skipping(tmp_path, oracle_bin):
+    """Sparse-BED indexed CRAM run: only target-overlapping containers
+    are inflated, output byte-identical to the reference binary (whose
+    htslib loads OUR .crai via sam_index_load) and to our own full
+    decode."""
+    import glob
+
+    # many containers over a long contig; targets hit only the start
+    names, lengths = ["big"], [400_000]
+    rng = np.random.RandomState(5)
+    recs = sorted(
+        ((0, int(p), 0, 60, "100M") for p in
+         rng.randint(0, 399_800, 4000)), key=lambda r: r[1])
+    cram = str(tmp_path / "s.cram")
+    write_cram(cram, names, lengths, recs, records_per_container=200,
+               index=True)
+    assert os.path.exists(cram + ".crai")
+    bed = str(tmp_path / "t.bed")
+    with open(bed, "w") as fh:
+        fh.write("big\t1000\t9000\nbig\t15000\t17000\n")
+
+    subprocess.run([oracle_bin, "-i", cram, "-b", bed, "-o",
+                    str(tmp_path / "ref")], check=True,
+                   capture_output=True)
+    rc = cli_main(["pandepth", "-i", cram, "-b", bed, "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    for rf in sorted(glob.glob(str(tmp_path / "ref*.gz"))):
+        of = rf.replace("ref", "ours", 1)
+        assert gunzip_bytes(of) == gunzip_bytes(rf), \
+            os.path.basename(rf)
+
+    # sparseness: the run must decode only a fraction of containers
+    from pandepth_tpu.io.cram import (CramReader, crai_select_offsets,
+                                      load_crai)
+    from pandepth_tpu.targets.model import TargetSet
+    from pandepth_tpu.targets.parse import parse_targets
+
+    targets = parse_targets(bed, 3, {"big": 0})
+    regs = (*targets.fetch_windows(np.asarray(lengths, np.int64)), 1)
+    crai = load_crai(cram + ".crai")
+    assert crai is not None
+    offs = crai_select_offsets(crai, regs)
+    full = CramReader(cram)
+    for _ in full.interval_batches():
+        pass
+    sparse = CramReader(cram)
+    for _ in sparse.interval_batches(offsets=offs):
+        pass
+    assert sparse.bytes_decoded < full.bytes_decoded / 4
+
+
+def test_crai_offsets_equals_full_decode(tmp_path):
+    """Offset-restricted decode + read-span window filter == full
+    decode + same filter, for every window pattern."""
+    from pandepth_tpu.io.cram import (CramReader, crai_select_offsets,
+                                      load_crai)
+
+    recs = _cram_recs(n=800, seed=9)
+    recs.sort(key=lambda r: (r[0], r[1]))
+    cram = str(tmp_path / "w.cram")
+    write_cram(cram, [c[0] for c in CONTIGS],
+               [c[1] for c in CONTIGS], recs,
+               records_per_container=67, index=True)
+    crai = load_crai(cram + ".crai")
+    assert crai is not None
+
+    off = np.array([0, 2, 3, 3], np.int64)
+    ws = np.array([100, 2800, 500], np.int64)
+    we = np.array([900, 4800, 1500], np.int64)
+    regs = (off, ws, we, 1)
+    offs = crai_select_offsets(crai, regs)
+
+    def run_events(offsets):
+        r = CramReader(cram)
+        out = []
+        for (tid, flag, mapq, s0, e0, _n, rlo,
+             rhi) in r.interval_batches(offsets=offsets):
+            keep = (flag & 1796) == 0
+            from pandepth_tpu.run import _intervals_in_windows
+
+            keep &= _intervals_in_windows(tid, rlo, rhi, regs)
+            out.append((tid[keep], s0[keep], e0[keep]))
+        return [np.concatenate([o[i] for o in out]) for i in range(3)]
+
+    a = run_events(None)
+    b = run_events(offs)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
