@@ -45,22 +45,22 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
     (spill path + differential tests)."""
     if n is None:
         n = d8.shape[0]
-    zz = d8[:n].astype(np.int32)
+    zz = d8[:n].astype(np.int64)
     is_d = zz == 255
     delta = (zz >> 1) ^ -(zz & 1)
     delta[is_d] = excd[: int(is_d.sum())]
-    starts = base + np.cumsum(delta, dtype=np.int32)
-    l32 = l8[:n].astype(np.int32)
-    is_l = l32 == 255
-    l32[is_l] = excl[: int(is_l.sum())]
-    return starts, starts + l32
+    starts = base + np.cumsum(delta, dtype=np.int64)
+    lens = l8[:n].astype(np.int64)
+    is_l = lens == 255
+    lens[is_l] = excl[: int(is_l.sum())]
+    return starts, starts + lens
 
 
 @functools.lru_cache(maxsize=4)
 def _zero_enc_window(cap: int, ce: int):
     z8 = jnp.zeros(cap, jnp.uint8)
-    z32 = jnp.zeros(ce, jnp.int32)
-    return (z8, z8, z32, z32)
+    z64 = jnp.zeros(ce, jnp.int64)
+    return (z8, z8, z64, z64)
 
 
 @dataclasses.dataclass
@@ -137,8 +137,7 @@ class CoverageEngine:
 
     @property
     def wants_encoded_windows(self) -> bool:
-        return (self.pos_dtype is np.int32
-                and os.environ.get("PANDEPTH_ENC", "1") != "0")
+        return os.environ.get("PANDEPTH_ENC", "1") != "0"
 
     # ------------------------------------------------------------------
     def add_batch(self, batch: ReadBatch) -> None:
@@ -244,7 +243,9 @@ class CoverageEngine:
         kp = pad_pow2(k, floor=1)
         z = _zero_enc_window(self.enc_cap, self.enc_exc)
         wins = self._enc + [z] * (kp - k)
-        bases = np.zeros(kp, np.int32)
+        # bases pin the decode dtype: int32 positions whenever the
+        # padded genome fits (halves the device sort width)
+        bases = np.zeros(kp, self.pos_dtype)
         bases[:k] = self._enc_bases
         return (tuple(w[0] for w in wins), tuple(w[1] for w in wins),
                 tuple(w[2] for w in wins), tuple(w[3] for w in wins),

@@ -147,24 +147,24 @@ def finalize_encoded(d8s, l8s, excds, excls, bases, raw_pos,
     """
     d8 = jnp.stack(list(d8s))
     l8 = jnp.stack(list(l8s))
-    excd = jnp.stack(list(excds))
+    excd = jnp.stack(list(excds))   # int64 side lists (rare escapes)
     excl = jnp.stack(list(excls))
     ce = excd.shape[1]
-    zz = d8.astype(jnp.int32)
+    pdt = bases.dtype               # int32 when the genome fits, else
+    zz = d8.astype(pdt)             # int64 (3 Gb+ layouts)
     is_d = zz == 255
     delta = (zz >> 1) ^ -(zz & 1)
     idx_d = jnp.cumsum(is_d, axis=1) - 1
     delta = jnp.where(
         is_d, jnp.take_along_axis(excd, jnp.clip(idx_d, 0, ce - 1),
-                                  axis=1), delta)
-    starts = bases[:, None] + jnp.cumsum(delta, axis=1,
-                                         dtype=jnp.int32)
-    l32 = l8.astype(jnp.int32)
-    is_l = l32 == 255
+                                  axis=1).astype(pdt), delta)
+    starts = bases[:, None] + jnp.cumsum(delta, axis=1, dtype=pdt)
+    lv = l8.astype(pdt)
+    is_l = lv == 255
     idx_l = jnp.cumsum(is_l, axis=1) - 1
     lens = jnp.where(
         is_l, jnp.take_along_axis(excl, jnp.clip(idx_l, 0, ce - 1),
-                                  axis=1), l32)
+                                  axis=1).astype(pdt), lv)
     s_flat = starts.ravel()
     e_flat = (starts + lens).ravel()
     ones = jnp.ones(s_flat.shape[0], jnp.int32)

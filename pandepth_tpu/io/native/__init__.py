@@ -173,8 +173,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             fn = getattr(lib, enc_name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [
-                ctypes.c_void_p, u8p, u8p, i32p, i32p, ctypes.c_int64,
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_void_p, u8p, u8p, i64p, i64p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64)]
         lib.pancov_site_depth_write.restype = ctypes.c_int
@@ -528,12 +528,12 @@ class NativeBamStream:
         current window (~2 B/pair over the device link vs 8). Returns
         (n, d8, l8, excd, excl, base) with fixed-shape zero-tailed
         buffers, or None when the window is exhausted (released; call
-        wait() for the next). Valid only for int32-safe layouts."""
+        wait() for the next). Positions are full int64."""
         d8 = np.empty(cap, np.uint8)
         l8 = np.empty(cap, np.uint8)
-        excd = np.empty(exc_cap, np.int32)
-        excl = np.empty(exc_cap, np.int32)
-        base = ctypes.c_int32(0)
+        excd = np.empty(exc_cap, np.int64)
+        excl = np.empty(exc_cap, np.int64)
+        base = ctypes.c_int64(0)
         nd = ctypes.c_int64(0)
         nl = ctypes.c_int64(0)
         n = int(self._lib.pancov_stream_take_enc(
@@ -559,9 +559,9 @@ class NativeBamStream:
         buffers (never a stall)."""
         d8 = np.empty(cap, np.uint8)
         l8 = np.empty(cap, np.uint8)
-        excd = np.empty(exc_cap, np.int32)
-        excl = np.empty(exc_cap, np.int32)
-        base = ctypes.c_int32(0)
+        excd = np.empty(exc_cap, np.int64)
+        excl = np.empty(exc_cap, np.int64)
+        base = ctypes.c_int64(0)
         nd = ctypes.c_int64(0)
         nl = ctypes.c_int64(0)
         n = int(self._lib.pancov_stream_take_enc_acc(

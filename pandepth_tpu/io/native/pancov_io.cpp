@@ -1563,20 +1563,20 @@ int64_t pancov_stream_win_remaining(void* h) {
 // Compact event encoding for the device link (~2 B/event vs 8):
 // consumes up to `cap` (start, end) pairs of the current window.
 // d8[i] = zigzag(start_i - start_{i-1}) when it fits [0, 254], else
-// 255 with the true int32 delta appended to excd; l8[i] =
-// end_i - start_i when < 255, else 255 with the true int32 length
+// 255 with the true int64 delta appended to excd; l8[i] =
+// end_i - start_i when < 255, else 255 with the true int64 length
 // appended to excl. *base_out = first encoded start (so d8[0]
 // encodes delta 0). Tails of all four buffers are zeroed (a zero
 // slot decodes to a zero-length event at the previous position —
 // depth-neutral). Returns pairs encoded; 0 when the window is
 // exhausted (releasing it — call wait() for the next). Stops early
 // when an escape list would overflow exc_cap (the caller falls back
-// to take32 for pathological inputs). Valid only when every global
-// position fits int32 (the caller guarantees it).
+// to take32/take64 for pathological inputs). Positions are full
+// int64 (escapes carry any magnitude; the wire bytes stay 2/event).
 int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
-                               int32_t* excd, int32_t* excl,
+                               int64_t* excd, int64_t* excl,
                                int64_t cap, int64_t exc_cap,
-                               int32_t* base_out, int64_t* n_excd_out,
+                               int64_t* base_out, int64_t* n_excd_out,
                                int64_t* n_excl_out) {
   auto* sb = (StreamBam*)h;
   const auto& es = sb->cur.es;
@@ -1591,22 +1591,22 @@ int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
     return 0;
   }
   int64_t n = 0, nd = 0, nl = 0;
-  int32_t prev = (int32_t)es[i];
+  int64_t prev = es[i];
   *base_out = prev;
   while (i < m && n < cap) {
     // (the first pair can never stall: its delta is 0 and a length
     // escape fits while nl == 0 < exc_cap; -1 below is still guarded)
-    int32_t s = (int32_t)es[i];
-    int32_t len32 = (int32_t)(ee[i] - es[i]);
-    int32_t delta = s - prev;
-    uint32_t zz = ((uint32_t)delta << 1) ^ (uint32_t)(delta >> 31);
+    int64_t s = es[i];
+    int64_t len64 = ee[i] - es[i];
+    int64_t delta = s - prev;
+    uint64_t zz = ((uint64_t)delta << 1) ^ (uint64_t)(delta >> 63);
     bool de = zz >= 255;
-    bool le = len32 >= 255;
+    bool le = len64 >= 255;
     if ((de && nd >= exc_cap) || (le && nl >= exc_cap)) break;
     d8[n] = de ? 255 : (uint8_t)zz;
     if (de) excd[nd++] = delta;
-    l8[n] = le ? 255 : (uint8_t)len32;
-    if (le) excl[nl++] = len32;
+    l8[n] = le ? 255 : (uint8_t)len64;
+    if (le) excl[nl++] = len64;
     prev = s;
     i++;
     n++;
@@ -1615,8 +1615,8 @@ int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
   if (n == 0) return -1;  // stall: drain the rest via take32/take64
   std::memset(d8 + n, 0, (size_t)(cap - n));
   std::memset(l8 + n, 0, (size_t)(cap - n));
-  std::memset(excd + nd, 0, sizeof(int32_t) * (size_t)(exc_cap - nd));
-  std::memset(excl + nl, 0, sizeof(int32_t) * (size_t)(exc_cap - nl));
+  std::memset(excd + nd, 0, sizeof(int64_t) * (size_t)(exc_cap - nd));
+  std::memset(excl + nl, 0, sizeof(int64_t) * (size_t)(exc_cap - nl));
   *n_excd_out = nd;
   *n_excl_out = nl;
   return n;
@@ -1629,14 +1629,14 @@ int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
 // -2 = stream error). The delta chain runs through window seams, so
 // no seam fixups are needed.
 int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
-                                   int32_t* excd, int32_t* excl,
+                                   int64_t* excd, int64_t* excl,
                                    int64_t cap, int64_t exc_cap,
-                                   int32_t* base_out,
+                                   int64_t* base_out,
                                    int64_t* n_excd_out,
                                    int64_t* n_excl_out) {
   auto* sb = (StreamBam*)h;
   int64_t n = 0, nd = 0, nl = 0;
-  int32_t prev = 0;
+  int64_t prev = 0;
   bool have_base = false;
   *base_out = 0;
   for (;;) {
@@ -1664,7 +1664,7 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
       continue;
     }
     if (!have_base) {
-      prev = (int32_t)es[i];
+      prev = es[i];
       *base_out = prev;
       have_base = true;
     }
@@ -1674,20 +1674,20 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
         full = true;
         break;
       }
-      int32_t s = (int32_t)es[i];
-      int32_t len32 = (int32_t)(ee[i] - es[i]);
-      int32_t delta = s - prev;
-      uint32_t zz = ((uint32_t)delta << 1) ^ (uint32_t)(delta >> 31);
+      int64_t s = es[i];
+      int64_t len64 = ee[i] - es[i];
+      int64_t delta = s - prev;
+      uint64_t zz = ((uint64_t)delta << 1) ^ (uint64_t)(delta >> 63);
       bool de = zz >= 255;
-      bool le = len32 >= 255;
+      bool le = len64 >= 255;
       if ((de && nd >= exc_cap) || (le && nl >= exc_cap)) {
         full = true;  // escape list full: hand out a partial buffer
         break;
       }
       d8[n] = de ? 255 : (uint8_t)zz;
       if (de) excd[nd++] = delta;
-      l8[n] = le ? 255 : (uint8_t)len32;
-      if (le) excl[nl++] = len32;
+      l8[n] = le ? 255 : (uint8_t)len64;
+      if (le) excl[nl++] = len64;
       prev = s;
       i++;
       n++;
@@ -1698,8 +1698,8 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
   }
   std::memset(d8 + n, 0, (size_t)(cap - n));
   std::memset(l8 + n, 0, (size_t)(cap - n));
-  std::memset(excd + nd, 0, sizeof(int32_t) * (size_t)(exc_cap - nd));
-  std::memset(excl + nl, 0, sizeof(int32_t) * (size_t)(exc_cap - nl));
+  std::memset(excd + nd, 0, sizeof(int64_t) * (size_t)(exc_cap - nd));
+  std::memset(excl + nl, 0, sizeof(int64_t) * (size_t)(exc_cap - nl));
   *n_excd_out = nd;
   *n_excl_out = nl;
   return n;

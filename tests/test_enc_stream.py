@@ -227,3 +227,53 @@ def test_take_enc_acc_matches_raw(tmp_path):
         r.close()
         assert np.array_equal(rs, np.concatenate(ss)), (cap, ce)
         assert np.array_equal(re_, np.concatenate(ee)), (cap, ce)
+
+
+def test_enc_int64_genome(tmp_path):
+    """Layouts past 2^31 positions take the same 2 B/event path with
+    int64 escapes/bases; encoded == raw on a 3 Gb-scale layout."""
+    bam = str(tmp_path / "g.bam")
+    names = [f"c{i}" for i in range(13)]
+    lengths = [250_000_000] * 13   # 3.25 Gb total: past int32
+    rng = np.random.RandomState(3)
+    recs = []
+    for tid in range(13):
+        ps = np.sort(rng.randint(0, 249_000_000, 80))
+        recs += [(tid, int(p), 0, 60, "150M") for p in ps]
+    write_bam(bam, names, lengths, recs)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    assert lay.total >= (1 << 31)
+
+    rs, re_ = _raw_pairs(bam)
+    r = _native_stream(bam)
+    ss, ee = [], []
+    while True:
+        win = r.take_enc_acc(512, 64)
+        if win is None:
+            break
+        n, d8, l8, excd, excl, base = win
+        s, e = decode_enc_host(d8, l8, excd, excl, base, n)
+        ss.append(s)
+        ee.append(e)
+    r.close()
+    assert np.array_equal(rs, np.concatenate(ss))
+    assert np.array_equal(re_, np.concatenate(ee))
+
+    eng1 = CoverageEngine(lay)
+    assert eng1.pos_dtype is np.int64 and eng1.wants_encoded_windows
+    eng1.add_start_end(rs, re_)
+    eng2 = CoverageEngine(lay)
+    r = _native_stream(bam)
+    while True:
+        win = r.take_enc_acc(eng2.enc_cap, eng2.enc_exc)
+        if win is None:
+            break
+        eng2.add_encoded_window(*win)
+    r.close()
+    seg_tid = np.arange(13)
+    st1 = eng1.segment_stats(seg_tid, np.ones(13), hdr.lengths)
+    st2 = eng2.segment_stats(seg_tid, np.ones(13), hdr.lengths)
+    assert np.array_equal(st1.cover, st2.cover)
+    assert np.array_equal(st1.depth_sum, st2.depth_sum)
+    assert st1.cover.sum() > 0
