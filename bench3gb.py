@@ -1,0 +1,165 @@
+"""North-star benchmark (BASELINE.md): a 3 Gb-genome BAM, chr mode and
+gene mode (~175k CDS segments, mirroring the reference's Capsicum
+annuum workload: 33,688 genes / 175,274 exons), ours vs the reference
+binary on the same host, wall + max RSS both.
+
+Writes BENCH_3GB.json. Run standalone: ``python bench3gb.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+BENCH_DIR = os.environ.get("PANDEPTH_BENCH_DIR", "/tmp/pandepth_bench")
+N_READS = int(os.environ.get("PANDEPTH_BENCH3GB_READS", 8_000_000))
+N_CONTIGS = 12
+CONTIG_LEN = 250_000_000          # 12 x 250 Mb = 3 Gb
+N_GENES = 33_688
+SEGS_PER_GENE = 5                 # ~175k CDS segments
+REF_BIN = "/tmp/refbin/pandepth"
+REF_SRC = "/root/reference/src/PanDepth.cpp"
+
+
+def ensure_fixture():
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    bam = os.path.join(BENCH_DIR, f"bench3gb_{N_READS}.bam")
+    gff = os.path.join(BENCH_DIR, "bench3gb_genes.gff")
+    if os.path.exists(bam) and os.path.exists(gff):
+        return bam, gff
+    sys.stderr.write(f"bench3gb: generating {N_READS}-read / 3 Gb "
+                     f"fixture...\n")
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
+
+    rng = np.random.RandomState(7)
+    names = [f"chr{i + 1}" for i in range(N_CONTIGS)]
+    lens = np.full(N_CONTIGS, CONTIG_LEN, np.int64)
+    tid = rng.randint(0, N_CONTIGS, N_READS).astype(np.int32)
+    pos = (rng.rand(N_READS) * (CONTIG_LEN - 200)).astype(np.int32)
+    order = np.lexsort((pos, tid))
+    tid, pos = tid[order], pos[order]
+    mapq = rng.choice([0, 10, 30, 60], N_READS).astype(np.uint8)
+    flag = np.where(rng.rand(N_READS) < 0.05, 1024, 0).astype(
+        np.uint16)
+    tmp = bam + ".tmp"
+    write_uniform_bam(tmp, names, lens.tolist(), tid, pos, flag, mapq)
+    os.replace(tmp + ".bai", bam + ".bai")
+    os.replace(tmp, bam)
+
+    with open(gff + ".tmp", "w") as fh:
+        g = 0
+        per = N_GENES // N_CONTIGS + 1
+        for c in range(N_CONTIGS):
+            step = (CONTIG_LEN - 50_000) // per
+            for k in range(per):
+                if g >= N_GENES:
+                    break
+                base = 1000 + k * step
+                gid = f"g{g}"
+                fh.write(f"{names[c]}\tsrc\tmRNA\t{base}\t"
+                         f"{base + 20_000}\t.\t+\t.\tID={gid}\n")
+                for s in range(SEGS_PER_GENE):
+                    a = base + s * 4_000
+                    b = a + 1_500
+                    fh.write(f"{names[c]}\tsrc\tCDS\t{a}\t{b}\t.\t+"
+                             f"\t.\tParent={gid}\n")
+                g += 1
+    os.replace(gff + ".tmp", gff)
+    return bam, gff
+
+
+def ensure_reference():
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    if not os.path.exists(REF_SRC):
+        return None
+    os.makedirs(os.path.dirname(REF_BIN), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "--std=c++11", "-O3", "-o", REF_BIN, REF_SRC,
+             "-I/root/reference/include", "-L/root/reference/lib",
+             "-lhts", "-ldeflate", "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=600)
+        return REF_BIN
+    except Exception:
+        return None
+
+
+def run_child(argv):
+    """(wall_s, max_rss_mb) of one subprocess run."""
+    t0 = time.perf_counter()
+    p = subprocess.Popen(argv, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    _, status, ru = os.wait4(p.pid, 0)
+    wall = time.perf_counter() - t0
+    if status != 0:
+        raise RuntimeError(f"{argv[0]} exited {status}")
+    return wall, ru.ru_maxrss / 1024.0
+
+
+def ours_argv(bam, out, extra):
+    return [sys.executable, "-m", "pandepth_tpu.cli", "-i", bam,
+            "-o", out] + extra
+
+
+def best(fn, n):
+    walls, rss = [], []
+    for _ in range(n):
+        w, r = fn()
+        walls.append(w)
+        rss.append(r)
+    return min(walls), max(rss)
+
+
+def main():
+    bam, gff = ensure_fixture()
+    ref = ensure_reference()
+    out = os.path.join(BENCH_DIR, "b3g")
+    results = {"n_reads": N_READS, "genome_bp": N_CONTIGS * CONTIG_LEN,
+               "gene_segments": N_GENES * SEGS_PER_GENE,
+               "host_cores": os.cpu_count()}
+
+    for mode, extra in (("chr", []), ("gene", ["-g", gff])):
+        # ours first (tunnel latency degrades after heavy subprocess
+        # CPU load); one warm-up run per mode pays the remote compile
+        run_child(ours_argv(bam, out + "o", extra))
+        w, r = best(lambda: run_child(ours_argv(bam, out + "o",
+                                                extra)), 3)
+        results[f"ours_{mode}_wall_s"] = round(w, 3)
+        results[f"ours_{mode}_rss_mb"] = round(r, 1)
+        results[f"ours_{mode}_reads_per_s"] = round(N_READS / w, 1)
+        if ref:
+            w2, r2 = best(lambda: run_child(
+                [ref, "-i", bam, "-o", out + "r"] + extra), 3)
+            results[f"ref_{mode}_wall_s"] = round(w2, 3)
+            results[f"ref_{mode}_rss_mb"] = round(r2, 1)
+            results[f"ref_{mode}_reads_per_s"] = round(N_READS / w2, 1)
+            results[f"vs_baseline_{mode}"] = round(w2 / w, 3)
+
+    # byte parity of the tables produced above
+    import gzip
+    for mode, suffix in (("chr", ".chr.stat.gz"),
+                         ("gene", ".gene.stat.gz")):
+        if not ref:
+            break
+        with gzip.open(out + "o" + suffix, "rb") as fh:
+            a = fh.read()
+        with gzip.open(out + "r" + suffix, "rb") as fh:
+            b = fh.read()
+        results[f"parity_{mode}"] = a == b
+
+    print(json.dumps(results))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_3GB.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+        fh.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -828,22 +828,34 @@ def _features_to_cigar(fn: int, read_len: int, geti, getb, enc, core,
         else:
             ops.append((op, ln))
 
+    def get1(key: bytes) -> int:
+        # BA/QS/BS are byte-typed series (CRAM spec §10.5): an
+        # EXTERNAL stream holds one RAW byte per value, not ITF8
+        # (htslib writes qualities >= 0x80, which would misparse as
+        # multi-byte ints and shear every later read in the block)
+        c = enc[key]
+        if isinstance(c, ExternalCodec):
+            return c.read_byte(core, ext)
+        return c.read_int(core, ext)
+
     for _ in range(fn):
         fc = geti(b"FC")
         gap = geti(b"FP")
         fpos += gap
-        # bases between previous feature and this one are matches
+        # bases between previous feature and this one are matches;
+        # never regress (positional no-ops like Q can sit inside
+        # already-consumed spans, htslib cram_encode.c no-ref output)
         match_len = fpos - 1 - prev_read
         push(M, match_len)
-        prev_read = fpos - 1
+        prev_read = max(prev_read, fpos - 1)
         code = chr(fc)
         if code == "B":
-            geti(b"BA")
-            geti(b"QS")
+            get1(b"BA")
+            get1(b"QS")
             push(M, 1)
             prev_read += 1
         elif code == "X":
-            geti(b"BS")
+            get1(b"BS")
             push(M, 1)
             prev_read += 1
         elif code == "I":
@@ -851,7 +863,7 @@ def _features_to_cigar(fn: int, read_len: int, geti, getb, enc, core,
             push(I, len(bases))
             prev_read += len(bases)
         elif code == "i":
-            geti(b"BA")
+            get1(b"BA")
             push(I, 1)
             prev_read += 1
         elif code == "D":
@@ -867,12 +879,16 @@ def _features_to_cigar(fn: int, read_len: int, geti, getb, enc, core,
         elif code == "P":
             push(P, geti(b"PD"))
         elif code == "Q":
-            geti(b"QS")
+            get1(b"QS")
         elif code == "q":
-            # QQ: run of quality scores
+            # QQ: run of quality scores over existing bases — no
+            # alignment effect
             enc[b"QQ"].read_bytes(core, ext)
         elif code == "b":
-            enc[b"BB"].read_bytes(core, ext)
+            # BB: a run of literal bases, aligned as matches
+            bases = enc[b"BB"].read_bytes(core, ext)
+            push(M, len(bases))
+            prev_read += len(bases)
         else:
             raise ValueError(f"unknown CRAM feature code {code!r}")
     push(M, read_len - prev_read)

@@ -245,3 +245,99 @@ def test_crai_offsets_equals_full_decode(tmp_path):
     b = run_events(offs)
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+_B2C_SRC = r"""
+#include <stdio.h>
+#include "hts.h"
+#include "sam.h"
+#include "cram.h"
+int main(int argc, char** argv) {
+  samFile* in = sam_open(argv[1], "r");
+  if (!in) return 1;
+  sam_hdr_t* hdr = sam_hdr_read(in);
+  samFile* out = sam_open(argv[2], "wc");
+  if (!out) return 1;
+  hts_set_opt(out, CRAM_OPT_NO_REF, 1);
+  if (sam_hdr_write(out, hdr) < 0) return 1;
+  bam1_t* b = bam_init1();
+  while (sam_read1(in, hdr, b) >= 0)
+    if (sam_write1(out, hdr, b) < 0) return 1;
+  sam_close(out);
+  sam_close(in);
+  return 0;
+}
+"""
+
+
+def _bam2cram_bin():
+    """BAM->CRAM converter linked against the reference's bundled
+    htslib — produces REAL htslib CRAM (huffman/rANS/core encodings)
+    to drive our reader the direction the oracle can't."""
+    import subprocess as sp
+
+    path = "/tmp/refbin/bam2cram"
+    if os.path.exists(path):
+        return path
+    os.makedirs("/tmp/refbin", exist_ok=True)
+    src = "/tmp/refbin/bam2cram.c"
+    with open(src, "w") as fh:
+        fh.write(_B2C_SRC)
+    r = sp.run(["g++", "-O2", "-o", path, src,
+                "-I/root/reference/include", "-L/root/reference/lib",
+                "-lhts", "-ldeflate", "-lz", "-lpthread"],
+               capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"bam2cram build failed: {r.stderr[-500:]}")
+    return path
+
+
+def test_htslib_written_cram_decodes(tmp_path):
+    """Reader compatibility with real-world htslib CRAM output
+    (reference-free mode): every record's placement + CIGAR must match
+    the BAM it came from."""
+    from tests.fixtures import make_bam
+
+    from pandepth_tpu.device.engine import CoverageEngine
+    from pandepth_tpu.device.layout import GenomeLayout
+    from pandepth_tpu.io.bam import BamReader
+
+    bam = str(tmp_path / "h.bam")
+    make_bam(bam, n=900, seed=43)
+    cram = str(tmp_path / "h.cram")
+    subprocess.run([_bam2cram_bin(), bam, cram], check=True,
+                   capture_output=True)
+
+    rb = BamReader(bam)
+    rc = CramReader(cram)
+    assert rc.header.names == rb.header.names
+    lengths = rb.header.lengths
+    eng_b = CoverageEngine(GenomeLayout(lengths))
+    for b in rb.batches():
+        eng_b.add_batch(b)
+    eng_c = CoverageEngine(GenomeLayout(lengths))
+    n_c = 0
+    for b in rc.batches():
+        eng_c.add_batch(b)
+        n_c += b.n_reads
+    assert n_c == 900
+    seg_tid = np.arange(len(lengths), dtype=np.int32)
+    s1 = np.ones(len(lengths), np.int64)
+    sa = eng_b.segment_stats(seg_tid, s1, lengths)
+    sb = eng_c.segment_stats(seg_tid, s1, lengths)
+    np.testing.assert_array_equal(sa.cover, sb.cover)
+    np.testing.assert_array_equal(sa.depth_sum, sb.depth_sum)
+
+
+def test_htslib_written_cram_cli_parity(tmp_path, oracle_bin):
+    """Full-CLI parity on an htslib-written CRAM: ours vs the
+    reference binary reading the same file."""
+    from tests.fixtures import make_bam
+
+    bam = str(tmp_path / "h.bam")
+    make_bam(bam, n=700, seed=44)
+    cram = str(tmp_path / "h.cram")
+    subprocess.run([_bam2cram_bin(), bam, cram], check=True,
+                   capture_output=True)
+    _both(str(tmp_path), oracle_bin, cram, [])
+    _both(str(tmp_path), oracle_bin, cram, ["-w", "300"])
