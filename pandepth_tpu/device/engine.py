@@ -42,25 +42,27 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
                     excl: np.ndarray, base: int,
                     n: Optional[int] = None):
     """Numpy twin of the device decode in sweep.finalize_encoded
-    (spill path + differential tests)."""
+    (spill path + differential tests). Works for both code widths
+    (uint8 / uint16): the escape value is the dtype max."""
     if n is None:
         n = d8.shape[0]
+    esc = int(np.iinfo(d8.dtype).max)
     zz = d8[:n].astype(np.int64)
-    is_d = zz == 255
+    is_d = zz == esc
     delta = (zz >> 1) ^ -(zz & 1)
     delta[is_d] = excd[: int(is_d.sum())]
     starts = base + np.cumsum(delta, dtype=np.int64)
     lens = l8[:n].astype(np.int64)
-    is_l = lens == 255
+    is_l = lens == esc
     lens[is_l] = excl[: int(is_l.sum())]
     return starts, starts + lens
 
 
-@functools.lru_cache(maxsize=4)
-def _zero_enc_window(cap: int, ce: int):
-    z8 = jnp.zeros(cap, jnp.uint8)
+@functools.lru_cache(maxsize=8)
+def _zero_enc_window(cap: int, ce: int, dtype=np.uint8):
+    zd = jnp.zeros(cap, dtype)
     z64 = jnp.zeros(ce, jnp.int64)
-    return (z8, z8, z64, z64)
+    return (zd, zd, z64, z64)
 
 
 @dataclasses.dataclass
@@ -131,8 +133,13 @@ class CoverageEngine:
         # during the feed; ~2 B/event over the tunnel instead of 8)
         self.enc_cap = int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19))
         self.enc_exc = int(os.environ.get("PANDEPTH_ENC_EXC", 1 << 13))
-        self._enc: List[tuple] = []  # (d8, l8, excd, excl) device arrays
+        # two code-width groups: uint8 (2 B/pair, deep coverage) and
+        # uint16 (4 B/pair, sparse coverage); each entry is
+        # (n, d, l, excd, excl) with the arrays device-resident
+        self._enc: List[tuple] = []
         self._enc_bases: List[int] = []
+        self._enc16: List[tuple] = []
+        self._enc16_bases: List[int] = []
         self._max_enc = 64  # beyond this, decode on host (degenerate)
 
     @property
@@ -207,49 +214,62 @@ class CoverageEngine:
                                   self.pos_sentinel)
         self._chunks.append((pos, delta))
 
-    def add_encoded_window(self, n: int, d8: np.ndarray,
-                           l8: np.ndarray, excd: np.ndarray,
+    def add_encoded_window(self, n: int, dd: np.ndarray,
+                           ll: np.ndarray, excd: np.ndarray,
                            excl: np.ndarray, base: int) -> None:
         """Upload one compact-encoded event window (see
-        sweep.finalize_encoded for the wire format). The device_put is
-        asynchronous, so the transfer overlaps the next window's
-        decode — by finalize time the events are already resident."""
-        assert d8.shape[0] == self.enc_cap
-        self._enc.append((jax.device_put(d8), jax.device_put(l8),
-                          jax.device_put(excd), jax.device_put(excl)))
-        self._enc_bases.append(int(base))
+        sweep.finalize_encoded for the wire format; uint8 or uint16
+        codes by dtype). The device_put is asynchronous, so the
+        transfer overlaps the next window's decode — by finalize time
+        the events are already resident."""
+        assert dd.shape[0] == self.enc_cap
+        group, bases = (self._enc, self._enc_bases) \
+            if dd.dtype == np.uint8 else (self._enc16,
+                                          self._enc16_bases)
+        group.append((n, jax.device_put(dd), jax.device_put(ll),
+                      jax.device_put(excd), jax.device_put(excl)))
+        bases.append(int(base))
         self._state = None
-        if len(self._enc) > self._max_enc:
+        if len(self._enc) + len(self._enc16) > self._max_enc:
             self._spill_enc()
 
     def _spill_enc(self) -> None:
-        """Degenerate feeds (thousands of escape-stalled windows, e.g.
-        an unsorted BAM forced down the enc path) fold back into the
-        raw staging so the finalize signature stays bounded."""
-        for (d8, l8, excd, excl), base in zip(self._enc,
-                                              self._enc_bases):
-            s, e = decode_enc_host(np.asarray(d8), np.asarray(l8),
-                                   np.asarray(excd), np.asarray(excl),
-                                   base)
-            self.add_start_end(s, e)
+        """Degenerate feeds (thousands of short windows, e.g. an
+        unsorted BAM forced down the enc path) fold back into the raw
+        staging so the finalize signature stays bounded."""
+        for group, bases in ((self._enc, self._enc_bases),
+                             (self._enc16, self._enc16_bases)):
+            for (n, dd, ll, excd, excl), base in zip(group, bases):
+                s, e = decode_enc_host(
+                    np.asarray(dd), np.asarray(ll), np.asarray(excd),
+                    np.asarray(excl), base, n)
+                self.add_start_end(s, e)
         self._enc = []
         self._enc_bases = []
+        self._enc16 = []
+        self._enc16_bases = []
 
-    def _enc_args(self):
-        """(d8s, l8s, excds, excls, bases) tuples padded to a pow2
-        window count with cached zero windows (a zero window decodes
-        to zero-length events — depth-neutral)."""
-        k = len(self._enc)
-        kp = pad_pow2(k, floor=1)
-        z = _zero_enc_window(self.enc_cap, self.enc_exc)
-        wins = self._enc + [z] * (kp - k)
+    def _enc_group_args(self, group, bases_list, dtype):
+        k = len(group)
+        kp = pad_pow2(max(k, 1), floor=1)
+        z = _zero_enc_window(self.enc_cap, self.enc_exc, dtype)
+        wins = [w[1:] for w in group] + [z] * (kp - k)
         # bases pin the decode dtype: int32 positions whenever the
         # padded genome fits (halves the device sort width)
         bases = np.zeros(kp, self.pos_dtype)
-        bases[:k] = self._enc_bases
+        bases[:k] = bases_list
         return (tuple(w[0] for w in wins), tuple(w[1] for w in wins),
                 tuple(w[2] for w in wins), tuple(w[3] for w in wins),
                 jnp.asarray(bases))
+
+    def _enc_args(self):
+        """Both code-width groups padded to pow2 window counts with
+        cached zero windows (a zero window decodes to zero-length
+        events — depth-neutral)."""
+        return (self._enc_group_args(self._enc, self._enc_bases,
+                                     np.uint8),
+                self._enc_group_args(self._enc16, self._enc16_bases,
+                                     np.uint16))
 
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
@@ -305,7 +325,7 @@ class CoverageEngine:
     def sweep_state(self):
         """(pos_sorted, depth, c_cov, c_sum); cached until new events."""
         if self._state is None:
-            if self._enc:
+            if self._enc or self._enc16:
                 # ride the fused encoded finalize with a dummy query
                 self.segment_stats(np.zeros(1, np.int64),
                                    np.ones(1, np.int64),
@@ -353,15 +373,17 @@ class CoverageEngine:
                 cp = (jnp.full((1,), self.pos_sentinel,
                                self.pos_dtype),)
                 cd = (jnp.zeros((1,), jnp.int32),)
-            if self._enc:
-                d8s, l8s, excds, excls, bases = self._enc_args()
+            if self._enc or self._enc16:
+                g8, g16 = self._enc_args()
                 out = sweep_mod.finalize_encoded(
-                    d8s, l8s, excds, excls, bases, cp, cd,
+                    g8, g16, cp, cd,
                     jnp.asarray(lo_c), jnp.asarray(hi_c),
                     min_dep=self.min_dep, wrap18=self.wrap18,
                     method=method)
                 self._enc = []
                 self._enc_bases = []
+                self._enc16 = []
+                self._enc16_bases = []
             else:
                 out = sweep_mod.finalize_chunked(
                     cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),

@@ -125,51 +125,61 @@ def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
                              method=method)
 
 
-@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
-                                             "method"))
-def finalize_encoded(d8s, l8s, excds, excls, bases, raw_pos,
-                     raw_delta, seg_lo, seg_hi, min_dep: int = 1,
-                     wrap18: bool = False,
-                     method: str = "scan_unrolled"):
-    """Decode compact event windows + finalize in ONE dispatch.
-
-    The host link is the bottleneck of a tunneled TPU (measured
-    ~35 MB/s forced round-trip on this stack vs ~0.07 s for the whole
-    16M-event sort+sweep), so the native loader ships ~2 B/event:
-    ``d8s``/``l8s`` are K same-shape (CAP,) uint8 windows of
-    zigzag(start-delta) / segment-length bytes, 255 = escape into the
-    (CE,) int32 ``excds``/``excls`` side lists, ``bases`` (K,) int32
-    holds each window's absolute first start. Zero-filled tail slots
-    decode to zero-length events at the previous position —
-    depth-neutral by construction, so no masking is needed.
-    ``raw_pos``/``raw_delta`` are extra pre-built event chunks (other
-    feeds) merged into the same sort.
-    """
-    d8 = jnp.stack(list(d8s))
-    l8 = jnp.stack(list(l8s))
+def _decode_enc_group(dds, lls, excds, excls, bases):
+    """Decode one group of K same-shape (CAP,) code windows into flat
+    (start, end) vectors. The escape value is the code dtype's max
+    (255 for uint8, 65535 for uint16); escapes index the (CE,) int64
+    side lists in order of occurrence (a cumsum-driven gather — no
+    scatter). Zero-filled tail slots decode to zero-length events at
+    the previous position — depth-neutral by construction."""
+    dd = jnp.stack(list(dds))
+    ll = jnp.stack(list(lls))
     excd = jnp.stack(list(excds))   # int64 side lists (rare escapes)
     excl = jnp.stack(list(excls))
     ce = excd.shape[1]
+    esc = int(jnp.iinfo(dd.dtype).max)
     pdt = bases.dtype               # int32 when the genome fits, else
-    zz = d8.astype(pdt)             # int64 (3 Gb+ layouts)
-    is_d = zz == 255
+    zz = dd.astype(pdt)             # int64 (3 Gb+ layouts)
+    is_d = zz == esc
     delta = (zz >> 1) ^ -(zz & 1)
     idx_d = jnp.cumsum(is_d, axis=1) - 1
     delta = jnp.where(
         is_d, jnp.take_along_axis(excd, jnp.clip(idx_d, 0, ce - 1),
                                   axis=1).astype(pdt), delta)
     starts = bases[:, None] + jnp.cumsum(delta, axis=1, dtype=pdt)
-    lv = l8.astype(pdt)
-    is_l = lv == 255
+    lv = ll.astype(pdt)
+    is_l = lv == esc
     idx_l = jnp.cumsum(is_l, axis=1) - 1
     lens = jnp.where(
         is_l, jnp.take_along_axis(excl, jnp.clip(idx_l, 0, ce - 1),
                                   axis=1).astype(pdt), lv)
-    s_flat = starts.ravel()
-    e_flat = (starts + lens).ravel()
-    ones = jnp.ones(s_flat.shape[0], jnp.int32)
-    pos = jnp.concatenate([s_flat, e_flat, *raw_pos])
-    dlt = jnp.concatenate([ones, -ones, *raw_delta])
+    return starts.ravel(), (starts + lens).ravel()
+
+
+@functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
+                                             "method"))
+def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
+                     min_dep: int = 1, wrap18: bool = False,
+                     method: str = "scan_unrolled"):
+    """Decode compact event windows + finalize in ONE dispatch.
+
+    The host link is the bottleneck of a tunneled TPU (measured
+    ~35 MB/s forced round-trip on this stack vs ~0.07 s for the whole
+    16M-event sort+sweep), so the native loader ships ~2 B/event
+    (uint8 codes, deep-coverage profile) or ~4 B/event (uint16 codes,
+    sparse runs whose start gaps overflow 8-bit zigzag). ``g8``/``g16``
+    are (dds, lls, excds, excls, bases) window groups — see
+    _decode_enc_group for the wire format. ``raw_pos``/``raw_delta``
+    are extra pre-built event chunks (other feeds) merged into the
+    same sort.
+    """
+    s8, e8 = _decode_enc_group(*g8)
+    s16, e16 = _decode_enc_group(*g16)
+    ones8 = jnp.ones(s8.shape[0], jnp.int32)
+    ones16 = jnp.ones(s16.shape[0], jnp.int32)
+    pos = jnp.concatenate([s8, e8, s16, e16, *raw_pos])
+    dlt = jnp.concatenate([ones8, -ones8, ones16, -ones16,
+                           *raw_delta])
     return finalize_segments(pos, dlt, seg_lo, seg_hi,
                              min_dep=min_dep, wrap18=wrap18,
                              method=method)

@@ -168,12 +168,14 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_stream_take64.argtypes = [ctypes.c_void_p, i64p,
                                              i64p]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
-        for enc_name in ("pancov_stream_take_enc",
-                         "pancov_stream_take_enc_acc"):
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C")
+        for enc_name, dp in (("pancov_stream_take_enc", u8p),
+                             ("pancov_stream_take_enc_acc", u8p),
+                             ("pancov_stream_take_enc_acc16", u16p)):
             fn = getattr(lib, enc_name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [
-                ctypes.c_void_p, u8p, u8p, i64p, i64p, ctypes.c_int64,
+                ctypes.c_void_p, dp, dp, i64p, i64p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64)]
@@ -551,30 +553,44 @@ class NativeBamStream:
         """Pairs left in the current window (after partial take_enc)."""
         return int(self._lib.pancov_stream_win_remaining(self._h))
 
+    def _take_acc(self, fn, dtype, cap: int, exc_cap: int):
+        dd = np.empty(cap, dtype)
+        ll = np.empty(cap, dtype)
+        excd = np.empty(exc_cap, np.int64)
+        excl = np.empty(exc_cap, np.int64)
+        base = ctypes.c_int64(0)
+        nd = ctypes.c_int64(0)
+        nl = ctypes.c_int64(0)
+        n = int(fn(self._h, dd, ll, excd, excl, cap, exc_cap,
+                   ctypes.byref(base), ctypes.byref(nd),
+                   ctypes.byref(nl)))
+        if n == -2:
+            err = ctypes.create_string_buffer(256)
+            self._lib.pancov_stream_error(self._h, err, len(err))
+            raise ValueError(
+                f"pancov stream: {err.value.decode() or 'error'}")
+        # exc saturation signal: the caller upgrades to the 16-bit
+        # tier when a short buffer maxed an escape list
+        self.last_nd, self.last_nl = int(nd.value), int(nl.value)
+        if n == 0:
+            return None
+        return n, dd, ll, excd, excl, int(base.value)
+
     def take_enc_acc(self, cap: int, exc_cap: int):
         """Like take_enc but fills the whole cap-size buffer ACROSS
         windows (blocking on the producer), so device buffers stay
         full and sort padding stays O(1/K). Returns the same tuple,
         or None at clean EOF; escape-heavy inputs yield partial
         buffers (never a stall)."""
-        d8 = np.empty(cap, np.uint8)
-        l8 = np.empty(cap, np.uint8)
-        excd = np.empty(exc_cap, np.int64)
-        excl = np.empty(exc_cap, np.int64)
-        base = ctypes.c_int64(0)
-        nd = ctypes.c_int64(0)
-        nl = ctypes.c_int64(0)
-        n = int(self._lib.pancov_stream_take_enc_acc(
-            self._h, d8, l8, excd, excl, cap, exc_cap,
-            ctypes.byref(base), ctypes.byref(nd), ctypes.byref(nl)))
-        if n == -2:
-            err = ctypes.create_string_buffer(256)
-            self._lib.pancov_stream_error(self._h, err, len(err))
-            raise ValueError(
-                f"pancov stream: {err.value.decode() or 'error'}")
-        if n == 0:
-            return None
-        return n, d8, l8, excd, excl, int(base.value)
+        return self._take_acc(self._lib.pancov_stream_take_enc_acc,
+                              np.uint8, cap, exc_cap)
+
+    def take_enc_acc16(self, cap: int, exc_cap: int):
+        """16-bit-code variant (4 B/pair): zigzag deltas to +-32766
+        and lengths to 65534 inline — the sparse-coverage tier where
+        typical start gaps overflow the 8-bit codes."""
+        return self._take_acc(self._lib.pancov_stream_take_enc_acc16,
+                              np.uint16, cap, exc_cap)
 
     @property
     def n_records(self) -> int:

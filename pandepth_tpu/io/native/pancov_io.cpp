@@ -24,6 +24,7 @@
 #include <chrono>
 #include <condition_variable>
 #include <deque>
+#include <limits>
 #include <mutex>
 #include <cstdint>
 #include <cstdlib>
@@ -1622,19 +1623,26 @@ int64_t pancov_stream_take_enc(void* h, uint8_t* d8, uint8_t* l8,
   return n;
 }
 
-// Accumulating variant: fills the buffer ACROSS stream windows
+// Accumulating encoder: fills the buffer ACROSS stream windows
 // (blocking on the producer as needed) so every upload is a full
 // cap-size buffer — padding waste in the device sort stays O(1/K)
 // instead of O(windows). Returns pairs encoded (0 = clean EOF,
 // -2 = stream error). The delta chain runs through window seams, so
-// no seam fixups are needed.
-int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
-                                   int64_t* excd, int64_t* excl,
-                                   int64_t cap, int64_t exc_cap,
-                                   int64_t* base_out,
-                                   int64_t* n_excd_out,
-                                   int64_t* n_excl_out) {
-  auto* sb = (StreamBam*)h;
+// no seam fixups are needed. Templated over the code width: uint8
+// (escape at 255; 2 B/pair, deep-coverage profile) and uint16
+// (escape at 65535; 4 B/pair — sparse-coverage runs where start gaps
+// exceed the 8-bit zigzag range, detected by the caller via a
+// saturated escape list).
+}  // extern "C" (template below needs C++ linkage)
+}  // outer extern "C" level
+
+namespace {
+template <typename T>
+int64_t take_enc_acc_impl(StreamBam* sb, T* dd, T* ll,
+                          int64_t* excd, int64_t* excl,
+                          int64_t cap, int64_t exc_cap,
+                          int64_t* base_out, int64_t* n_excd_out,
+                          int64_t* n_excl_out) {
   int64_t n = 0, nd = 0, nl = 0;
   int64_t prev = 0;
   bool have_base = false;
@@ -1669,6 +1677,7 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
       have_base = true;
     }
     bool full = false;
+    const uint64_t kEsc = (uint64_t)std::numeric_limits<T>::max();
     while (i < m) {
       if (n >= cap) {
         full = true;
@@ -1678,15 +1687,15 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
       int64_t len64 = ee[i] - es[i];
       int64_t delta = s - prev;
       uint64_t zz = ((uint64_t)delta << 1) ^ (uint64_t)(delta >> 63);
-      bool de = zz >= 255;
-      bool le = len64 >= 255;
+      bool de = zz >= kEsc;
+      bool le = (uint64_t)len64 >= kEsc;
       if ((de && nd >= exc_cap) || (le && nl >= exc_cap)) {
         full = true;  // escape list full: hand out a partial buffer
         break;
       }
-      d8[n] = de ? 255 : (uint8_t)zz;
+      dd[n] = de ? (T)kEsc : (T)zz;
       if (de) excd[nd++] = delta;
-      l8[n] = le ? 255 : (uint8_t)len64;
+      ll[n] = le ? (T)kEsc : (T)len64;
       if (le) excl[nl++] = len64;
       prev = s;
       i++;
@@ -1696,13 +1705,40 @@ int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
     if (i >= m) release_cur(sb);
     if (full) break;
   }
-  std::memset(d8 + n, 0, (size_t)(cap - n));
-  std::memset(l8 + n, 0, (size_t)(cap - n));
+  std::memset(dd + n, 0, sizeof(T) * (size_t)(cap - n));
+  std::memset(ll + n, 0, sizeof(T) * (size_t)(cap - n));
   std::memset(excd + nd, 0, sizeof(int64_t) * (size_t)(exc_cap - nd));
   std::memset(excl + nl, 0, sizeof(int64_t) * (size_t)(exc_cap - nl));
   *n_excd_out = nd;
   *n_excl_out = nl;
   return n;
+}
+}  // namespace
+
+extern "C" {
+extern "C" {
+
+int64_t pancov_stream_take_enc_acc(void* h, uint8_t* d8, uint8_t* l8,
+                                   int64_t* excd, int64_t* excl,
+                                   int64_t cap, int64_t exc_cap,
+                                   int64_t* base_out,
+                                   int64_t* n_excd_out,
+                                   int64_t* n_excl_out) {
+  return take_enc_acc_impl<uint8_t>((StreamBam*)h, d8, l8, excd, excl,
+                                    cap, exc_cap, base_out, n_excd_out,
+                                    n_excl_out);
+}
+
+int64_t pancov_stream_take_enc_acc16(void* h, uint16_t* d16,
+                                     uint16_t* l16, int64_t* excd,
+                                     int64_t* excl, int64_t cap,
+                                     int64_t exc_cap,
+                                     int64_t* base_out,
+                                     int64_t* n_excd_out,
+                                     int64_t* n_excl_out) {
+  return take_enc_acc_impl<uint16_t>((StreamBam*)h, d16, l16, excd,
+                                     excl, cap, exc_cap, base_out,
+                                     n_excd_out, n_excl_out);
 }
 
 int64_t pancov_stream_n_records(void* h) {

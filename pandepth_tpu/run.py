@@ -82,15 +82,21 @@ def index_present(path: str) -> bool:
 
 
 def make_engine(layout, **kw):
-    """Production engine selection: the genome-range-sharded engine
-    whenever the process sees more than one device (the TPU analog of
-    the reference's chromosome-group thread scheduler,
-    src/PanDepth.cpp:4151-4260); the single-chip engine otherwise.
-    ``PANDEPTH_SHARDED=0/1`` forces either path."""
+    """Production engine selection: the multihost exchange engine in a
+    jax.distributed job, the genome-range-sharded engine whenever the
+    process sees more than one device (the TPU analog of the
+    reference's chromosome-group thread scheduler,
+    src/PanDepth.cpp:4151-4260), the single-chip engine otherwise.
+    ``PANDEPTH_SHARDED=0/1`` forces the single/sharded choice."""
     force = os.environ.get("PANDEPTH_SHARDED")
     if force != "0":
         import jax
 
+        if jax.process_count() > 1:
+            from pandepth_tpu.sharding.multihost import \
+                MultihostCoverageEngine
+
+            return MultihostCoverageEngine(layout, **kw)
         if force == "1" or len(jax.devices()) > 1:
             from pandepth_tpu.sharding.engine import ShardedCoverageEngine
 
@@ -244,11 +250,19 @@ def _feed_stream(engine, r) -> None:
     unsorted BAM) drains through the raw take32 path instead."""
     if getattr(engine, "wants_encoded_windows", False) and \
             hasattr(r, "take_enc_acc"):
+        take = r.take_enc_acc
         while True:
-            win = r.take_enc_acc(engine.enc_cap, engine.enc_exc)
+            win = take(engine.enc_cap, engine.enc_exc)
             if win is None:
                 break
             engine.add_encoded_window(*win)
+            if take is r.take_enc_acc and win[0] < engine.enc_cap \
+                    and (r.last_nd >= engine.enc_exc
+                         or r.last_nl >= engine.enc_exc):
+                # short buffer through escape saturation: the input is
+                # sparser than 8-bit zigzag covers — upgrade the rest
+                # of the feed to 16-bit codes (4 B/pair)
+                take = r.take_enc_acc16
         engine.n_reads_seen += r.n_records
         r.close()
         return
