@@ -139,6 +139,17 @@ def _prepare_targets(config: RunConfig, names: List[str],
     return mode, targets
 
 
+def _is_writer_rank() -> bool:
+    """Multihost runs compute identical replicated tables on every
+    process (the collectives require all ranks); only rank 0 writes."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                         mode: int, targets: TargetSet, names: List[str],
                         lengths: np.ndarray, gc_cols: bool,
@@ -165,6 +176,8 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                                       targets.tids_with_regions(),
                                       config.win_size, stats_fn, gc_fn)
 
+    if not _is_writer_rank():
+        return
     write_tables(table_path(prefix, mode), mode, gc_cols, names, targets,
                  gene_cover, gene_dsum, win6_rows)
 

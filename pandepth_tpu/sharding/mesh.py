@@ -57,76 +57,87 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
+def _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo, seg_hi,
+                        n_dev: int, cap: int, min_dep: int,
+                        wrap18: bool):
+    """Shared shard_map body: range-bucket local events, one
+    ``all_to_all`` hop to the owning device, carry-corrected local
+    sweep, psum'd segment eval. Returns (cover, dsum, overflow)."""
+    rid = jax.lax.axis_index("x")
+    lo, hi = bounds[rid], bounds[rid + 1]
+
+    # destination range of every local event; dead (sentinel /
+    # filtered) slots go to a virtual bucket n_dev
+    live = ev_delta != 0
+    dest = jnp.clip(
+        jnp.searchsorted(bounds[1:-1], ev_pos, side="right"),
+        0, n_dev - 1).astype(jnp.int32)
+    dest = jnp.where(live, dest, n_dev)
+
+    # per-range delta sums -> carry flowing into each range
+    local_sums = jax.ops.segment_sum(
+        ev_delta.astype(jnp.int64), dest, num_segments=n_dev + 1)
+    range_sums = jax.lax.psum(local_sums[:n_dev], "x")
+    carry = (jnp.cumsum(range_sums) - range_sums)[rid].astype(
+        jnp.int32)
+
+    # bucket locally: sort by destination, then slot within bucket
+    dest_s, order = jax.lax.sort_key_val(
+        dest, jnp.arange(dest.shape[0], dtype=jnp.int32))
+    pos_s = ev_pos[order]
+    del_s = ev_delta[order]
+    starts = jnp.searchsorted(
+        dest_s, jnp.arange(n_dev, dtype=jnp.int32), side="left")
+    slot = jnp.arange(dest_s.shape[0], dtype=jnp.int32) - \
+        starts[jnp.minimum(dest_s, n_dev - 1)]
+    ok = (dest_s < n_dev) & (slot < cap)
+    overflow = jnp.sum(
+        jnp.where((dest_s < n_dev) & (slot >= cap), 1, 0))
+    overflow = jax.lax.psum(overflow, "x")
+    flat = jnp.where(ok, dest_s * cap + slot, n_dev * cap)
+    send_pos = jnp.full((n_dev * cap + 1,), SENTINEL,
+                        ev_pos.dtype).at[flat].set(
+        pos_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
+    send_del = jnp.zeros((n_dev * cap + 1,),
+                         jnp.int32).at[flat].set(
+        del_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
+
+    # one hop: row j of the send buffer goes to device j
+    recv_pos = jax.lax.all_to_all(send_pos, "x", 0, 0,
+                                  tiled=True).reshape(-1)
+    recv_del = jax.lax.all_to_all(send_del, "x", 0, 0,
+                                  tiled=True).reshape(-1)
+
+    pos2 = jnp.concatenate(
+        [lo[None].astype(recv_pos.dtype), recv_pos])
+    del2 = jnp.concatenate([carry[None], recv_del])
+    pos_sw, depth, c_cov, c_sum, _ = sweep_mod.sort_events(
+        pos2, del2, min_dep=min_dep, wrap18=wrap18)
+    md = jnp.int32(min_dep)
+    lo_q = jnp.clip(seg_lo, lo, hi)
+    hi_q = jnp.clip(seg_hi, lo, hi)
+    cover, dsum = sweep_mod.eval_pair(pos_sw, depth, c_cov, c_sum,
+                                      md, lo_q, hi_q)
+    return (jax.lax.psum(cover, "x"), jax.lax.psum(dsum, "x"),
+            overflow)
+
+
 @functools.lru_cache(maxsize=None)
 def _exchange_step(mesh: Mesh, n_dev: int, cap: int, flags_mask: int,
                    min_mapq: int, min_dep: int, wrap18: bool):
-    """One jitted bucketed-exchange coverage step at per-pair event
-    capacity ``cap``. Returns (cover, dsum, overflow); overflow > 0
-    means some (src, dst) bucket exceeded ``cap`` and the caller must
-    retry with a larger capacity."""
+    """One jitted bucketed-exchange coverage step over raw read
+    columns at per-pair event capacity ``cap``. Returns (cover, dsum,
+    overflow); overflow > 0 means some (src, dst) bucket exceeded
+    ``cap`` and the caller must retry with a larger capacity."""
 
     def step(tid, pos, flag, mapq, opc, opl, opr, offsets, limits,
              bounds, seg_lo, seg_hi):
         ev_pos, ev_delta = extract_events(
             tid, pos, flag, mapq, opc, opl, opr, offsets, limits,
             flags_mask=flags_mask, min_mapq=min_mapq)
-        rid = jax.lax.axis_index("x")
-        lo, hi = bounds[rid], bounds[rid + 1]
-
-        # destination range of every local event; dead (sentinel /
-        # filtered) slots go to a virtual bucket n_dev
-        live = ev_delta != 0
-        dest = jnp.clip(
-            jnp.searchsorted(bounds[1:-1], ev_pos, side="right"),
-            0, n_dev - 1).astype(jnp.int32)
-        dest = jnp.where(live, dest, n_dev)
-
-        # per-range delta sums -> carry flowing into each range
-        local_sums = jax.ops.segment_sum(
-            ev_delta.astype(jnp.int64), dest, num_segments=n_dev + 1)
-        range_sums = jax.lax.psum(local_sums[:n_dev], "x")
-        carry = (jnp.cumsum(range_sums) - range_sums)[rid].astype(
-            jnp.int32)
-
-        # bucket locally: sort by destination, then slot within bucket
-        dest_s, order = jax.lax.sort_key_val(
-            dest, jnp.arange(dest.shape[0], dtype=jnp.int32))
-        pos_s = ev_pos[order]
-        del_s = ev_delta[order]
-        starts = jnp.searchsorted(
-            dest_s, jnp.arange(n_dev, dtype=jnp.int32), side="left")
-        slot = jnp.arange(dest_s.shape[0], dtype=jnp.int32) - \
-            starts[jnp.minimum(dest_s, n_dev - 1)]
-        ok = (dest_s < n_dev) & (slot < cap)
-        overflow = jnp.sum(
-            jnp.where((dest_s < n_dev) & (slot >= cap), 1, 0))
-        overflow = jax.lax.psum(overflow, "x")
-        flat = jnp.where(ok, dest_s * cap + slot, n_dev * cap)
-        send_pos = jnp.full((n_dev * cap + 1,), SENTINEL,
-                            ev_pos.dtype).at[flat].set(
-            pos_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
-        send_del = jnp.zeros((n_dev * cap + 1,),
-                             jnp.int32).at[flat].set(
-            del_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
-
-        # one hop: row j of the send buffer goes to device j
-        recv_pos = jax.lax.all_to_all(send_pos, "x", 0, 0,
-                                      tiled=True).reshape(-1)
-        recv_del = jax.lax.all_to_all(send_del, "x", 0, 0,
-                                      tiled=True).reshape(-1)
-
-        pos2 = jnp.concatenate(
-            [lo[None].astype(recv_pos.dtype), recv_pos])
-        del2 = jnp.concatenate([carry[None], recv_del])
-        pos_sw, depth, c_cov, c_sum, _ = sweep_mod.sort_events(
-            pos2, del2, min_dep=min_dep, wrap18=wrap18)
-        md = jnp.int32(min_dep)
-        lo_q = jnp.clip(seg_lo, lo, hi)
-        hi_q = jnp.clip(seg_hi, lo, hi)
-        cover, dsum = sweep_mod.eval_pair(pos_sw, depth, c_cov, c_sum,
-                                          md, lo_q, hi_q)
-        return (jax.lax.psum(cover, "x"), jax.lax.psum(dsum, "x"),
-                overflow)
+        return _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo,
+                                   seg_hi, n_dev, cap, min_dep,
+                                   wrap18)
 
     sh = P("x")
     rep = P()
@@ -135,6 +146,29 @@ def _exchange_step(mesh: Mesh, n_dev: int, cap: int, flags_mask: int,
         in_specs=(sh, sh, sh, sh,      # reads
                   sh, sh, sh,          # cigar stream
                   rep, rep, rep, rep, rep),
+        out_specs=(rep, rep, rep)))
+
+
+@functools.lru_cache(maxsize=None)
+def _events_exchange_step(mesh: Mesh, n_dev: int, cap: int,
+                          min_dep: int, wrap18: bool):
+    """Bucketed-exchange step over pre-extracted event rows — the
+    multi-host path: every process decodes its own input files (the
+    150 Gb-reads workload is decode-bound, so feed scaling IS the
+    scaling) and contributes its events as rows on its local devices;
+    one ``all_to_all`` lands each event on the device owning its
+    genome range (ICI within a host, DCN across), and the replicated
+    tables come back identical on every process."""
+
+    def step(pos2d, delta2d, bounds, seg_lo, seg_hi):
+        return _exchange_and_sweep(pos2d[0], delta2d[0], bounds,
+                                   seg_lo, seg_hi, n_dev, cap,
+                                   min_dep, wrap18)
+
+    row = P("x", None)
+    rep = P()
+    return jax.jit(shard_map_fn(
+        step, mesh, in_specs=(row, row, rep, rep, rep),
         out_specs=(rep, rep, rep)))
 
 

@@ -1,0 +1,159 @@
+"""Multi-host production engine: distributed decode, one event
+exchange, replicated tables.
+
+The reference binary is one process; its ceiling is one machine
+(SURVEY.md §2.3). Here every host joins a ``jax.distributed`` job and
+decodes ITS OWN shard of the input files (process_read_shard) — the
+150 Gb-reads workload is decode-bound, so feed scaling is the actual
+scaling. Events go through the range-bucketed ``all_to_all`` of
+sharding/mesh.py (ICI within a host, DCN across); every process gets
+identical replicated tables and only process 0 writes them
+(run._finalize_and_write).
+
+Multi-sample additivity (the reference's BamList_main,
+src/PanDepth.cpp:2029-3410) is what makes file sharding correct:
+depth sums over files regardless of which host decoded which file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pandepth_tpu.device.events import SENTINEL, pad_pow2
+from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.sharding.engine import ShardedCoverageEngine
+from pandepth_tpu.sharding import mesh as mesh_mod
+
+
+class MultihostCoverageEngine(ShardedCoverageEngine):
+    """ShardedCoverageEngine over ALL processes' devices.
+
+    Feeds accumulate host-side exactly like the single-controller
+    engine; finalize pads every process's local events to a globally
+    agreed row size, places rows on local devices, and runs the
+    bucketed-exchange step. Results are replicated — every rank can
+    evaluate follow-up segment batches against its cached replicated
+    state without further collectives (mode-6 re-tiling, site dumps
+    excluded — the launcher rejects ``-a`` under multihost)."""
+
+    def __init__(self, layout: GenomeLayout, flags_mask: int = 1796,
+                 min_mapq: int = -1, min_dep: int = 1,
+                 wrap18: bool = False):
+        super().__init__(layout, flags_mask=flags_mask,
+                         min_mapq=min_mapq, min_dep=min_dep,
+                         wrap18=wrap18, devices=jax.devices())
+        self._local = jax.local_devices()
+        self._flat = Mesh(np.asarray(jax.devices()), ("x",))
+        # multihost events ride int64 (simple and correct at any
+        # genome size; the exchange is DCN/ICI-bound, not dtype-bound)
+        self.pos_dtype = np.int64
+        self.pos_sentinel = int(SENTINEL)
+
+    # ----------------------------------------------------------------
+    def _local_events(self):
+        if self._chunks:
+            pos = np.concatenate([c[0] for c in self._chunks])
+            delta = np.concatenate([c[1] for c in self._chunks])
+        else:
+            pos = np.zeros(0, np.int64)
+            delta = np.zeros(0, np.int32)
+        return pos.astype(np.int64, copy=False), delta
+
+    def _row_cap(self, n_local_rows: int) -> int:
+        """Globally agreed per-device row size: psum-max of the local
+        per-row need (every process must build the same global shape)."""
+        mesh = self._flat
+
+        @jax.jit
+        def gmax(x):
+            return jax.shard_map(
+                lambda v: jax.lax.pmax(v[0], "x"),
+                mesh=mesh, in_specs=P("x"), out_specs=P())(x)
+
+        need = np.zeros(len(self._local), np.int64)
+        need[:] = n_local_rows
+        arrs = [jax.device_put(need[i: i + 1], d)
+                for i, d in enumerate(self._local)]
+        sh = NamedSharding(mesh, P("x"))
+        g = jax.make_array_from_single_device_arrays(
+            (self.n_dev,), sh, arrs)
+        return int(jax.device_get(gmax(g)))
+
+    def _global_rows(self, pos: np.ndarray, delta: np.ndarray,
+                     cap: int):
+        """(n_dev_global, cap) event arrays: this process's events are
+        split round-robin-contiguously over its local devices' rows;
+        other rows come from the other processes."""
+        L = len(self._local)
+        per = -(-max(pos.shape[0], 1) // L)
+        sh = NamedSharding(self._flat, P("x", None))
+        rows_p, rows_d = [], []
+        for i, d in enumerate(self._local):
+            a, b = i * per, min((i + 1) * per, pos.shape[0])
+            rp = np.full((1, cap), SENTINEL, np.int64)
+            rd = np.zeros((1, cap), np.int32)
+            if b > a:
+                rp[0, : b - a] = pos[a:b]
+                rd[0, : b - a] = delta[a:b]
+            rows_p.append(jax.device_put(rp, d))
+            rows_d.append(jax.device_put(rd, d))
+        gp = jax.make_array_from_single_device_arrays(
+            (self.n_dev, cap), sh, rows_p)
+        gd = jax.make_array_from_single_device_arrays(
+            (self.n_dev, cap), sh, rows_d)
+        return gp, gd
+
+    # ----------------------------------------------------------------
+    def segment_stats(self, seg_tid, seg_start, seg_end,
+                      chunk: int = 1 << 20):
+        lay = self.layout
+        lo = lay.offsets[seg_tid] + np.maximum(
+            np.asarray(seg_start, np.int64) - 1, 0)
+        hi = lay.offsets[seg_tid] + np.asarray(seg_end, np.int64)
+        lo = np.minimum(lo, lay.limits[seg_tid])
+        hi = np.minimum(hi, lay.limits[seg_tid])
+        hi = np.maximum(hi, lo)
+        b = lo.shape[0]
+
+        pos, delta = self._local_events()
+        L = len(self._local)
+        cap = self._row_cap(-(-max(pos.shape[0], 1) // L))
+        cap = pad_pow2(cap, floor=256)
+        gp, gd = self._global_rows(pos, delta, cap)
+
+        cover = np.empty(b, np.int64)
+        dsum = np.empty(b, np.int64)
+        for i in range(0, b, chunk):
+            j = min(i + chunk, b)
+            bp = pad_pow2(j - i, floor=256)
+            lo_c = np.zeros(bp, np.int64)
+            hi_c = np.zeros(bp, np.int64)
+            lo_c[: j - i] = lo[i:j]
+            hi_c[: j - i] = hi[i:j]
+            # exchange capacity: 2x balanced share, doubled on overflow
+            ex = pad_pow2(-(-2 * cap // self.n_dev), floor=8)
+            mx = pad_pow2(2 * cap, floor=8)
+            while True:
+                step = mesh_mod._events_exchange_step(
+                    self._flat, self.n_dev, ex, self.min_dep,
+                    self.wrap18)
+                qc, qs, ovf = step(gp, gd, jnp.asarray(self.bounds),
+                                   jnp.asarray(lo_c),
+                                   jnp.asarray(hi_c))
+                if int(ovf) == 0 or ex >= mx:
+                    break
+                ex = min(ex * 2, mx)
+            cover[i:j] = np.asarray(qc)[: j - i]
+            dsum[i:j] = np.asarray(qs)[: j - i]
+        from pandepth_tpu.device.engine import SegmentStats
+
+        return SegmentStats(cover=cover, depth_sum=dsum)
+
+    def dense_depth(self, tid: int, start0: int = 0, end0=None):
+        raise NotImplementedError(
+            "site dumps (-a) are not supported under multihost "
+            "execution; run single-host for SiteDepth output")

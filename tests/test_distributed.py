@@ -121,3 +121,69 @@ def test_two_process_distributed(tmp_path, port):
                            np.array([1, 1]), lengths)
     expect = f"{st.cover.tolist()} {st.depth_sum.tolist()}"
     assert a == expect, (a, expect)
+
+
+_CLI_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from pandepth_tpu.sharding.launch import main
+rc = main(["launch", "--coordinator", "localhost:%PORT%",
+           "--nprocs", "2", "--rank", sys.argv[1],
+           "-i", sys.argv[2], "-o", sys.argv[3]])
+print("RC", rc, flush=True)
+sys.exit(rc)
+"""
+
+
+def test_multihost_cli_matches_single(tmp_path):
+    """Full product path under jax.distributed: 2 processes x 2
+    devices, each decoding its shard of a 2-file .list; rank 0's
+    table must be byte-identical to the single-process CLI on the
+    same .list."""
+    import gzip
+
+    from tests.fixtures import make_bam
+
+    bam_a = str(tmp_path / "a.bam")
+    bam_b = str(tmp_path / "b.bam")
+    make_bam(bam_a, n=400, seed=52)
+    make_bam(bam_b, n=300, seed=53)
+    lst = str(tmp_path / "in.list")
+    with open(lst, "w") as fh:
+        fh.write(bam_a + "\n" + bam_b + "\n")
+
+    sp = str(tmp_path / "cli_worker.py")
+    with open(sp, "w") as fh:
+        fh.write(_CLI_WORKER.replace("%PORT%", "18503"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, sp, str(i), lst,
+         str(tmp_path / f"mh{i}")],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        text=True) for i in range(2)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost CLI workers timed out")
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+
+    # rank 0 wrote; rank 1 must not have
+    assert os.path.exists(str(tmp_path / "mh0.chr.stat.gz"))
+    assert not os.path.exists(str(tmp_path / "mh1.chr.stat.gz"))
+
+    from pandepth_tpu.cli import main as cli_main
+
+    rc = cli_main(["pandepth", "-i", lst,
+                   "-o", str(tmp_path / "single")])
+    assert rc == 0
+    with gzip.open(str(tmp_path / "mh0.chr.stat.gz"), "rb") as fh:
+        a = fh.read()
+    with gzip.open(str(tmp_path / "single.chr.stat.gz"), "rb") as fh:
+        b = fh.read()
+    assert a == b
