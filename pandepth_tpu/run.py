@@ -367,7 +367,14 @@ class _RegionCursor:
     (reference no-index loop, src/PanDepth.cpp:4604-4671), including
     its quirks: the chromosome-finishing read is counted, and a read
     landing in a gap after a cursor advance is counted too. Filters are
-    assumed already applied (FLAG/MAPQ)."""
+    assumed already applied (FLAG/MAPQ).
+
+    Vectorized: within a coordinate-sorted stream the cursor is
+    monotone in position, so each read's effective region is one
+    ``searchsorted`` over the tid's region ends; only the
+    chromosome-finishing events (at most one per tid per batch) need
+    sequencing, to replicate the reference's break-out-of-the-loop
+    behavior when the LAST pending chromosome finishes."""
 
     def __init__(self, regions):
         self.off, self.s1, self.e1 = (np.asarray(a, np.int64)
@@ -379,38 +386,74 @@ class _RegionCursor:
 
     def filter_batch(self, batch, flags_mask: int,
                      min_mapq: int) -> None:
-        end = batch.end_pos()
-        for i in range(batch.tid.shape[0]):
-            tid = int(batch.tid[i])
-            if self.stream_done or tid < 0 or \
-                    tid >= self.done.shape[0] or self.done[tid]:
-                batch.tid[i] = -1
+        n = batch.tid.shape[0]
+        if n == 0:
+            return
+        if self.stream_done:
+            batch.tid[:] = -1
+            return
+        end = batch.end_pos().astype(np.int64)
+        pos0 = batch.pos.astype(np.int64)
+        tid = batch.tid
+        n_chr = self.done.shape[0]
+
+        active = (batch.flag & flags_mask) == 0
+        if min_mapq >= 1:
+            active &= batch.mapq >= min_mapq
+        valid = (tid >= 0) & (tid < n_chr)
+        drop = np.zeros(n, bool)
+        drop |= ~valid
+        cutoff = n  # batch index where stream_done fired, if any
+
+        finishes = []  # (batch_index, tid)
+        for t in np.unique(tid[valid]):
+            if self.done[t]:
+                drop |= tid == t
                 continue
-            if min_mapq >= 1 and batch.mapq[i] < min_mapq:
-                continue  # dropped later by the engine, cursor unmoved
-            if batch.flag[i] & flags_mask:
+            a, b = int(self.off[t]), int(self.off[t + 1])
+            sel = np.nonzero((tid == t) & active)[0]
+            if sel.shape[0] == 0:
                 continue
-            cur = int(self.cursor[tid])
-            if int(end[i]) < int(self.s1[cur]):
-                batch.tid[i] = -1
-                continue
-            pos0 = int(batch.pos[i])
-            if pos0 > int(self.e1[cur]):
-                b = int(self.off[tid + 1])
-                c = cur + 1
-                while c < b and pos0 > int(self.e1[c]):
-                    c += 1
-                if c >= b:
-                    self.done[tid] = True
-                    self.chrs_left -= 1
-                    c = b - 1
-                    if self.chrs_left == 0:
-                        # the reference breaks out of its read loop:
-                        # the finishing read only counts when other
-                        # chromosomes were still pending
-                        self.stream_done = True
-                        batch.tid[i] = -1
-                self.cursor[tid] = c
+            # cursor after each read = first region whose end >= pos
+            # (monotone in a sorted stream; filtered reads don't move
+            # it, and they're excluded from `sel`)
+            c = np.searchsorted(self.e1[a:b], pos0[sel], side="left")
+            fin = c >= (b - a)       # advanced past the last region
+            cc = np.minimum(c, b - a - 1) + a
+            # a read that ADVANCED the cursor is kept even when it
+            # lands in the gap before its new region (the reference
+            # falls through without re-checking, quirk); only
+            # non-advancing reads are dropped for ending before the
+            # current region's start
+            prev_c = np.empty(cc.shape[0], np.int64)
+            prev_c[0] = self.cursor[t]
+            prev_c[1:] = cc[:-1]
+            drop_t = (end[sel] < self.s1[cc]) & ~fin & (cc == prev_c)
+            drop[sel[drop_t]] = True
+            self.cursor[t] = cc[-1]
+            if fin.any():
+                k = int(sel[np.argmax(fin)])
+                finishes.append((k, int(t)))
+                # reads after the finisher on a done chromosome drop
+                later = sel[sel > k]
+                drop[later] = True
+
+        # sequence chromosome-finishing events in stream order; the
+        # read finishing the LAST pending chromosome is itself dropped
+        # (the reference breaks out of its loop) and ends the stream
+        for k, t in sorted(finishes):
+            if k >= cutoff:
+                break
+            self.done[t] = True
+            self.chrs_left -= 1
+            if self.chrs_left == 0:
+                self.stream_done = True
+                drop[k] = True
+                cutoff = k
+                break
+        if cutoff < n:
+            drop[cutoff + 1:] = True
+        batch.tid[drop] = -1
 
 
 def run_alignment(config: RunConfig) -> int:

@@ -178,6 +178,16 @@ def test_fuzz_case(tmp_path, oracle_bin, seed):
     _run_case(str(tmp_path), oracle_bin, seed)
 
 
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_case_pure_python(tmp_path, oracle_bin, seed,
+                               monkeypatch):
+    """PANDEPTH_NO_NATIVE=1 runs the pure-Python decoders and the
+    vectorized region cursor (the only path on hosts without g++) —
+    same differential contract as the native path."""
+    monkeypatch.setenv("PANDEPTH_NO_NATIVE", "1")
+    _run_case(str(tmp_path), oracle_bin, 500 + seed)
+
+
 def _gen_multi_case(tmp: str, seed: int):
     """Multi-file .list (BAM or PAF) or single CRAM, random filters."""
     rng = random.Random(10000 + seed)
