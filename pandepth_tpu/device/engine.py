@@ -29,6 +29,20 @@ from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch
 
 
+def pos_dtype_for(total: int):
+    """Device position dtype for a padded-genome span of ``total``.
+
+    int32 under 2 Gb; uint32 up to 4 Gb (covers the reference's own
+    3 Gb benchmark genome, reference/README.md:128, at half the int64
+    sort width — and sidesteps an axon AOT-compiler crash on the fused
+    int64 finalize program); int64 beyond that."""
+    if total < (1 << 31) - 2:
+        return np.int32
+    if total < (1 << 32) - 2:
+        return np.uint32
+    return np.int64
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def _pack_events(starts, ends, sentinel: int):
     pos = jnp.concatenate([starts, ends])
@@ -109,12 +123,12 @@ class CoverageEngine:
         self.min_mapq = int(min_mapq)
         self.min_dep = max(int(min_dep), 1)
         self.wrap18 = bool(wrap18)
-        # int32 event coordinates halve transfer bytes and sort width
-        # whenever the padded genome fits
-        if layout.total < (1 << 31) - 2:
-            self.pos_dtype = np.int32
-        else:
-            self.pos_dtype = np.int64
+        # 32-bit event coordinates halve transfer bytes and sort width
+        # whenever the padded genome fits: int32 below 2 Gb, uint32 up
+        # to 4 Gb (positions mod 2^32 are exact there, and the zigzag /
+        # cumsum decode arithmetic is modular, so truncated-to-32-bit
+        # feeds stay bit-exact). int64 only for > 4 Gb genomes.
+        self.pos_dtype = pos_dtype_for(layout.total)
         self.pos_sentinel = int(np.iinfo(self.pos_dtype).max)
         self._offsets = jnp.asarray(layout.offsets)
         self._limits = jnp.asarray(layout.limits)
@@ -141,10 +155,28 @@ class CoverageEngine:
         self._enc16: List[tuple] = []
         self._enc16_bases: List[int] = []
         self._max_enc = 64  # beyond this, decode on host (degenerate)
+        # single-query runs (no -a, no later stats pass) skip returning
+        # the full sweep state from the fused finalize: through a
+        # tunneled TPU that state is hundreds of MB of output handles
+        self.keep_state = True
 
     @property
     def wants_encoded_windows(self) -> bool:
         return os.environ.get("PANDEPTH_ENC", "1") != "0"
+
+    @property
+    def pos_bits32(self) -> bool:
+        """True when positions ride the 32-bit fast path (int32 or
+        uint32): the native loaders' truncating int32 stores are
+        bit-exact for both (reinterpret via .view(pos_dtype))."""
+        return self.pos_dtype is not np.int64
+
+    @property
+    def pos_sentinel32(self) -> int:
+        """pos_sentinel as the signed-int32 bit pattern the C++ fast
+        path writes into its int32 buffers (-1 for the uint32 tier)."""
+        return int(np.array(self.pos_sentinel,
+                            np.uint64).astype(np.uint32).view(np.int32))
 
     # ------------------------------------------------------------------
     def add_batch(self, batch: ReadBatch) -> None:
@@ -170,10 +202,11 @@ class CoverageEngine:
             jnp.asarray(padi(batch.op_read, mp, n - 1)),
             self._offsets, self._limits,
             flags_mask=self.flags_mask, min_mapq=self.min_mapq)
-        if self.pos_dtype is np.int32:
-            # sentinels (1<<62) clamp to int32 max; real positions fit
+        if self.pos_dtype is not np.int64:
+            # sentinels (1<<62) clamp to the dtype max; real positions
+            # fit (mod 2^32 is exact for the uint32 tier)
             ev_pos = jnp.minimum(ev_pos, self.pos_sentinel).astype(
-                jnp.int32)
+                self.pos_dtype)
         self._chunks.append((ev_pos, ev_delta))
         self._state = None
 
@@ -327,9 +360,11 @@ class CoverageEngine:
         if self._state is None:
             if self._enc or self._enc16:
                 # ride the fused encoded finalize with a dummy query
+                # (forcing keep_state: this call exists to build it)
                 self.segment_stats(np.zeros(1, np.int64),
                                    np.ones(1, np.int64),
-                                   np.ones(1, np.int64))
+                                   np.ones(1, np.int64),
+                                   keep_state=True)
                 return self._state
             pos, delta = self._events()
             full = sweep_mod.sort_events(
@@ -341,13 +376,20 @@ class CoverageEngine:
 
     def segment_stats(self, seg_tid: np.ndarray, seg_start: np.ndarray,
                       seg_end: np.ndarray,
-                      chunk: int = 1 << 20) -> SegmentStats:
+                      chunk: int = 1 << 20,
+                      keep_state: Optional[bool] = None) -> SegmentStats:
         """Stats for 1-based inclusive [seg_start, seg_end] segments.
 
         Boundaries are clamped into each contig's padded range exactly
         like the depth writes are, so a BED region overhanging a contig
         reads the same slack cells the reference's arrays expose.
+
+        ``keep_state`` overrides ``self.keep_state`` for this call;
+        with state-keeping off, the fused finalize returns only the
+        per-segment answers and leaves the feeds intact (a later query
+        re-finalizes — correct, just one extra dispatch).
         """
+        keep = self.keep_state if keep_state is None else keep_state
         lay = self.layout
         lo = lay.offsets[seg_tid] + np.maximum(seg_start - 1, 0)
         hi = lay.offsets[seg_tid] + np.asarray(seg_end, np.int64)
@@ -379,19 +421,21 @@ class CoverageEngine:
                     g8, g16, cp, cd,
                     jnp.asarray(lo_c), jnp.asarray(hi_c),
                     min_dep=self.min_dep, wrap18=self.wrap18,
-                    method=method)
-                self._enc = []
-                self._enc_bases = []
-                self._enc16 = []
-                self._enc16_bases = []
+                    method=method, want_state=keep)
+                if keep:
+                    self._enc = []
+                    self._enc_bases = []
+                    self._enc16 = []
+                    self._enc16_bases = []
             else:
                 out = sweep_mod.finalize_chunked(
                     cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),
                     min_dep=self.min_dep, wrap18=self.wrap18,
-                    method=method)
+                    method=method, want_state=keep)
             cover, dsum = out[0], out[1]
-            self._state = out[2:6]
-            self._chunks = [(out[2], out[6])]
+            if keep:
+                self._state = out[2:6]
+                self._chunks = [(out[2], out[6])]
             return SegmentStats(cover=np.asarray(cover)[:b],
                                 depth_sum=np.asarray(dsum)[:b])
 

@@ -110,10 +110,11 @@ def eval_boundaries(pos_s, depth, c_cov, c_sum, min_dep, x):
 
 
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
-                                             "method"))
+                                             "method", "want_state"))
 def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
                      min_dep: int = 1, wrap18: bool = False,
-                     method: str = "scan_unrolled"):
+                     method: str = "scan_unrolled",
+                     want_state: bool = True):
     """finalize_segments over a TUPLE of event chunks: the concat, the
     sort, the scans and the boundary eval fuse into ONE dispatch — the
     streaming feed leaves one device array per window, and a tunnel
@@ -122,7 +123,7 @@ def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
     delta = jnp.concatenate(list(chunks_delta))
     return finalize_segments(pos, delta, seg_lo, seg_hi,
                              min_dep=min_dep, wrap18=wrap18,
-                             method=method)
+                             method=method, want_state=want_state)
 
 
 def _decode_enc_group(dds, lls, excds, excls, bases):
@@ -157,10 +158,11 @@ def _decode_enc_group(dds, lls, excds, excls, bases):
 
 
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
-                                             "method"))
+                                             "method", "want_state"))
 def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
                      min_dep: int = 1, wrap18: bool = False,
-                     method: str = "scan_unrolled"):
+                     method: str = "scan_unrolled",
+                     want_state: bool = True):
     """Decode compact event windows + finalize in ONE dispatch.
 
     The host link is the bottleneck of a tunneled TPU (measured
@@ -182,23 +184,29 @@ def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
                            *raw_delta])
     return finalize_segments(pos, dlt, seg_lo, seg_hi,
                              min_dep=min_dep, wrap18=wrap18,
-                             method=method)
+                             method=method, want_state=want_state)
 
 
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
-                                             "method"))
+                                             "method", "want_state"))
 def finalize_segments(ev_pos, ev_delta, seg_lo, seg_hi,
                       min_dep: int = 1, wrap18: bool = False,
-                      method: str = "scan_unrolled"):
+                      method: str = "scan_unrolled",
+                      want_state: bool = True):
     """Sort + scan + boundary eval in ONE dispatch (the host->device
     round-trip, not compute, dominates small finalizes through a
     tunnel). Returns (cover, dsum, pos_s, depth, c_cov, c_sum, delta_s)
-    so the caller can cache the sweep state for further queries."""
+    so the caller can cache the sweep state for further queries — or
+    just (cover, dsum) when ``want_state`` is False: single-query runs
+    (no -a, no later stats pass) shouldn't ship hundreds of MB of
+    sweep state back through a ~16 MB/s tunnel link."""
     pos_s, depth, c_cov, c_sum, delta_s = sort_events(
         ev_pos, ev_delta, min_dep=min_dep, wrap18=wrap18)
     md = jnp.int32(min_dep)
     cover, dsum = eval_pair(pos_s, depth, c_cov, c_sum, md, seg_lo,
                             seg_hi, method=method)
+    if not want_state:
+        return cover, dsum
     return cover, dsum, pos_s, depth, c_cov, c_sum, delta_s
 
 

@@ -155,6 +155,11 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                         lengths: np.ndarray, gc_cols: bool,
                         ref_bases) -> None:
     prefix = output_prefix(config.out_prefix)
+    # single-query modes skip shipping the sweep state back from the
+    # device; -a (dense dump) and mode 6 (second stats pass) need it
+    if hasattr(engine, "keep_state"):
+        engine.keep_state = bool(config.site_output) \
+            or mode == MODE_WIN_SMALL
     seg = engine.segment_stats(targets.gene_tid[targets.seg_gene],
                                np.asarray(targets.seg_start),
                                np.asarray(targets.seg_end))
@@ -264,18 +269,22 @@ def _feed_stream(engine, r) -> None:
     if getattr(engine, "wants_encoded_windows", False) and \
             hasattr(r, "take_enc_acc"):
         take = r.take_enc_acc
+        on_u8_tier = True
         while True:
             win = take(engine.enc_cap, engine.enc_exc)
             if win is None:
                 break
             engine.add_encoded_window(*win)
-            if take is r.take_enc_acc and win[0] < engine.enc_cap \
+            if on_u8_tier and win[0] < engine.enc_cap \
                     and (r.last_nd >= engine.enc_exc
                          or r.last_nl >= engine.enc_exc):
                 # short buffer through escape saturation: the input is
                 # sparser than 8-bit zigzag covers — upgrade the rest
-                # of the feed to 16-bit codes (4 B/pair)
+                # of the feed to 16-bit codes (4 B/pair). (Track the
+                # tier with a flag: bound-method identity is useless —
+                # `take is r.take_enc_acc` is always False.)
                 take = r.take_enc_acc16
+                on_u8_tier = False
         engine.n_reads_seen += r.n_records
         r.close()
         return
@@ -283,9 +292,10 @@ def _feed_stream(engine, r) -> None:
         n = r.wait()
         if n < 0:
             break
-        if engine.pos_dtype is np.int32:
-            s32, e32 = r.take32(max(n, 1), engine.pos_sentinel)
-            engine.add_padded_events(s32, e32)
+        if engine.pos_bits32:
+            s32, e32 = r.take32(max(n, 1), engine.pos_sentinel32)
+            engine.add_padded_events(s32.view(engine.pos_dtype),
+                                     e32.view(engine.pos_dtype))
         else:
             s, e = r.take64(n)
             engine.add_start_end(s, e)
@@ -538,11 +548,12 @@ def run_alignment(config: RunConfig) -> int:
             continue
         if hasattr(r, "events"):
             if engine.wants_padded_events and \
-                    engine.pos_dtype is np.int32 and \
+                    engine.pos_bits32 and \
                     hasattr(r, "events32_padded"):
                 s32, e32, _m = r.events32_padded(
-                    max(r.n_events, 1), engine.pos_sentinel)
-                engine.add_padded_events(s32, e32)
+                    max(r.n_events, 1), engine.pos_sentinel32)
+                engine.add_padded_events(s32.view(engine.pos_dtype),
+                                         e32.view(engine.pos_dtype))
             else:
                 starts, ends = r.events()
                 engine.add_start_end(starts, ends)
@@ -564,11 +575,13 @@ def run_alignment(config: RunConfig) -> int:
                                        engine.layout.limits,
                                        kind="sam")
                     if engine.wants_padded_events and \
-                            engine.pos_dtype is np.int32:
+                            engine.pos_bits32:
                         s32, e32 = sl.events32_padded(
                             max(sl.n_events, 1),
-                            engine.pos_sentinel)
-                        engine.add_padded_events(s32, e32)
+                            engine.pos_sentinel32)
+                        engine.add_padded_events(
+                            s32.view(engine.pos_dtype),
+                            e32.view(engine.pos_dtype))
                     else:
                         engine.add_start_end(*sl.events64())
                     engine.n_reads_seen += sl.n_lines
@@ -683,11 +696,13 @@ def run_paf(config: RunConfig) -> int:
                                    names, engine.layout.offsets,
                                    engine.layout.limits)
                 if engine.wants_padded_events and \
-                        engine.pos_dtype is np.int32:
+                        engine.pos_bits32:
                     s32, e32 = pl.events32_padded(
                         max(pl.n_events, 1),
-                        engine.pos_sentinel)
-                    engine.add_padded_events(s32, e32)
+                        engine.pos_sentinel32)
+                    engine.add_padded_events(
+                        s32.view(engine.pos_dtype),
+                        e32.view(engine.pos_dtype))
                 else:
                     engine.add_start_end(*pl.events64())
                 pl.close()

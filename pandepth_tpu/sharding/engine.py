@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pandepth_tpu.device.engine import SegmentStats, dense_from_state
+from pandepth_tpu.device.engine import (SegmentStats, dense_from_state,
+                                        pos_dtype_for)
 from pandepth_tpu.device.events import (REF_CONSUME_MASK, DEPTH_MASK,
                                         SENTINEL, pad_pow2)
 from pandepth_tpu.device.layout import GenomeLayout
@@ -169,15 +170,21 @@ class ShardedCoverageEngine:
         self.mesh = _flat_mesh(devices)
         self.n_dev = len(devices)
         self.bounds = layout.shard_bounds(self.n_dev)
-        if layout.total < (1 << 31) - 2:
-            self.pos_dtype = np.int32
-        else:
-            self.pos_dtype = np.int64
+        self.pos_dtype = pos_dtype_for(layout.total)
         self.pos_sentinel = int(np.iinfo(self.pos_dtype).max)
         self._chunks: List[Tuple[np.ndarray, np.ndarray]] = []
         self._state = None        # sharded (pos_s2, depth2, c_cov2, c_sum2)
         self._host_state = None   # merged (pos, depth) numpy
         self.n_reads_seen = 0
+
+    @property
+    def pos_bits32(self) -> bool:
+        return self.pos_dtype is not np.int64
+
+    @property
+    def pos_sentinel32(self) -> int:
+        return int(np.array(self.pos_sentinel,
+                            np.uint64).astype(np.uint32).view(np.int32))
 
     # ----------------------------------------------------------- feeds
     def _push(self, pos: np.ndarray, delta: np.ndarray) -> None:

@@ -95,7 +95,8 @@ def _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo, seg_hi,
         jnp.where((dest_s < n_dev) & (slot >= cap), 1, 0))
     overflow = jax.lax.psum(overflow, "x")
     flat = jnp.where(ok, dest_s * cap + slot, n_dev * cap)
-    send_pos = jnp.full((n_dev * cap + 1,), SENTINEL,
+    send_pos = jnp.full((n_dev * cap + 1,),
+                        jnp.iinfo(ev_pos.dtype).max,
                         ev_pos.dtype).at[flat].set(
         pos_s, mode="drop")[: n_dev * cap].reshape(n_dev, cap)
     send_del = jnp.zeros((n_dev * cap + 1,),

@@ -229,15 +229,20 @@ def test_take_enc_acc_matches_raw(tmp_path):
         assert np.array_equal(re_, np.concatenate(ee)), (cap, ce)
 
 
-def test_enc_int64_genome(tmp_path):
+@pytest.mark.parametrize("n_contigs,want_dtype", [
+    (13, np.uint32),    # 3.25 Gb: uint32 tier (mod 2^32 exact)
+    (18, np.int64),     # 4.5 Gb: past uint32, full int64
+])
+def test_enc_int64_genome(tmp_path, n_contigs, want_dtype):
     """Layouts past 2^31 positions take the same 2 B/event path with
-    int64 escapes/bases; encoded == raw on a 3 Gb-scale layout."""
+    int64 escapes/bases; encoded == raw at 3 Gb (uint32 device tier)
+    and past 4 Gb (int64 tier)."""
     bam = str(tmp_path / "g.bam")
-    names = [f"c{i}" for i in range(13)]
-    lengths = [250_000_000] * 13   # 3.25 Gb total: past int32
+    names = [f"c{i}" for i in range(n_contigs)]
+    lengths = [250_000_000] * n_contigs
     rng = np.random.RandomState(3)
     recs = []
-    for tid in range(13):
+    for tid in range(n_contigs):
         ps = np.sort(rng.randint(0, 249_000_000, 80))
         recs += [(tid, int(p), 0, 60, "150M") for p in ps]
     write_bam(bam, names, lengths, recs)
@@ -261,7 +266,7 @@ def test_enc_int64_genome(tmp_path):
     assert np.array_equal(re_, np.concatenate(ee))
 
     eng1 = CoverageEngine(lay)
-    assert eng1.pos_dtype is np.int64 and eng1.wants_encoded_windows
+    assert eng1.pos_dtype is want_dtype and eng1.wants_encoded_windows
     eng1.add_start_end(rs, re_)
     eng2 = CoverageEngine(lay)
     r = _native_stream(bam)
@@ -271,9 +276,48 @@ def test_enc_int64_genome(tmp_path):
             break
         eng2.add_encoded_window(*win)
     r.close()
-    seg_tid = np.arange(13)
-    st1 = eng1.segment_stats(seg_tid, np.ones(13), hdr.lengths)
-    st2 = eng2.segment_stats(seg_tid, np.ones(13), hdr.lengths)
+    seg_tid = np.arange(n_contigs)
+    st1 = eng1.segment_stats(seg_tid, np.ones(n_contigs), hdr.lengths)
+    st2 = eng2.segment_stats(seg_tid, np.ones(n_contigs), hdr.lengths)
     assert np.array_equal(st1.cover, st2.cover)
     assert np.array_equal(st1.depth_sum, st2.depth_sum)
     assert st1.cover.sum() > 0
+
+
+def test_feed_stream_upgrades_to_u16_on_sparse(tmp_path):
+    """Sparse coverage (start gaps overflowing 8-bit zigzag) must
+    upgrade the production feed to the 16-bit code tier after the
+    first escape-saturated window — not grind through hundreds of
+    short u8 windows. Regression: the tier check compared bound
+    methods with `is` (always False), so the upgrade never fired."""
+    from pandepth_tpu.run import _feed_stream
+
+    bam = str(tmp_path / "s.bam")
+    # gaps ~400 : zigzag ~800 > 254, so nearly every u8 delta escapes
+    n = 4000
+    starts = np.cumsum(np.full(n, 400, np.int64)) + 100
+    recs = [(0, int(p), 0, 60, "150M") for p in starts]
+    write_bam(bam, ["c0"], [int(starts[-1]) + 1000], recs)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+
+    eng = CoverageEngine(lay)
+    eng.enc_cap, eng.enc_exc = 512, 64
+    r = _native_stream(bam)
+    _feed_stream(eng, r)
+    assert eng.n_reads_seen == n
+    # the u8 group stalls once, everything after rides u16
+    assert len(eng._enc) <= 1
+    assert len(eng._enc16) >= 1
+    for (_, dd, *_rest) in eng._enc16:
+        assert np.asarray(dd).dtype == np.uint16
+
+    # and the stats match a raw-path engine bit for bit
+    eng2 = CoverageEngine(lay)
+    rs, re_ = _raw_pairs(bam)
+    eng2.add_start_end(rs, re_)
+    tid = np.zeros(1, np.int64)
+    a = eng.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    assert np.array_equal(a.cover, b.cover)
+    assert np.array_equal(a.depth_sum, b.depth_sum)
