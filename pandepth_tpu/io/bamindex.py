@@ -130,13 +130,12 @@ def merge_ranges(ranges: np.ndarray) -> np.ndarray:
         return ranges.reshape(0, 2)
     order = np.argsort(ranges[:, 0], kind="stable")
     r = ranges[order]
-    out = [list(r[0])]
-    for a, b in r[1:]:
-        if a <= out[-1][1]:
-            out[-1][1] = max(out[-1][1], b)
-        else:
-            out.append([a, b])
-    return np.asarray(out, np.int64)
+    reach = np.maximum.accumulate(r[:, 1])
+    head = np.empty(r.shape[0], bool)
+    head[0] = True
+    head[1:] = r[1:, 0] > reach[:-1]
+    ends = np.maximum.reduceat(r[:, 1], np.flatnonzero(head))
+    return np.stack([r[head, 0], ends], axis=1).astype(np.int64)
 
 
 def load_index_for(bam_path: str) -> Optional[BamIndex]:
@@ -177,12 +176,45 @@ def full_file_splits(index: BamIndex, n_parts: int) -> np.ndarray:
 def chunks_for_windows(index: BamIndex, windows) -> np.ndarray:
     """Merged virtual ranges covering every fetch window
     ((per_tid_off, starts0, ends0) as produced by
-    TargetSet.fetch_windows)."""
+    TargetSet.fetch_windows).
+
+    Batched per tid: reg2bins is vectorized over all of a contig's
+    windows and the linear-index cut uses the contig-wide minimum, so
+    the selection may be a slight superset of per-window queries —
+    harmless, the record walk region-filters — at a fraction of the
+    cost (dense gene sets have tens of thousands of windows)."""
     off, starts, ends = windows[:3]
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
     parts = []
-    for tid in range(len(off) - 1):
-        for k in range(int(off[tid]), int(off[tid + 1])):
-            parts.append(index.query(tid, int(starts[k]), int(ends[k])))
+    for tid in range(min(len(off) - 1, index.n_ref)):
+        a, b = int(off[tid]), int(off[tid + 1])
+        bmap = index.bins[tid]
+        if b <= a or not bmap:
+            continue
+        beg = starts[a:b]
+        end = np.maximum(ends[a:b], beg + 1) - 1
+        needed: set = set()
+        s_, t_ = index.min_shift + 3 * index.depth, 0
+        for l_ in range(index.depth + 1):
+            lo = t_ + (beg >> s_)
+            hi = t_ + (end >> s_)
+            cnt = hi - lo + 1
+            tot = int(cnt.sum())
+            first = np.repeat(lo - (np.cumsum(cnt) - cnt), cnt)
+            needed.update((first + np.arange(tot)).tolist())
+            s_ -= 3
+            t_ += 1 << (3 * l_)
+        hit = [bmap[b0] for b0 in needed.intersection(bmap.keys())]
+        if not hit:
+            continue
+        allc = np.concatenate(hit)
+        lin = index.linear[tid]
+        if lin.size:
+            w = np.minimum(beg >> 14, lin.size - 1)
+            min_off = int(lin[w].min())
+            allc = allc[allc[:, 1] > min_off]
+        parts.append(allc)
     if not parts:
         return np.zeros((0, 2), np.int64)
     return merge_ranges(np.concatenate(parts))

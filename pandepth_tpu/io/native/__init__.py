@@ -131,8 +131,8 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int64, ctypes.c_char_p,
-            ctypes.c_int]
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
         for name, res, args in [
             ("pancov_stream_wait", ctypes.c_int64, [ctypes.c_void_p]),
             ("pancov_stream_win_records", ctypes.c_int64,
@@ -435,7 +435,8 @@ class NativeBamStream:
                  pad: int = 512, threads: int = 0,
                  ext_offsets: Optional[np.ndarray] = None,
                  ext_limits: Optional[np.ndarray] = None,
-                 regions=None, window_bytes: int = 0):
+                 regions=None, vranges: Optional[np.ndarray] = None,
+                 window_bytes: int = 0):
         from pandepth_tpu.io.bam import BamHeader
 
         lib = load_library()
@@ -474,9 +475,16 @@ class NativeBamStream:
             rop = rsp = rep = None
             nr = 0
             rmode = 0
+        if vranges is not None and len(vranges):
+            vrr = np.ascontiguousarray(vranges, np.int64).reshape(-1)
+            keep.append(vrr)
+            vrp, nvr = vrr.ctypes.data, vrr.shape[0] // 2
+        else:
+            vrp, nvr = None, 0
         self._h = lib.pancov_stream_open(
             path.encode(), threads, flags_mask, min_mapq, pad, op, lp,
-            ne, rop, rsp, rep, nr, rmode, window_bytes, err, len(err))
+            ne, rop, rsp, rep, nr, rmode, vrp, nvr, window_bytes, err,
+            len(err))
         del keep  # the C side copies region/layout arrays
         if not self._h:
             raise ValueError(

@@ -1124,6 +1124,13 @@ struct StreamBam {
   int n_threads = 1;
   std::vector<int64_t> offsets, limits;
   std::vector<int64_t> regs_off, regs_start, regs_end;  // owned copies
+  // index-selected virtual-offset ranges (sorted, block-coalesced in
+  // open): when non-empty the producer fseeks between them, streaming
+  // only target-overlapping compressed spans — block skipping with the
+  // same bounded memory as the sequential walk. Stateless region
+  // filtering only (region_mode 1), mirroring the reference's indexed
+  // fetch path (src/PanDepth.cpp:4120-4124, :430-434).
+  std::vector<int64_t> vr_v0, vr_v1;
   WalkCtx ctx;
   std::string text;
   std::vector<std::string> names;
@@ -1189,29 +1196,74 @@ struct StreamBam {
     dec.assign(carry_rec.begin(), carry_rec.end());
     carry_rec.clear();
     size_t dec_carry = dec.size();
+    bool src_eof = file_eof;
+    const bool ranged = !vr_v0.empty();
+    size_t ri = 0;          // next range to open (ranged mode)
+    bool range_open = false;
+    int64_t budget = -1;    // compressed bytes left in current range
+    int64_t raw_abs = 0;    // absolute compressed offset of raw[0]
+    int64_t end_blk = 0;    // compressed offset of the range's last block
+    size_t walk_skip = 0;   // in-block record offset at range start
+    if (ranged) {
+      // header-tail carries are irrelevant: every range begins at an
+      // index-guaranteed record boundary reached by seek
+      raw_len = 0;
+      dec_carry = 0;
+    }
     for (;;) {
       {
         std::lock_guard<std::mutex> lk(mu);
         if (stop) return;
       }
       if (ctx.stream_done) break;
-      auto t0 = now();
-      if (!file_eof) {
-        if (raw.size() < raw_len + window_bytes)
-          raw.resize(raw_len + window_bytes);
-        size_t got = std::fread(raw.data() + raw_len, 1, window_bytes,
-                                f);
-        raw_len += got;
-        if (got < window_bytes) file_eof = true;
+      if (ranged && !range_open) {
+        if (ri >= vr_v0.size()) break;
+        int64_t c0 = vr_v0[ri] >> 16;
+        // the end block starts at v1>>16 and spans <= 64 KiB: budget
+        // the read to cover it fully, truncate the walk at it below
+        int64_t cend = (vr_v1[ri] >> 16) + 66000;
+        walk_skip = (size_t)(vr_v0[ri] & 0xFFFF);
+        if (fseeko(f, (off_t)c0, SEEK_SET) != 0)
+          return fail("seek failed");
+        budget = cend - c0;
+        raw_abs = c0;
+        end_blk = vr_v1[ri] >> 16;
+        raw_len = 0;
+        dec_carry = 0;
+        src_eof = false;
+        range_open = true;
+        ri++;
       }
-      if (raw_len == 0 && dec_carry == 0 && file_eof) break;
+      auto t0 = now();
+      if (!src_eof) {
+        size_t want = window_bytes;
+        if (ranged && budget < (int64_t)want) want = (size_t)budget;
+        if (raw.size() < raw_len + want)
+          raw.resize(raw_len + want);
+        size_t got = want ? std::fread(raw.data() + raw_len, 1, want,
+                                       f)
+                          : 0;
+        raw_len += got;
+        if (ranged) budget -= (int64_t)got;
+        if (got < want || (ranged && budget <= 0)) src_eof = true;
+      }
+      if (raw_len == 0 && dec_carry == 0 && src_eof) {
+        if (ranged) {
+          range_open = false;
+          continue;
+        }
+        break;
+      }
       auto t1 = now();
 
       size_t base_dec = dec_carry;
       sink.es.clear();
       sink.ee.clear();
       sink.n_rec = 0;
-      size_t off = 0;
+      // first window of a range: records start at the chunk voffset's
+      // in-block offset, not at the block boundary
+      size_t off = walk_skip;
+      walk_skip = 0;
       size_t grand_total = base_dec;
       size_t consumed = 0;
       bool walk_failed = false;
@@ -1222,6 +1274,22 @@ struct StreamBam {
         if (!scan_blocks_partial(raw.data(), raw_len, blocks,
                                  total_out, consumed))
           return fail("bad BGZF framing");
+        if (ranged) {
+          // never walk past the range's last block: blocks beyond it
+          // were only read because the budget over-reaches by one
+          // max-size block — drop them and close the range
+          size_t keepb = blocks.size();
+          while (keepb > 0 &&
+                 raw_abs + (int64_t)blocks[keepb - 1].src_off > end_blk)
+            keepb--;
+          if (keepb < blocks.size()) {
+            consumed = blocks[keepb].src_off;
+            total_out = blocks[keepb].out_off;
+            blocks.resize(keepb);
+            raw_len = consumed;  // discard the over-read tail
+            src_eof = true;
+          }
+        }
         // the window is sized in compressed bytes; hyper-compressible
         // inputs could inflate it without bound, so also cap the
         // decompressed side and carry the surplus blocks
@@ -1234,8 +1302,13 @@ struct StreamBam {
           total_out = blocks[keepb].out_off;
           blocks.resize(keepb);
         }
-        if (consumed < raw_len && file_eof && blocks.empty())
-          return fail("truncated BGZF block");
+        if (consumed < raw_len && src_eof && blocks.empty()) {
+          if (!ranged) return fail("truncated BGZF block");
+          // ranged read budgets over-reach into the block after the
+          // range's last: a partial trailing block there is expected
+          raw_len = 0;
+          consumed = 0;
+        }
         if (dec.size() < base_dec + total_out)
           dec.resize(base_dec + total_out);
         grand_total = base_dec + total_out;
@@ -1339,11 +1412,19 @@ struct StreamBam {
         std::memmove(raw.data(), raw.data() + consumed,
                      raw_len - consumed);
       raw_len -= consumed;
-      bool last = ctx.stream_done || (file_eof && raw_len == 0);
+      raw_abs += (int64_t)consumed;
+      bool range_done = src_eof && raw_len == 0;
+      bool last = ctx.stream_done ||
+                  (range_done && (!ranged || ri >= vr_v0.size()));
       if (ctx.stream_done) {
         dec_carry = 0;
+      } else if (ranged && range_done) {
+        // a record split across the range end lies past the last
+        // relevant record (index chunks bound complete records): drop
+        dec_carry = 0;
+        range_open = false;
       } else {
-        dec_carry = grand_total - off;
+        dec_carry = off < grand_total ? grand_total - off : 0;
         if (dec_carry > 0) {
           if (last) return fail("truncated BAM record");
           std::memmove(dec.data(), dec.data() + off, dec_carry);
@@ -1379,9 +1460,11 @@ struct StreamBam {
 extern "C" {
 
 // Streaming counterpart of pancov_bam_load (same layout/region
-// semantics, no vranges — index-driven block skipping stays on the
-// one-shot path). window_bytes <= 0 selects the default (32 MB
-// compressed per window; PANDEPTH docs: peak RSS ~ 2 windows).
+// semantics). window_bytes <= 0 selects the default (32 MB compressed
+// per window; peak RSS ~ 2 windows). vr: n_vr merged (v0, v1) virtual-
+// offset pairs from the index — when given (region_mode 1 + BGZF only)
+// the producer seeks between them, inflating only target-overlapping
+// spans: the reference's sam_itr block skipping with bounded memory.
 void* pancov_stream_open(const char* path, int n_threads,
                          uint32_t flags_mask, int32_t min_mapq,
                          int64_t pad, const int64_t* ext_offsets,
@@ -1389,7 +1472,8 @@ void* pancov_stream_open(const char* path, int n_threads,
                          const int64_t* reg_off,
                          const int64_t* reg_start,
                          const int64_t* reg_end, int64_t n_regions,
-                         int region_mode, int64_t window_bytes,
+                         int region_mode, const int64_t* vr,
+                         int64_t n_vr, int64_t window_bytes,
                          char* err, int err_len) {
   auto* sb = new StreamBam();
   auto fail0 = [&](const char* msg) -> void* {
@@ -1487,6 +1571,25 @@ void* pancov_stream_open(const char* path, int n_threads,
   sb->ctx.limits = sb->limits.data();
   sb->ctx.n_targets = (int64_t)sb->offsets.size();
   sb->ctx.init_cursor();
+
+  // ranged streaming: sorted (v0, v1) pairs, coalesced so that no two
+  // ranges share (or nearly share) a compressed block — each range's
+  // read budget over-reaches ~66 KB past its end block, so gaps below
+  // 128 KB are cheaper to read through than to seek over (and merging
+  // them guarantees no block is ever walked twice)
+  if (n_vr > 0 && region_mode == 1 && sb->bgzf) {
+    for (int64_t i = 0; i < n_vr; i++) {
+      int64_t v0 = vr[2 * i], v1 = vr[2 * i + 1];
+      if (v1 <= v0) continue;
+      if (!sb->vr_v0.empty() &&
+          (v0 >> 16) <= (sb->vr_v1.back() >> 16) + (128 << 10)) {
+        if (v1 > sb->vr_v1.back()) sb->vr_v1.back() = v1;
+      } else {
+        sb->vr_v0.push_back(v0);
+        sb->vr_v1.push_back(v1);
+      }
+    }
+  }
 
   sb->producer = std::thread([sb] { sb->produce(); });
   return sb;

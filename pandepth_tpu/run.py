@@ -224,6 +224,17 @@ def _try_native_load(path: str, config: RunConfig,
                 # index-driven block skipping: decompress only the
                 # BGZF blocks whose records can overlap the windows
                 vranges = chunks_for_windows(idx, regions)
+            if vranges is not None and use_stream:
+                # ranged streaming: block skipping with bounded
+                # memory — the producer seeks between merged chunk
+                # ranges instead of one-shot-loading them all
+                return NativeBamStream(path, config.flags,
+                                       config.min_mapq,
+                                       threads=config.threads,
+                                       ext_offsets=ext_offsets,
+                                       ext_limits=ext_limits,
+                                       regions=regions,
+                                       vranges=vranges)
         elif regions is None and not use_stream:
             from pandepth_tpu.io.bamindex import (full_file_splits,
                                                   load_index_for)
