@@ -104,7 +104,9 @@ def run_child(argv):
 
 
 def ours_argv(bam, out, extra):
-    return [sys.executable, "-m", "pandepth_tpu.cli", "-i", bam,
+    launcher = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "pandepth")
+    return [sys.executable, "-S", launcher, "-i", bam,
             "-o", out] + extra
 
 

@@ -21,26 +21,9 @@ tables.
 
 __version__ = "0.1.0"
 
-# Genome coordinates are flattened onto one global int64 axis (a 3 Gb
-# genome overflows int32), so 64-bit types must be real, not silently
-# truncated. Set before any jax array is created.
-import os as _os
-
-import jax as _jax
-
-_jax.config.update("jax_enable_x64", True)
-
-# CLI-style workloads pay full jit cost per process; a persistent
-# compile cache makes repeat invocations start in milliseconds.
-_cache = _os.environ.get("PANDEPTH_JAX_CACHE",
-                         _os.path.expanduser("~/.cache/pandepth_jax"))
-if _cache and _cache != "0":
-    try:
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # cache is an optimization only
-        pass
-
+# Importing the package is deliberately jax-free: the CLI launcher
+# overlaps jax + accelerator-plugin initialization with native file IO
+# (see pandepth_tpu/boot.py). The jax process config (x64, compile
+# cache) is applied by boot.configure_jax(), which the device/sharding
+# package inits call before their first `import jax`.
 from pandepth_tpu.config import RunConfig  # noqa: F401,E402

@@ -1,0 +1,130 @@
+"""Process bootstrap: cheap CLI start with deferred jax initialization.
+
+The reference pandepth is a compiled binary whose ``main``
+(src/PanDepth.cpp:3441) starts doing IO within microseconds of
+``exec``. A Python CLI normally pays the whole import tax up front —
+and on hosts whose ``sitecustomize`` registers an accelerator plugin
+(importing jax at *every* interpreter start), that tax is seconds of
+GIL-bound CPU spent before ``main`` even runs, a fixed loss on any
+short benchmark.
+
+The ``pandepth`` launcher removes that serial cost:
+
+* Python starts with ``-S`` (skip the ``site`` module), which skips
+  only the *automatic* site-packages setup and ``sitecustomize``
+  import — ``PYTHONPATH`` entries stay on ``sys.path``.
+* :func:`restore_site` re-adds site-packages (and the venv prefix,
+  which ``site.venv`` normally resolves) in microseconds, WITHOUT
+  importing ``sitecustomize``.
+* :func:`background` runs the expensive part — ``import
+  sitecustomize`` (the accelerator registration) + ``import jax`` +
+  the framework's jax config — on a daemon thread, overlapped with
+  native file IO whose C++ worker threads don't hold the GIL.
+* Anything that needs jax calls :func:`configure_jax` first (the
+  ``pandepth_tpu.device`` / ``pandepth_tpu.sharding`` package inits
+  do), which blocks until the background init finishes.
+
+Under a normal ``python -m pandepth_tpu.cli`` start all of this
+degrades to cheap no-ops: ``sitecustomize`` is already imported and
+:func:`configure_jax` only applies the jax config once.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+
+_lock = threading.RLock()
+_configured = False
+_ready = threading.Event()
+_bg = None
+
+
+def restore_site() -> None:
+    """Under ``python -S``: do what ``site.main()`` would have done,
+    minus the expensive ``sitecustomize``/``usercustomize`` imports
+    (venv resolution via ``pyvenv.cfg`` lives in ``site.venv``, so
+    ``-S`` skips that too and it must be replayed here)."""
+    if not sys.flags.no_site:
+        return
+    import site
+
+    site.ENABLE_USER_SITE = False
+    known = site.venv(set())
+    site.addsitepackages(known)
+
+
+def configure_jax():
+    """Import jax (running any deferred ``sitecustomize`` first so
+    accelerator backends register) and apply the framework's process
+    config exactly once. Thread-safe; every caller blocks until the
+    first one finishes. Returns the jax module."""
+    global _configured
+    with _lock:
+        if "sitecustomize" not in sys.modules and sys.flags.no_site:
+            try:
+                import sitecustomize  # noqa: F401
+            except ImportError:
+                pass
+        import jax
+
+        if _configured:
+            return jax
+        # benchmarks / test subprocesses force a backend through config
+        # (the env var alone loses to sitecustomize's own override)
+        plat = os.environ.get("PANDEPTH_FORCE_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        # Genome coordinates are flattened onto one global int64 axis
+        # (a 3 Gb genome overflows int32), so 64-bit types must be
+        # real, not silently truncated. Set before any jax array is
+        # created.
+        jax.config.update("jax_enable_x64", True)
+        # CLI-style workloads pay full jit cost per process; a
+        # persistent compile cache makes repeat invocations start in
+        # milliseconds.
+        cache = os.environ.get("PANDEPTH_JAX_CACHE",
+                               os.path.expanduser("~/.cache/pandepth_jax"))
+        if cache and cache != "0":
+            try:
+                os.makedirs(cache, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0)
+            except Exception:  # cache is an optimization only
+                pass
+        _configured = True
+        _ready.set()
+        return jax
+
+
+def background() -> None:
+    """Start jax initialization on a daemon thread (idempotent). The
+    first jax consumer (``configure_jax``) blocks until it finishes."""
+    global _bg
+    with _lock:
+        if _bg is not None or _configured:
+            return
+        _bg = threading.Thread(target=configure_jax,
+                               name="pandepth-jax-init", daemon=True)
+        _bg.start()
+
+
+def is_ready() -> bool:
+    return _ready.is_set()
+
+
+def main(argv=None) -> int:
+    """Launcher entry (the ``pandepth`` script): restore site cheaply,
+    kick jax init into the background, run the CLI."""
+    restore_site()
+    background()
+    from pandepth_tpu.cli import main as cli_main
+
+    # cli.main's argv convention is the reference binary's: a full
+    # argv whose [0] is the program name (src/PanDepth.cpp:84)
+    return cli_main(["pandepth"] + (sys.argv[1:] if argv is None
+                                    else list(argv)))

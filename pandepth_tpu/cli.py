@@ -146,6 +146,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = parse_args(argv if argv is not None else sys.argv)
     if cfg is None:
         return 0
+    # overlap jax + accelerator-plugin init with the file IO below
+    # (no-op cost when jax is already imported — see boot.py)
+    from pandepth_tpu import boot
+    boot.background()
     from pandepth_tpu.run import run
     try:
         return run(cfg)

@@ -19,6 +19,10 @@ import functools
 import os
 from typing import List, Optional, Tuple
 
+from pandepth_tpu import boot as _boot
+
+_boot.configure_jax()  # x64 + cache config must precede jax use
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,6 +24,10 @@ from __future__ import annotations
 
 import functools
 
+from pandepth_tpu import boot as _boot
+
+_boot.configure_jax()  # x64 + cache config must precede jax use
+
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from pandepth_tpu.config import (MODE_CHR, MODE_WIN_SMALL, RunConfig)
-from pandepth_tpu.device.engine import CoverageEngine
 from pandepth_tpu.device.layout import GenomeLayout
 from pandepth_tpu.io.bam import BamHeader, BamReader
 from pandepth_tpu.io.fasta import gc_count_ranges, load_ref_bases
@@ -101,6 +100,8 @@ def make_engine(layout, **kw):
             from pandepth_tpu.sharding.engine import ShardedCoverageEngine
 
             return ShardedCoverageEngine(layout, **kw)
+    from pandepth_tpu.device.engine import CoverageEngine
+
     return CoverageEngine(layout, **kw)
 
 
@@ -529,6 +530,16 @@ def run_alignment(config: RunConfig) -> int:
             return cursor_reg
         return None
 
+    # start the first file's native loader BEFORE the engine exists:
+    # make_engine blocks on the (possibly background, see boot.py) jax
+    # init, and the loader's C++ producer threads inflate ahead of it
+    # without holding the GIL
+    r0 = None
+    if reader is None:
+        r0 = _try_native_load(config.inputs[0], config,
+                              regions=regions_for(config.inputs[0],
+                                                  header))
+
     engine = make_engine(GenomeLayout(lengths),
                          flags_mask=config.flags,
                          min_mapq=config.min_mapq,
@@ -539,8 +550,7 @@ def run_alignment(config: RunConfig) -> int:
       with phase(stats, "feed"):
         hdr_i = header if i == 0 else _cheap_header(path)
         if i == 0 and reader is None:
-            r = _try_native_load(path, config,
-                                 regions=regions_for(path, hdr_i))
+            r = r0
             if r is None:
                 r = open_alignment(path, threads=config.threads)
         elif i == 0:

@@ -30,6 +30,10 @@ from __future__ import annotations
 import functools
 from typing import List, Optional, Tuple
 
+from pandepth_tpu import boot as _boot
+
+_boot.configure_jax()  # x64 + cache config must precede jax use
+
 import jax
 import jax.numpy as jnp
 import numpy as np

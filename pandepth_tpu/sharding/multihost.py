@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from pandepth_tpu import boot as _boot
+
+_boot.configure_jax()  # x64 + cache config must precede jax use
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
