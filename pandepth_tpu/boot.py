@@ -117,6 +117,12 @@ def is_ready() -> bool:
     return _ready.is_set()
 
 
+def init_started() -> bool:
+    """True once background() or configure_jax() has been called —
+    i.e. is_ready() will eventually flip without further action."""
+    return _bg is not None or _configured
+
+
 def main(argv=None) -> int:
     """Launcher entry (the ``pandepth`` script): restore site cheaply,
     kick jax init into the background, run the CLI."""

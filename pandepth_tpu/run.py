@@ -89,7 +89,9 @@ def make_engine(layout, **kw):
     ``PANDEPTH_SHARDED=0/1`` forces the single/sharded choice."""
     force = os.environ.get("PANDEPTH_SHARDED")
     if force != "0":
-        import jax
+        from pandepth_tpu import boot
+
+        jax = boot.configure_jax()
 
         if jax.process_count() > 1:
             from pandepth_tpu.sharding.multihost import \
@@ -144,8 +146,9 @@ def _is_writer_rank() -> bool:
     """Multihost runs compute identical replicated tables on every
     process (the collectives require all ranks); only rank 0 writes."""
     try:
-        import jax
+        from pandepth_tpu import boot
 
+        jax = boot.configure_jax()
         return jax.process_index() == 0
     except Exception:
         return True
@@ -268,7 +271,46 @@ def _try_native_load(path: str, config: RunConfig,
         return None
 
 
-def _feed_stream(engine, r) -> None:
+def _enc_caps() -> Tuple[int, int]:
+    """The encoded-window buffer sizes (must agree with
+    CoverageEngine.enc_cap/enc_exc — both read the same env vars)."""
+    return (int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19)),
+            int(os.environ.get("PANDEPTH_ENC_EXC", 1 << 13)))
+
+
+class _EncPuller:
+    """Stateful encoded-window puller over a NativeBamStream: owns the
+    u8 -> u16 code-tier upgrade so windows can be pulled BEFORE the
+    device engine exists (pre-engine stash while jax initializes in
+    the background, boot.py) and the remainder streamed after."""
+
+    def __init__(self, r, cap: int, exc: int):
+        self.r, self.cap, self.exc = r, cap, exc
+        self._take = r.take_enc_acc
+        self._on_u8 = True
+        self.eof = False
+
+    def next(self):
+        """One (n, dd, ll, excd, excl, base) window, or None at EOF."""
+        win = self._take(self.cap, self.exc)
+        if win is None:
+            self.eof = True
+            return None
+        if self._on_u8 and win[0] < self.cap \
+                and (self.r.last_nd >= self.exc
+                     or self.r.last_nl >= self.exc):
+            # short buffer through escape saturation: the input is
+            # sparser than 8-bit zigzag covers — upgrade the rest of
+            # the feed to 16-bit codes (4 B/pair). (Track the tier
+            # with a flag: bound-method identity is useless —
+            # `take is r.take_enc_acc` is always False.)
+            self._take = self.r.take_enc_acc16
+            self._on_u8 = False
+        return win
+
+
+def _feed_stream(engine, r, puller: Optional[_EncPuller] = None,
+                 stash=()) -> None:
     """Pull event windows from a NativeBamStream into the engine.
 
     The compact-encoded path (engine.wants_encoded_windows) ships
@@ -277,26 +319,42 @@ def _feed_stream(engine, r) -> None:
     already device-resident (the tunnel's forced round-trip is
     ~35 MB/s, so wire bytes — not device compute — set the tail).
     A window that stalls the encoder (escape-list overflow, e.g. an
-    unsorted BAM) drains through the raw take32 path instead."""
+    unsorted BAM) drains through the raw take32 path instead.
+
+    ``puller``/``stash`` carry windows pulled before the engine
+    existed (run_alignment's pre-engine overlap with the background
+    jax init)."""
     if getattr(engine, "wants_encoded_windows", False) and \
             hasattr(r, "take_enc_acc"):
-        take = r.take_enc_acc
-        on_u8_tier = True
-        while True:
-            win = take(engine.enc_cap, engine.enc_exc)
-            if win is None:
-                break
+        for win in stash:
             engine.add_encoded_window(*win)
-            if on_u8_tier and win[0] < engine.enc_cap \
-                    and (r.last_nd >= engine.enc_exc
-                         or r.last_nl >= engine.enc_exc):
-                # short buffer through escape saturation: the input is
-                # sparser than 8-bit zigzag covers — upgrade the rest
-                # of the feed to 16-bit codes (4 B/pair). (Track the
-                # tier with a flag: bound-method identity is useless —
-                # `take is r.take_enc_acc` is always False.)
-                take = r.take_enc_acc16
-                on_u8_tier = False
+        p = puller if puller is not None else \
+            _EncPuller(r, engine.enc_cap, engine.enc_exc)
+        while not p.eof:
+            win = p.next()
+            if win is not None:
+                engine.add_encoded_window(*win)
+        engine.n_reads_seen += r.n_records
+        r.close()
+        return
+    if puller is not None or stash:
+        # windows were already pulled through the encoder but this
+        # engine has no encoded-window path (e.g. the sharded engine):
+        # host-decode them — mixing take_enc_acc with take32 on one
+        # stream would lose the encoder's accumulated pairs
+        from pandepth_tpu.device.engine import decode_enc_host
+
+        p = puller if puller is not None else _EncPuller(r, *_enc_caps())
+        for win in stash:
+            n, dd, ll, excd, excl, base = win
+            engine.add_start_end(*decode_enc_host(dd, ll, excd, excl,
+                                                  base, n))
+        while not p.eof:
+            win = p.next()
+            if win is not None:
+                n, dd, ll, excd, excl, base = win
+                engine.add_start_end(*decode_enc_host(dd, ll, excd,
+                                                      excl, base, n))
         engine.n_reads_seen += r.n_records
         r.close()
         return
@@ -540,6 +598,24 @@ def run_alignment(config: RunConfig) -> int:
                               regions=regions_for(config.inputs[0],
                                                   header))
 
+    # while the background jax init runs (boot.py), pull encoded event
+    # windows into a host stash so the decode pipeline never idles
+    # behind make_engine; bounded (the stash is ~2 MB/window) so a
+    # huge file can't undo the loader's flat-RSS guarantee
+    puller0 = None
+    stash0: List[tuple] = []
+    if r0 is not None and hasattr(r0, "take_enc_acc") and \
+            os.environ.get("PANDEPTH_ENC", "1") != "0":
+        from pandepth_tpu import boot
+
+        if boot.init_started() and not boot.is_ready():
+            puller0 = _EncPuller(r0, *_enc_caps())
+            while len(stash0) < 64 and not puller0.eof \
+                    and not boot.is_ready():
+                win = puller0.next()
+                if win is not None:
+                    stash0.append(win)
+
     engine = make_engine(GenomeLayout(lengths),
                          flags_mask=config.flags,
                          min_mapq=config.min_mapq,
@@ -565,7 +641,10 @@ def run_alignment(config: RunConfig) -> int:
             if r is None:
                 r = open_alignment(path, threads=config.threads)
         if hasattr(r, "wait") and hasattr(r, "take32"):
-            _feed_stream(engine, r)
+            if r is r0:
+                _feed_stream(engine, r, puller=puller0, stash=stash0)
+            else:
+                _feed_stream(engine, r)
             continue
         if hasattr(r, "events"):
             if engine.wants_padded_events and \
