@@ -77,9 +77,11 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
 
 
 @functools.lru_cache(maxsize=8)
-def _zero_enc_window(cap: int, ce: int, dtype=np.uint8):
-    zd = jnp.zeros(cap, dtype)
-    z64 = jnp.zeros(ce, jnp.int64)
+def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
+    """A (B, CAP) all-zero code block: decodes to B*CAP zero-length
+    events at position 0 — depth-neutral pad for the finalize arity."""
+    zd = jnp.zeros((b, cap), dtype)
+    z64 = jnp.zeros((b, ce), jnp.int64)
     return (zd, zd, z64, z64)
 
 
@@ -151,14 +153,24 @@ class CoverageEngine:
         # during the feed; ~2 B/event over the tunnel instead of 8)
         self.enc_cap = int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19))
         self.enc_exc = int(os.environ.get("PANDEPTH_ENC_EXC", 1 << 13))
+        # windows upload in (B, CAP) stacked blocks: every device_put
+        # pays a link round-trip (~0.14 s measured through the tunnel
+        # for a 512 KB array vs 2.5 s for ONE 32 MB stack), so 4 puts
+        # per B windows instead of 4 per window
+        self.enc_block = int(os.environ.get("PANDEPTH_ENC_BLOCK", 8))
         # two code-width groups: uint8 (2 B/pair, deep coverage) and
-        # uint16 (4 B/pair, sparse coverage); each entry is
-        # (n, d, l, excd, excl) with the arrays device-resident
+        # uint16 (4 B/pair, sparse coverage); each group entry is one
+        # device-resident block (dd, ll, excd, excl); pending windows
+        # stage host-side until a block fills
         self._enc: List[tuple] = []
         self._enc_bases: List[int] = []
         self._enc16: List[tuple] = []
         self._enc16_bases: List[int] = []
-        self._max_enc = 64  # beyond this, decode on host (degenerate)
+        self._pend8: List[tuple] = []
+        self._pend8_bases: List[int] = []
+        self._pend16: List[tuple] = []
+        self._pend16_bases: List[int] = []
+        self._max_enc = 64 * 8  # windows; beyond this, decode on host
         # single-query runs (no -a, no later stats pass) skip returning
         # the full sweep state from the fused finalize: through a
         # tunneled TPU that state is hundreds of MB of output handles
@@ -254,33 +266,86 @@ class CoverageEngine:
     def add_encoded_window(self, n: int, dd: np.ndarray,
                            ll: np.ndarray, excd: np.ndarray,
                            excl: np.ndarray, base: int) -> None:
-        """Upload one compact-encoded event window (see
+        """Stage one compact-encoded event window (see
         sweep.finalize_encoded for the wire format; uint8 or uint16
-        codes by dtype). The device_put is asynchronous, so the
-        transfer overlaps the next window's decode — by finalize time
-        the events are already resident."""
+        codes by dtype). Windows upload in stacked blocks of
+        ``enc_block``; the device_put is asynchronous, so transfers
+        overlap later windows' decode — by finalize time the events
+        are already resident."""
         assert dd.shape[0] == self.enc_cap
-        group, bases = (self._enc, self._enc_bases) \
-            if dd.dtype == np.uint8 else (self._enc16,
-                                          self._enc16_bases)
-        group.append((n, jax.device_put(dd), jax.device_put(ll),
-                      jax.device_put(excd), jax.device_put(excl)))
+        pend, bases = (self._pend8, self._pend8_bases) \
+            if dd.dtype == np.uint8 else (self._pend16,
+                                          self._pend16_bases)
+        pend.append((dd, ll, excd, excl))
         bases.append(int(base))
         self._state = None
-        if len(self._enc) + len(self._enc16) > self._max_enc:
+        if len(pend) >= self.enc_block:
+            self._flush_enc_block(dd.dtype)
+        if (len(self._enc) + len(self._enc16)) * self.enc_block \
+                > self._max_enc:
             self._spill_enc()
+
+    def _flush_enc_block(self, dtype, pad: bool = False) -> None:
+        """Stack pending windows into one (B, CAP) block and start its
+        (async) upload. ``pad=True`` zero-fills a partial block (zero
+        codes decode depth-neutral) so the finalize signature only
+        ever sees full blocks."""
+        pend, pbases, group, gbases = \
+            (self._pend8, self._pend8_bases, self._enc,
+             self._enc_bases) if dtype == np.uint8 else \
+            (self._pend16, self._pend16_bases, self._enc16,
+             self._enc16_bases)
+        b = self.enc_block
+        if not pend or (len(pend) < b and not pad):
+            return
+        k = len(pend)
+        z = None
+        if k < b:
+            z = _zero_enc_block(1, self.enc_cap, self.enc_exc, dtype)
+        stacks = []
+        for col, zcol in zip(zip(*pend), (z or (None,) * 4)):
+            arrs = list(col)
+            if k < b:
+                arrs += [np.asarray(zcol[0])] * (b - k)
+            stacks.append(jax.device_put(np.stack(arrs)))
+        group.append(tuple(stacks))
+        gbases.extend(pbases + [0] * (b - k))
+        pend.clear()
+        pbases.clear()
 
     def _spill_enc(self) -> None:
         """Degenerate feeds (thousands of short windows, e.g. an
         unsorted BAM forced down the enc path) fold back into the raw
         staging so the finalize signature stays bounded."""
-        for group, bases in ((self._enc, self._enc_bases),
-                             (self._enc16, self._enc16_bases)):
-            for (n, dd, ll, excd, excl), base in zip(group, bases):
-                s, e = decode_enc_host(
-                    np.asarray(dd), np.asarray(ll), np.asarray(excd),
-                    np.asarray(excl), base, n)
+        for group, bases, pend, pbases in (
+                (self._enc, self._enc_bases, self._pend8,
+                 self._pend8_bases),
+                (self._enc16, self._enc16_bases, self._pend16,
+                 self._pend16_bases)):
+            for bi, (dd, ll, excd, excl) in enumerate(group):
+                dd = np.asarray(dd)
+                ll = np.asarray(ll)
+                excd = np.asarray(excd)
+                excl = np.asarray(excl)
+                for row in range(dd.shape[0]):
+                    s, e = decode_enc_host(
+                        dd[row], ll[row], excd[row], excl[row],
+                        bases[bi * self.enc_block + row])
+                    self.add_start_end(s, e)
+            for (dd, ll, excd, excl), base in zip(pend, pbases):
+                s, e = decode_enc_host(dd, ll, excd, excl, base)
                 self.add_start_end(s, e)
+            group.clear()
+            bases.clear()
+            pend.clear()
+            pbases.clear()
+
+    @property
+    def _has_enc(self) -> bool:
+        return bool(self._enc or self._enc16 or self._pend8
+                    or self._pend16)
+
+    def _clear_enc(self) -> None:
         self._enc = []
         self._enc_bases = []
         self._enc16 = []
@@ -289,20 +354,26 @@ class CoverageEngine:
     def _enc_group_args(self, group, bases_list, dtype):
         k = len(group)
         kp = pad_pow2(max(k, 1), floor=1)
-        z = _zero_enc_window(self.enc_cap, self.enc_exc, dtype)
-        wins = [w[1:] for w in group] + [z] * (kp - k)
+        z = _zero_enc_block(self.enc_block, self.enc_cap,
+                            self.enc_exc, dtype)
+        blocks = list(group) + [z] * (kp - k)
         # bases pin the decode dtype: int32 positions whenever the
         # padded genome fits (halves the device sort width)
-        bases = np.zeros(kp, self.pos_dtype)
-        bases[:k] = bases_list
-        return (tuple(w[0] for w in wins), tuple(w[1] for w in wins),
-                tuple(w[2] for w in wins), tuple(w[3] for w in wins),
+        bases = np.zeros(kp * self.enc_block, self.pos_dtype)
+        bases[:len(bases_list)] = bases_list
+        return (tuple(w[0] for w in blocks),
+                tuple(w[1] for w in blocks),
+                tuple(w[2] for w in blocks),
+                tuple(w[3] for w in blocks),
                 jnp.asarray(bases))
 
     def _enc_args(self):
-        """Both code-width groups padded to pow2 window counts with
-        cached zero windows (a zero window decodes to zero-length
-        events — depth-neutral)."""
+        """Both code-width groups: flush partial pending blocks
+        (zero-padded), then pad block counts to pow2 with cached zero
+        blocks (zero codes decode to zero-length events —
+        depth-neutral)."""
+        self._flush_enc_block(np.uint8, pad=True)
+        self._flush_enc_block(np.uint16, pad=True)
         return (self._enc_group_args(self._enc, self._enc_bases,
                                      np.uint8),
                 self._enc_group_args(self._enc16, self._enc16_bases,
@@ -362,7 +433,7 @@ class CoverageEngine:
     def sweep_state(self):
         """(pos_sorted, depth, c_cov, c_sum); cached until new events."""
         if self._state is None:
-            if self._enc or self._enc16:
+            if self._has_enc:
                 # ride the fused encoded finalize with a dummy query
                 # (forcing keep_state: this call exists to build it)
                 self.segment_stats(np.zeros(1, np.int64),
@@ -419,7 +490,7 @@ class CoverageEngine:
                 cp = (jnp.full((1,), self.pos_sentinel,
                                self.pos_dtype),)
                 cd = (jnp.zeros((1,), jnp.int32),)
-            if self._enc or self._enc16:
+            if self._has_enc:
                 g8, g16 = self._enc_args()
                 out = sweep_mod.finalize_encoded(
                     g8, g16, cp, cd,
@@ -427,10 +498,7 @@ class CoverageEngine:
                     min_dep=self.min_dep, wrap18=self.wrap18,
                     method=method, want_state=keep)
                 if keep:
-                    self._enc = []
-                    self._enc_bases = []
-                    self._enc16 = []
-                    self._enc16_bases = []
+                    self._clear_enc()
             else:
                 out = sweep_mod.finalize_chunked(
                     cp, cd, jnp.asarray(lo_c), jnp.asarray(hi_c),

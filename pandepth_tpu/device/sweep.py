@@ -131,16 +131,18 @@ def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
 
 
 def _decode_enc_group(dds, lls, excds, excls, bases):
-    """Decode one group of K same-shape (CAP,) code windows into flat
-    (start, end) vectors. The escape value is the code dtype's max
-    (255 for uint8, 65535 for uint16); escapes index the (CE,) int64
-    side lists in order of occurrence (a cumsum-driven gather — no
-    scatter). Zero-filled tail slots decode to zero-length events at
-    the previous position — depth-neutral by construction."""
-    dd = jnp.stack(list(dds))
-    ll = jnp.stack(list(lls))
-    excd = jnp.stack(list(excds))   # int64 side lists (rare escapes)
-    excl = jnp.stack(list(excls))
+    """Decode one group of NB same-shape (B, CAP) code blocks —
+    windows arrive pre-stacked in blocks so each host->device transfer
+    carries B windows in one round-trip — into flat (start, end)
+    vectors. The escape value is the code dtype's max (255 for uint8,
+    65535 for uint16); escapes index the (B, CE) int64 side lists in
+    order of occurrence (a cumsum-driven gather — no scatter).
+    Zero-filled tail slots/rows decode to zero-length events at the
+    previous position — depth-neutral by construction."""
+    dd = jnp.concatenate(list(dds), axis=0)      # (NB*B, CAP)
+    ll = jnp.concatenate(list(lls), axis=0)
+    excd = jnp.concatenate(list(excds), axis=0)  # int64 side lists
+    excl = jnp.concatenate(list(excls), axis=0)  # (rare escapes)
     ce = excd.shape[1]
     esc = int(jnp.iinfo(dd.dtype).max)
     pdt = bases.dtype               # int32 when the genome fits, else

@@ -307,9 +307,9 @@ def test_feed_stream_upgrades_to_u16_on_sparse(tmp_path):
     _feed_stream(eng, r)
     assert eng.n_reads_seen == n
     # the u8 group stalls once, everything after rides u16
-    assert len(eng._enc) <= 1
-    assert len(eng._enc16) >= 1
-    for (_, dd, *_rest) in eng._enc16:
+    assert len(eng._enc) + len(eng._pend8) <= 1
+    assert len(eng._enc16) + len(eng._pend16) >= 1
+    for (dd, *_rest) in eng._enc16 + eng._pend16:
         assert np.asarray(dd).dtype == np.uint16
 
     # and the stats match a raw-path engine bit for bit
