@@ -78,11 +78,12 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
 
 @functools.lru_cache(maxsize=8)
 def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
-    """A (B, CAP) all-zero code block: decodes to B*CAP zero-length
-    events at position 0 — depth-neutral pad for the finalize arity."""
-    zd = jnp.zeros((b, cap), dtype)
-    z64 = jnp.zeros((b, ce), jnp.int64)
-    return (zd, zd, z64, z64)
+    """A (B, 2, CAP) all-zero code block (codes[:, 0] = deltas,
+    codes[:, 1] = lengths) + its (B, 2, CE) escape block: decodes to
+    B*CAP zero-length events at position 0 — depth-neutral pad for
+    the finalize arity."""
+    return (jnp.zeros((b, 2, cap), dtype),
+            jnp.zeros((b, 2, ce), jnp.int64))
 
 
 @dataclasses.dataclass
@@ -286,8 +287,10 @@ class CoverageEngine:
             self._spill_enc()
 
     def _flush_enc_block(self, dtype, pad: bool = False) -> None:
-        """Stack pending windows into one (B, CAP) block and start its
-        (async) upload. ``pad=True`` zero-fills a partial block (zero
+        """Stack pending windows into one (B, 2, CAP) code block +
+        one (B, 2, CE) escape block and start their (async) uploads —
+        TWO device_puts per B windows; every put pays a tunnel
+        round-trip. ``pad=True`` zero-fills a partial block (zero
         codes decode depth-neutral) so the finalize signature only
         ever sees full blocks."""
         pend, pbases, group, gbases = \
@@ -299,16 +302,14 @@ class CoverageEngine:
         if not pend or (len(pend) < b and not pad):
             return
         k = len(pend)
-        z = None
-        if k < b:
-            z = _zero_enc_block(1, self.enc_cap, self.enc_exc, dtype)
-        stacks = []
-        for col, zcol in zip(zip(*pend), (z or (None,) * 4)):
-            arrs = list(col)
-            if k < b:
-                arrs += [np.asarray(zcol[0])] * (b - k)
-            stacks.append(jax.device_put(np.stack(arrs)))
-        group.append(tuple(stacks))
+        codes = np.zeros((b, 2, self.enc_cap), dtype)
+        excs = np.zeros((b, 2, self.enc_exc), np.int64)
+        for i, (dd, ll, excd, excl) in enumerate(pend):
+            codes[i, 0] = dd
+            codes[i, 1] = ll
+            excs[i, 0] = excd
+            excs[i, 1] = excl
+        group.append((jax.device_put(codes), jax.device_put(excs)))
         gbases.extend(pbases + [0] * (b - k))
         pend.clear()
         pbases.clear()
@@ -322,14 +323,13 @@ class CoverageEngine:
                  self._pend8_bases),
                 (self._enc16, self._enc16_bases, self._pend16,
                  self._pend16_bases)):
-            for bi, (dd, ll, excd, excl) in enumerate(group):
-                dd = np.asarray(dd)
-                ll = np.asarray(ll)
-                excd = np.asarray(excd)
-                excl = np.asarray(excl)
-                for row in range(dd.shape[0]):
+            for bi, (codes, excs) in enumerate(group):
+                codes = np.asarray(codes)
+                excs = np.asarray(excs)
+                for row in range(codes.shape[0]):
                     s, e = decode_enc_host(
-                        dd[row], ll[row], excd[row], excl[row],
+                        codes[row, 0], codes[row, 1], excs[row, 0],
+                        excs[row, 1],
                         bases[bi * self.enc_block + row])
                     self.add_start_end(s, e)
             for (dd, ll, excd, excl), base in zip(pend, pbases):
@@ -363,8 +363,6 @@ class CoverageEngine:
         bases[:len(bases_list)] = bases_list
         return (tuple(w[0] for w in blocks),
                 tuple(w[1] for w in blocks),
-                tuple(w[2] for w in blocks),
-                tuple(w[3] for w in blocks),
                 jnp.asarray(bases))
 
     def _enc_args(self):

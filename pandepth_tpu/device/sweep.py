@@ -130,19 +130,21 @@ def finalize_chunked(chunks_pos, chunks_delta, seg_lo, seg_hi,
                              method=method, want_state=want_state)
 
 
-def _decode_enc_group(dds, lls, excds, excls, bases):
-    """Decode one group of NB same-shape (B, CAP) code blocks —
-    windows arrive pre-stacked in blocks so each host->device transfer
-    carries B windows in one round-trip — into flat (start, end)
-    vectors. The escape value is the code dtype's max (255 for uint8,
-    65535 for uint16); escapes index the (B, CE) int64 side lists in
-    order of occurrence (a cumsum-driven gather — no scatter).
-    Zero-filled tail slots/rows decode to zero-length events at the
-    previous position — depth-neutral by construction."""
-    dd = jnp.concatenate(list(dds), axis=0)      # (NB*B, CAP)
-    ll = jnp.concatenate(list(lls), axis=0)
-    excd = jnp.concatenate(list(excds), axis=0)  # int64 side lists
-    excl = jnp.concatenate(list(excls), axis=0)  # (rare escapes)
+def _decode_enc_group(codes, excs, bases):
+    """Decode one group of NB same-shape (B, 2, CAP) code blocks
+    (``[:, 0]`` = zigzag start deltas, ``[:, 1]`` = lengths) — windows
+    arrive pre-stacked in blocks so each host->device transfer carries
+    B windows in ONE round-trip, and deltas+lengths share it — into
+    flat (start, end) vectors. The escape value is the code dtype's
+    max (255 for uint8, 65535 for uint16); escapes index the
+    (B, 2, CE) int64 side lists in order of occurrence (a
+    cumsum-driven gather — no scatter). Zero-filled tail slots/rows
+    decode to zero-length events at the previous position —
+    depth-neutral by construction."""
+    cc = jnp.concatenate(list(codes), axis=0)    # (NB*B, 2, CAP)
+    ee = jnp.concatenate(list(excs), axis=0)     # int64 side lists
+    dd, ll = cc[:, 0], cc[:, 1]
+    excd, excl = ee[:, 0], ee[:, 1]              # (rare escapes)
     ce = excd.shape[1]
     esc = int(jnp.iinfo(dd.dtype).max)
     pdt = bases.dtype               # int32 when the genome fits, else
@@ -176,7 +178,7 @@ def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
     16M-event sort+sweep), so the native loader ships ~2 B/event
     (uint8 codes, deep-coverage profile) or ~4 B/event (uint16 codes,
     sparse runs whose start gaps overflow 8-bit zigzag). ``g8``/``g16``
-    are (dds, lls, excds, excls, bases) window groups — see
+    are (codes, excs, bases) stacked window-block groups — see
     _decode_enc_group for the wire format. ``raw_pos``/``raw_delta``
     are extra pre-built event chunks (other feeds) merged into the
     same sort.
