@@ -202,6 +202,27 @@ def load_library() -> Optional[ctypes.CDLL]:
             i64p, i64p, ctypes.c_char_p, ctypes.c_int]
         lib.pancov_sam_load.restype = ctypes.c_void_p
         lib.pancov_sam_load.argtypes = lib.pancov_paf_load.argtypes
+        lib.pancov_targets_load.restype = ctypes.c_void_p
+        lib.pancov_targets_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.pancov_targets_n.restype = ctypes.c_int64
+        lib.pancov_targets_n.argtypes = [ctypes.c_void_p]
+        lib.pancov_targets_ids_len.restype = ctypes.c_int64
+        lib.pancov_targets_ids_len.argtypes = [ctypes.c_void_p]
+        lib.pancov_targets_max_id_len.restype = ctypes.c_int64
+        lib.pancov_targets_max_id_len.argtypes = [ctypes.c_void_p]
+        lib.pancov_targets_fill_ids_fixed.restype = None
+        lib.pancov_targets_fill_ids_fixed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+        lib.pancov_targets_fill.restype = None
+        lib.pancov_targets_fill.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+        lib.pancov_targets_close.restype = None
+        lib.pancov_targets_close.argtypes = [ctypes.c_void_p]
         lib.pancov_paf_n_events.restype = ctypes.c_int64
         lib.pancov_paf_n_events.argtypes = [ctypes.c_void_p]
         lib.pancov_paf_n_lines.restype = ctypes.c_int64
@@ -296,6 +317,54 @@ class NativePafLoad:
     def close(self) -> None:
         if self._h:
             self._lib.pancov_paf_close(self._h)
+            self._h = None
+
+
+class NativeTargetsLoad:
+    """One-shot GFF/GTF(.gz) feature-row tokenize to columnar
+    (tid, start1, end1, gene-id) arrays; merge semantics stay in
+    targets/model.py (GeneAccumulator.add_bulk)."""
+
+    def __init__(self, path: str, feature: str, mode: int,
+                 chr2tid: dict):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                f"libpancov_io unavailable: {build_error()}")
+        self._lib = lib
+        names = list(chr2tid.keys())
+        blob = b"\x00".join(n.encode() for n in names) + b"\x00"
+        tids = np.ascontiguousarray(
+            [chr2tid[n] for n in names], np.int64)
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.pancov_targets_load(
+            path.encode(), feature.encode(), mode, blob, len(blob),
+            len(names), tids, err, len(err))
+        if not self._h:
+            raise ValueError(
+                f"pancov_targets_load({path}): {err.value.decode()}")
+        self.n = int(lib.pancov_targets_n(self._h))
+
+    def columns(self):
+        """(tid, start1, end1, ids) numpy arrays; ids is a fixed-width
+        'S<w>' array (zero-padded by the native fill)."""
+        n = self.n
+        tid = np.empty(max(n, 1), np.int64)
+        s = np.empty(max(n, 1), np.int64)
+        e = np.empty(max(n, 1), np.int64)
+        off = np.zeros(n + 1, np.int64)
+        ids_len = int(self._lib.pancov_targets_ids_len(self._h))
+        ids = np.empty(max(ids_len, 1), np.uint8)
+        self._lib.pancov_targets_fill(self._h, tid, s, e, off, ids)
+        w = max(int(self._lib.pancov_targets_max_id_len(self._h)), 1)
+        fixed = np.zeros(max(n, 1) * w, np.uint8)
+        self._lib.pancov_targets_fill_ids_fixed(self._h, w, fixed)
+        ids_s = fixed.view(f"S{w}")
+        return tid[:n], s[:n], e[:n], ids_s[:n]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pancov_targets_close(self._h)
             self._h = None
 
     def __del__(self):

@@ -2199,6 +2199,233 @@ void pancov_paf_events64(void* h, int64_t* starts, int64_t* ends) {
 
 void pancov_paf_close(void* h) { delete (PafLoad*)h; }
 
+// ---------------------------------------------------------------------
+// GFF/GTF feature-row tokenizer (the reference's target parsing,
+// src/PanDepth.cpp:3547-3905, is C++ too). Emits columnar
+// (tid, start, end) plus concatenated gene-id bytes; the GeneInfo
+// merge semantics — including the documented quirks — stay in
+// targets/model.py (GeneAccumulator.add_bulk consumes these columns).
+
+struct TargetsLoad {
+  std::vector<int64_t> tid, start, end, id_off;  // id_off has n+1
+  std::string ids;
+};
+
+// names_blob: '\0'-joined names; tids[i] gives the tid of name i
+// (the Python chr2tid dict, which need not be dense). mode: 1 = GFF
+// (id = first attribute's value, overridden by a Parent= attribute;
+// attributes split on , or ; dropping empties; value = text after the
+// LAST '='), 2 = GTF (strip '"' and ';', split on space/tab, id =
+// token 10 — reference quirk Q3). Unknown chroms print the
+// reference-matching warning and drop.
+void* pancov_targets_load(const char* path, const char* feature,
+                          int mode, const char* names_blob,
+                          int64_t names_len, int64_t n_names,
+                          const int64_t* tids, char* err,
+                          int err_len) {
+  auto fail = [&](const char* m) -> void* {
+    if (err && err_len > 0) std::snprintf(err, err_len, "%s", m);
+    return nullptr;
+  };
+  std::vector<uint8_t> text;
+  if (!read_text_maybe_gz(path, text)) return fail("cannot read GFF");
+
+  std::vector<std::pair<std::string, int64_t>> names;
+  {
+    int64_t i = 0;
+    const char* p = names_blob;
+    const char* end = names_blob + names_len;
+    while (p < end && i < n_names) {
+      size_t l = strnlen(p, end - p);
+      names.emplace_back(std::string(p, l), tids[i++]);
+      p += l + 1;
+    }
+  }
+  std::sort(names.begin(), names.end());
+  auto tid_of = [&](const char* s, size_t l) -> int64_t {
+    auto it = std::lower_bound(
+        names.begin(), names.end(),
+        std::make_pair(std::string(s, l), (int64_t)-1));
+    if (it != names.end() && it->first.size() == l &&
+        std::memcmp(it->first.data(), s, l) == 0)
+      return it->second;
+    return -1;
+  };
+
+  const size_t flen = std::strlen(feature);
+  auto* tl = new TargetsLoad();
+  tl->id_off.push_back(0);
+  std::string clean;  // GTF scratch
+  const char* p = (const char*)text.data();
+  const char* end = p + text.size();
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    const char* next = le + 1;
+    while (le > p && le[-1] == '\r') le--;  // iter_text_lines rstrip
+    if (le == p || *p == '#') {
+      p = next;
+      continue;
+    }
+    const char* f[16];
+    size_t fl[16];
+    int nf = 0;
+    const char* idp = nullptr;
+    size_t idl = 0;
+    int64_t s1 = 0, e1 = 0;
+    const char* chrom = nullptr;
+    size_t chroml = 0;
+    if (mode == 1) {  // GFF: split on any whitespace (str.split())
+      const char* q = p;
+      while (q < le && nf < 16) {
+        while (q < le && (*q == ' ' || *q == '\t' || *q == '\r' ||
+                          *q == '\v' || *q == '\f'))
+          q++;
+        const char* t = q;
+        while (q < le && !(*q == ' ' || *q == '\t' || *q == '\r' ||
+                           *q == '\v' || *q == '\f'))
+          q++;
+        if (q > t) {
+          f[nf] = t;
+          fl[nf] = q - t;
+          nf++;
+        }
+      }
+      if (nf < 9 || fl[2] != flen ||
+          std::memcmp(f[2], feature, flen) != 0) {
+        p = next;
+        continue;
+      }
+      chrom = f[0];
+      chroml = fl[0];
+      s1 = atoll(std::string(f[3], fl[3]).c_str());
+      e1 = atoll(std::string(f[4], fl[4]).c_str());
+      // attributes: split on , or ; dropping empties; id = value of
+      // the first attribute, overridden by Parent=...
+      const char* a = f[8];
+      const char* ae = f[8] + fl[8];
+      bool first = true;
+      while (a < ae) {
+        while (a < ae && (*a == ',' || *a == ';')) a++;
+        const char* t = a;
+        while (a < ae && *a != ',' && *a != ';') a++;
+        if (a == t) continue;
+        // split("=") semantics: key is the text before the FIRST
+        // '=', the value taken is after the LAST '=' ([-1])
+        const char* eq_first = nullptr;
+        const char* eq_last = nullptr;
+        for (const char* c = t; c < a; c++)
+          if (*c == '=') {
+            if (!eq_first) eq_first = c;
+            eq_last = c;
+          }
+        const char* val = eq_last ? eq_last + 1 : t;
+        size_t vall = a - val;
+        if (first) {
+          idp = val;
+          idl = vall;
+          first = false;
+        } else if (eq_first && (size_t)(eq_first - t) == 6 &&
+                   std::memcmp(t, "Parent", 6) == 0) {
+          idp = val;
+          idl = vall;
+        }
+      }
+      if (first) {  // no attributes at all
+        p = next;
+        continue;
+      }
+    } else {  // GTF: strip '"' and ';', split on space/tab only
+      clean.clear();
+      for (const char* c = p; c < le; c++)
+        if (*c != '"' && *c != ';') clean.push_back(*c);
+      const char* q = clean.data();
+      const char* ce = q + clean.size();
+      while (q < ce && nf < 16) {
+        while (q < ce && (*q == ' ' || *q == '\t')) q++;
+        const char* t = q;
+        while (q < ce && *q != ' ' && *q != '\t') q++;
+        if (q > t) {
+          f[nf] = t;
+          fl[nf] = q - t;
+          nf++;
+        }
+      }
+      if (nf < 10 || fl[2] != flen ||
+          std::memcmp(f[2], feature, flen) != 0) {
+        p = next;
+        continue;
+      }
+      chrom = f[0];
+      chroml = fl[0];
+      s1 = atoll(std::string(f[3], fl[3]).c_str());
+      e1 = atoll(std::string(f[4], fl[4]).c_str());
+      idp = f[9];
+      idl = fl[9];
+    }
+    int64_t tid = tid_of(chrom, chroml);
+    if (tid < 0) {
+      std::fprintf(stderr,
+                   "%.*sWarning: This region may be incorrect.\n\n",
+                   (int)(le - p), p);
+      p = next;
+      continue;
+    }
+    tl->tid.push_back(tid);
+    tl->start.push_back(s1);
+    tl->end.push_back(e1);
+    tl->ids.append(idp, idl);
+    tl->id_off.push_back((int64_t)tl->ids.size());
+    p = next;
+  }
+  return tl;
+}
+
+int64_t pancov_targets_n(void* h) {
+  return (int64_t)((TargetsLoad*)h)->tid.size();
+}
+
+int64_t pancov_targets_ids_len(void* h) {
+  return (int64_t)((TargetsLoad*)h)->ids.size();
+}
+
+int64_t pancov_targets_max_id_len(void* h) {
+  auto* tl = (TargetsLoad*)h;
+  int64_t w = 0;
+  for (size_t i = 0; i + 1 < tl->id_off.size(); i++) {
+    int64_t l = tl->id_off[i + 1] - tl->id_off[i];
+    if (l > w) w = l;
+  }
+  return w;
+}
+
+// zero-padded fixed-width id rows (numpy 'S<w>' layout)
+void pancov_targets_fill_ids_fixed(void* h, int64_t w, char* out) {
+  auto* tl = (TargetsLoad*)h;
+  int64_t n = (int64_t)tl->tid.size();
+  std::memset(out, 0, (size_t)(n * w));
+  for (int64_t i = 0; i < n; i++) {
+    int64_t l = tl->id_off[i + 1] - tl->id_off[i];
+    if (l > w) l = w;
+    std::memcpy(out + i * w, tl->ids.data() + tl->id_off[i],
+                (size_t)l);
+  }
+}
+
+void pancov_targets_fill(void* h, int64_t* tid, int64_t* start,
+                         int64_t* end, int64_t* id_off, char* ids) {
+  auto* tl = (TargetsLoad*)h;
+  std::memcpy(tid, tl->tid.data(), tl->tid.size() * sizeof(int64_t));
+  std::memcpy(start, tl->start.data(),
+              tl->start.size() * sizeof(int64_t));
+  std::memcpy(end, tl->end.data(), tl->end.size() * sizeof(int64_t));
+  std::memcpy(id_off, tl->id_off.data(),
+              tl->id_off.size() * sizeof(int64_t));
+  std::memcpy(ids, tl->ids.data(), tl->ids.size());
+}
+
+void pancov_targets_close(void* h) { delete (TargetsLoad*)h; }
+
 }  // extern "C"
 
 extern "C" {

@@ -178,6 +178,65 @@ class GeneAccumulator:
         self._seg_start.append(start)
         self._seg_end.append(end)
 
+    def add_bulk(self, tid: np.ndarray, ids_s: np.ndarray,
+                 start: np.ndarray, end: np.ndarray) -> None:
+        """Vectorized twin of repeated ``add`` calls over columnar
+        rows (the native GFF/GTF tokenizer's output; ``ids_s`` is a
+        fixed-width 'S<w>' id array): same (tid, gene-id) keyed merge
+        — min start / max end / summed span — with insertion-order
+        gene rows and the first-segment-only GC quirk."""
+        n = int(start.shape[0])
+        if n == 0:
+            return
+        if self._tid:  # already accumulating row-wise: stay row-wise
+            for i in range(n):
+                gid = ids_s[i].decode("utf-8", "surrogateescape")
+                self.add(int(tid[i]), gid, int(start[i]), int(end[i]))
+            return
+        tid = np.asarray(tid, np.int64)
+        start = np.asarray(start, np.int64)
+        end = np.asarray(end, np.int64)
+        # (tid, id) key as one int64: one string unique, the rest int
+        idu, idinv = np.unique(ids_s, return_inverse=True)
+        key = tid * (idu.shape[0] + 1) + idinv
+        _, first_idx, inv = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        order = np.argsort(first_idx, kind="stable")  # insertion order
+        rank = np.empty(order.shape[0], np.int64)
+        rank[order] = np.arange(order.shape[0])
+        row = rank[inv]
+        g = order.shape[0]
+        # per-gene min/max/sum via one stable sort + reduceat
+        ordseg = np.argsort(row, kind="stable")
+        bnd = np.searchsorted(row[ordseg], np.arange(g))
+        gs = np.minimum.reduceat(start[ordseg], bnd)
+        ge = np.maximum.reduceat(end[ordseg], bnd)
+        gl = np.add.reduceat((end - start + 1)[ordseg], bnd)
+        first = first_idx[order]  # input row creating each gene
+        gc = np.zeros(g, np.int64)
+        if self._ref is not None:
+            from pandepth_tpu.io.fasta import gc_count_ranges
+            ftid = tid[first]
+            for t in np.unique(ftid):
+                seq = self._ref.get(int(t))
+                if not seq:
+                    continue
+                sel = ftid == t
+                gc[sel] = gc_count_ranges(seq, start[first][sel],
+                                          end[first][sel])
+        self._tid = tid[first].tolist()
+        self._id = [ids_s[i].decode("utf-8", "surrogateescape")
+                    for i in first]
+        self._start = gs.tolist()
+        self._end = ge.tolist()
+        self._length = gl.tolist()
+        self._gc = gc.tolist()
+        self._seg_gene = row.tolist()
+        self._seg_start = start.tolist()
+        self._seg_end = end.tolist()
+        self._index = {(t, i): r for r, (t, i) in
+                       enumerate(zip(self._tid, self._id))}
+
     def build(self) -> TargetSet:
         return TargetSet(
             mode=self.mode,

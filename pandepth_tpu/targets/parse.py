@@ -81,14 +81,39 @@ def _atoi(s: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _try_native_targets(path: str, feature: str, mode: int,
+                        chr2tid: Dict[str, int],
+                        acc: GeneAccumulator) -> bool:
+    """Native GFF/GTF tokenize (~15x the Python line loop on a
+    175k-segment annotation) feeding the vectorized accumulator."""
+    import os
+    if os.environ.get("PANDEPTH_NO_NATIVE") == "1":
+        return False
+    try:
+        from pandepth_tpu.io.native import (NativeTargetsLoad,
+                                            load_library)
+        if load_library() is None:
+            return False
+        tl = NativeTargetsLoad(path, feature,
+                               1 if mode == MODE_GFF else 2, chr2tid)
+    except (ValueError, RuntimeError, OSError):
+        return False
+    tid, s, e, ids_s = tl.columns()
+    tl.close()
+    acc.add_bulk(tid, ids_s, s, e)
+    return True
+
+
 def parse_targets(path: str, mode: int, chr2tid: Dict[str, int],
                   feature: str = "CDS",
                   ref_bases: Optional[Dict[int, bytes]] = None) -> TargetSet:
     acc = GeneAccumulator(mode, ref_bases)
     if mode == MODE_GFF:
-        _parse_gff(path, feature, chr2tid, acc)
+        if not _try_native_targets(path, feature, mode, chr2tid, acc):
+            _parse_gff(path, feature, chr2tid, acc)
     elif mode == MODE_GTF:
-        _parse_gtf(path, feature, chr2tid, acc)
+        if not _try_native_targets(path, feature, mode, chr2tid, acc):
+            _parse_gtf(path, feature, chr2tid, acc)
     elif mode == MODE_BED3:
         _parse_bed3(path, chr2tid, acc)
     elif mode == MODE_BED4:
