@@ -144,6 +144,24 @@ class GeneAccumulator:
         self._seg_gene: List[int] = []
         self._seg_start: List[int] = []
         self._seg_end: List[int] = []
+        self._arrays: Optional[dict] = None  # add_bulk fast path
+
+    def _materialize(self) -> None:
+        """Spill the add_bulk arrays into the row-wise lists so a
+        subsequent ``add`` can keep merging (rare path)."""
+        a = self._arrays
+        self._arrays = None
+        self._tid = a["gene_tid"].tolist()
+        self._id = a["gene_id"]
+        self._start = a["gene_start"].tolist()
+        self._end = a["gene_end"].tolist()
+        self._length = a["gene_length"].tolist()
+        self._gc = a["gene_gc"].tolist()
+        self._seg_gene = a["seg_gene"].tolist()
+        self._seg_start = a["seg_start"].tolist()
+        self._seg_end = a["seg_end"].tolist()
+        self._index = {(t, i): r for r, (t, i) in
+                       enumerate(zip(self._tid, self._id))}
 
     def _gc_count(self, tid: int, start: int, end: int) -> int:
         if self._ref is None:
@@ -156,6 +174,8 @@ class GeneAccumulator:
             frag.count(b"g") + frag.count(b"c")
 
     def add(self, tid: int, gene_id: str, start: int, end: int) -> None:
+        if self._arrays is not None:
+            self._materialize()
         key = (tid, gene_id)
         row = self._index.get(key)
         if row is None:
@@ -188,7 +208,10 @@ class GeneAccumulator:
         n = int(start.shape[0])
         if n == 0:
             return
-        if self._tid:  # already accumulating row-wise: stay row-wise
+        if self._tid or self._arrays is not None:
+            # already accumulating: stay row-wise
+            if self._arrays is not None:
+                self._materialize()
             for i in range(n):
                 gid = ids_s[i].decode("utf-8", "surrogateescape")
                 self.add(int(tid[i]), gid, int(start[i]), int(end[i]))
@@ -224,20 +247,30 @@ class GeneAccumulator:
                 sel = ftid == t
                 gc[sel] = gc_count_ranges(seq, start[first][sel],
                                           end[first][sel])
-        self._tid = tid[first].tolist()
-        self._id = [ids_s[i].decode("utf-8", "surrogateescape")
-                    for i in first]
-        self._start = gs.tolist()
-        self._end = ge.tolist()
-        self._length = gl.tolist()
-        self._gc = gc.tolist()
-        self._seg_gene = row.tolist()
-        self._seg_start = start.tolist()
-        self._seg_end = end.tolist()
-        self._index = {(t, i): r for r, (t, i) in
-                       enumerate(zip(self._tid, self._id))}
+        self._arrays = {
+            "gene_tid": tid[first],
+            "gene_id": [ids_s[i].decode("utf-8", "surrogateescape")
+                        for i in first],
+            "gene_start": gs, "gene_end": ge, "gene_length": gl,
+            "gene_gc": gc, "seg_gene": row,
+            "seg_start": start, "seg_end": end,
+        }
 
     def build(self) -> TargetSet:
+        if self._arrays is not None:
+            a = self._arrays
+            return TargetSet(
+                mode=self.mode,
+                gene_tid=a["gene_tid"].astype(np.int32),
+                gene_id=list(a["gene_id"]),
+                gene_start=a["gene_start"].astype(np.int64),
+                gene_end=a["gene_end"].astype(np.int64),
+                gene_length=a["gene_length"].astype(np.int64),
+                gene_gc=a["gene_gc"].astype(np.int64),
+                seg_gene=a["seg_gene"].astype(np.int32),
+                seg_start=a["seg_start"].astype(np.int64),
+                seg_end=a["seg_end"].astype(np.int64),
+            )
         return TargetSet(
             mode=self.mode,
             gene_tid=np.asarray(self._tid, np.int32),
