@@ -321,9 +321,10 @@ class NativePafLoad:
 
 
 class NativeTargetsLoad:
-    """One-shot GFF/GTF(.gz) feature-row tokenize to columnar
+    """One-shot GFF/GTF/BED(.gz) target-row tokenize to columnar
     (tid, start1, end1, gene-id) arrays; merge semantics stay in
-    targets/model.py (GeneAccumulator.add_bulk)."""
+    targets/model.py (GeneAccumulator.add_bulk). ``mode`` uses the
+    config.MODE_* codes (1 GFF, 2 GTF, 3 BED3, 4 BED4)."""
 
     def __init__(self, path: str, feature: str, mode: int,
                  chr2tid: dict):

@@ -2211,13 +2211,27 @@ struct TargetsLoad {
   std::string ids;
 };
 
+// full-token integer (targets/parse.py _is_int: [+-]?\d+$)
+static bool tok_is_int(const char* s, size_t l) {
+  size_t i = 0;
+  if (i < l && (s[i] == '+' || s[i] == '-')) i++;
+  if (i >= l) return false;
+  for (; i < l; i++)
+    if (s[i] < '0' || s[i] > '9') return false;
+  return true;
+}
+
 // names_blob: '\0'-joined names; tids[i] gives the tid of name i
 // (the Python chr2tid dict, which need not be dense). mode: 1 = GFF
 // (id = first attribute's value, overridden by a Parent= attribute;
 // attributes split on , or ; dropping empties; value = text after the
 // LAST '='), 2 = GTF (strip '"' and ';', split on space/tab, id =
-// token 10 — reference quirk Q3). Unknown chroms print the
-// reference-matching warning and drop.
+// token 10 — reference quirk Q3), 3 = BED3 (id = Chr_Start_End from
+// the ORIGINAL string columns; short rows inherit the previous row's
+// start/end strings — the reference declares them outside the loop,
+// src/PanDepth.cpp:3742-3744), 4 = BED4 (id = column 4, inherited
+// when missing; non-integer start/end read as 0). Unknown chroms and
+// start > end rows print the reference-matching warning and drop.
 void* pancov_targets_load(const char* path, const char* feature,
                           int mode, const char* names_blob,
                           int64_t names_len, int64_t n_names,
@@ -2256,6 +2270,7 @@ void* pancov_targets_load(const char* path, const char* feature,
   auto* tl = new TargetsLoad();
   tl->id_off.push_back(0);
   std::string clean;  // GTF scratch
+  std::string bed_start_s, bed_end_s, bed_id;  // cross-row BED state
   const char* p = (const char*)text.data();
   const char* end = p + text.size();
   while (p < end) {
@@ -2332,6 +2347,58 @@ void* pancov_targets_load(const char* path, const char* feature,
         }
       }
       if (first) {  // no attributes at all
+        p = next;
+        continue;
+      }
+    } else if (mode >= 3) {  // BED3 / BED4: split on any whitespace
+      const char* q = p;
+      while (q < le && nf < 16) {
+        while (q < le && (*q == ' ' || *q == '\t' || *q == '\r' ||
+                          *q == '\v' || *q == '\f'))
+          q++;
+        const char* t = q;
+        while (q < le && !(*q == ' ' || *q == '\t' || *q == '\r' ||
+                           *q == '\v' || *q == '\f'))
+          q++;
+        if (q > t) {
+          f[nf] = t;
+          fl[nf] = q - t;
+          nf++;
+        }
+      }
+      if (nf == 0) {
+        p = next;
+        continue;
+      }
+      chrom = f[0];
+      chroml = fl[0];
+      if (mode == 3) {
+        if (nf > 1) bed_start_s.assign(f[1], fl[1]);
+        if (nf > 2) bed_end_s.assign(f[2], fl[2]);
+        clean.assign(chrom, chroml);  // id scratch: Chr_Start_End
+        clean += '_';
+        clean += bed_start_s;
+        clean += '_';
+        clean += bed_end_s;
+        idp = clean.data();
+        idl = clean.size();
+        s1 = atoll(bed_start_s.c_str());
+        e1 = atoll(bed_end_s.c_str());
+      } else {
+        s1 = (nf > 1 && tok_is_int(f[1], fl[1]))
+                 ? atoll(std::string(f[1], fl[1]).c_str())
+                 : 0;
+        e1 = (nf > 2 && tok_is_int(f[2], fl[2]))
+                 ? atoll(std::string(f[2], fl[2]).c_str())
+                 : 0;
+        if (nf > 3) bed_id.assign(f[3], fl[3]);
+        idp = bed_id.data();
+        idl = bed_id.size();
+      }
+      if (s1 > e1) {
+        std::fprintf(stderr,
+                     "%.*sWarning: This region may be incorrect.\n\n",
+                     (int)(le - p), p);
         p = next;
         continue;
       }

@@ -61,33 +61,27 @@ class TargetSet:
         Returns (per_tid_offsets[n+1], starts1, ends1) int64 arrays.
         """
         off = np.zeros(n_targets + 1, np.int64)
-        starts_out: list = []
-        ends_out: list = []
-        for tid in range(n_targets):
-            sel = self.gene_tid == tid
-            cnt = 0
-            if sel.any():
-                s = np.asarray(self.gene_start[sel])
-                e = np.asarray(self.gene_end[sel])
-                order = np.argsort(s, kind="stable")
-                cur_s = cur_e = None
-                for i in order:
-                    si, ei = int(s[i]), int(e[i])
-                    if cur_s is None or si > cur_e:
-                        if cur_s is not None:
-                            starts_out.append(cur_s)
-                            ends_out.append(cur_e)
-                            cnt += 1
-                        cur_s, cur_e = si, ei
-                    elif ei > cur_e:
-                        cur_e = ei
-                if cur_s is not None:
-                    starts_out.append(cur_s)
-                    ends_out.append(cur_e)
-                    cnt += 1
-            off[tid + 1] = off[tid] + cnt
-        return (off, np.asarray(starts_out, np.int64),
-                np.asarray(ends_out, np.int64))
+        tid = np.asarray(self.gene_tid, np.int64)
+        s = np.asarray(self.gene_start, np.int64)
+        e = np.asarray(self.gene_end, np.int64)
+        if tid.shape[0] == 0:
+            return off, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # fold (tid, pos) into one sortable key; the +m shift keeps
+        # negative starts (BED atoi quirk) inside their tid's band
+        m = np.int64(max(int(np.abs(s).max()), int(np.abs(e).max())) + 2)
+        ks = tid * (2 * m) + s + m
+        ke = tid * (2 * m) + e + m
+        order = np.argsort(ks, kind="stable")
+        ks, ke = ks[order], ke[order]
+        run_max = np.maximum.accumulate(ke)
+        new = np.ones(ks.shape[0], bool)
+        new[1:] = ks[1:] > run_max[:-1]
+        grp = np.flatnonzero(new)
+        ms = ks[grp]
+        me = np.maximum.reduceat(ke, grp)
+        mt = ms // (2 * m)
+        off[1:] = np.cumsum(np.bincount(mt, minlength=n_targets))
+        return (off, ms - mt * (2 * m) - m, me - mt * (2 * m) - m)
 
     def fetch_windows(self, lengths: np.ndarray):
         """The indexed paths' htslib fetch windows: merged gene spans
@@ -100,22 +94,14 @@ class TargetSet:
         """
         n_t = len(lengths)
         m_off, m_s, m_e = self.merged_spans(n_t)
+        tid = np.repeat(np.arange(n_t, dtype=np.int64),
+                        np.diff(m_off))
+        b0 = np.maximum(m_s - 1, 1) - 1
+        e0 = np.minimum(m_e + 1, np.asarray(lengths, np.int64)[tid])
+        keep = e0 > b0
         off = np.zeros(n_t + 1, np.int64)
-        starts_out: list = []
-        ends_out: list = []
-        for tid in range(n_t):
-            cnt = 0
-            clen = int(lengths[tid])
-            for k in range(int(m_off[tid]), int(m_off[tid + 1])):
-                b0 = max(int(m_s[k]) - 1, 1) - 1
-                e0 = min(int(m_e[k]) + 1, clen)
-                if e0 > b0:
-                    starts_out.append(b0)
-                    ends_out.append(e0)
-                    cnt += 1
-            off[tid + 1] = off[tid] + cnt
-        return (off, np.asarray(starts_out, np.int64),
-                np.asarray(ends_out, np.int64))
+        off[1:] = np.cumsum(np.bincount(tid[keep], minlength=n_t))
+        return off, b0[keep], e0[keep]
 
 
 class GeneAccumulator:

@@ -84,8 +84,9 @@ def _atoi(s: str) -> int:
 def _try_native_targets(path: str, feature: str, mode: int,
                         chr2tid: Dict[str, int],
                         acc: GeneAccumulator) -> bool:
-    """Native GFF/GTF tokenize (~15x the Python line loop on a
-    175k-segment annotation) feeding the vectorized accumulator."""
+    """Native GFF/GTF/BED tokenize (~15x the Python line loop on a
+    175k-segment annotation) feeding the vectorized accumulator.
+    The MODE_* constants match the native mode codes directly."""
     import os
     if os.environ.get("PANDEPTH_NO_NATIVE") == "1":
         return False
@@ -94,8 +95,7 @@ def _try_native_targets(path: str, feature: str, mode: int,
                                             load_library)
         if load_library() is None:
             return False
-        tl = NativeTargetsLoad(path, feature,
-                               1 if mode == MODE_GFF else 2, chr2tid)
+        tl = NativeTargetsLoad(path, feature, mode, chr2tid)
     except (ValueError, RuntimeError, OSError):
         return False
     tid, s, e, ids_s = tl.columns()
@@ -115,9 +115,11 @@ def parse_targets(path: str, mode: int, chr2tid: Dict[str, int],
         if not _try_native_targets(path, feature, mode, chr2tid, acc):
             _parse_gtf(path, feature, chr2tid, acc)
     elif mode == MODE_BED3:
-        _parse_bed3(path, chr2tid, acc)
+        if not _try_native_targets(path, feature, mode, chr2tid, acc):
+            _parse_bed3(path, chr2tid, acc)
     elif mode == MODE_BED4:
-        _parse_bed4(path, chr2tid, acc)
+        if not _try_native_targets(path, feature, mode, chr2tid, acc):
+            _parse_bed4(path, chr2tid, acc)
     else:
         raise ValueError(f"parse_targets: bad mode {mode}")
     return acc.build()

@@ -7,8 +7,10 @@ import os
 import numpy as np
 import pytest
 
-from pandepth_tpu.config import MODE_GFF, MODE_GTF
-from pandepth_tpu.targets.parse import (_parse_gff, _parse_gtf,
+from pandepth_tpu.config import (MODE_BED3, MODE_BED4, MODE_GFF,
+                                 MODE_GTF)
+from pandepth_tpu.targets.parse import (_parse_bed3, _parse_bed4,
+                                        _parse_gff, _parse_gtf,
                                         _try_native_targets,
                                         parse_targets)
 from pandepth_tpu.targets.model import GeneAccumulator
@@ -106,6 +108,68 @@ def test_parse_targets_dispatches_native(tmp_path, monkeypatch):
     monkeypatch.setenv("PANDEPTH_NO_NATIVE", "1")
     ts_python = parse_targets(path, MODE_GFF, CHR2TID)
     _assert_equal_sets(ts_native, ts_python)
+
+
+BED3_LINES = [
+    "# header",
+    "chr1\t100\t200",
+    "chr1\t150\t400",
+    "chr2\t50",              # short row: inherits end_s "400"
+    "chr2",                  # inherits start_s "50" and end_s "400"
+    "chr1\t500\t300",        # start > end: warn + drop
+    "chrNOPE\t1\t9",         # unknown chrom: warn + drop
+    "chr2\t7x\t9y",          # atoi prefixes: 7..9
+    "weird.name\t5\t6",
+    "   ",                   # whitespace-only row
+]
+
+BED4_LINES = [
+    "chr1\t100\t200\tr1",
+    "chr1\t300\t400",        # short: inherits id "r1" (merges)
+    "chr2\t10\t20\tr2",
+    "chr2\tzz\t20\tr3",      # non-int start -> 0
+    "chr2\t30\tzz\tr4",      # non-int end -> 0: start > end, drop
+    "chrNOPE\t1\t2\tr5",
+    "weird.name\t1",         # start 1, end 0 -> drop (warn)
+]
+
+
+@pytest.mark.parametrize("mode,lines,pyfn", [
+    (MODE_BED3, BED3_LINES, _parse_bed3),
+    (MODE_BED4, BED4_LINES, _parse_bed4),
+])
+def test_bed_native_matches_python(tmp_path, mode, lines, pyfn, capfd):
+    path = str(tmp_path / "t.bed")
+    _write(path, lines)
+    acc_n = GeneAccumulator(mode)
+    assert _try_native_targets(path, "CDS", mode, CHR2TID, acc_n)
+    n_warn = capfd.readouterr().err.count("Warning")
+    acc_p = GeneAccumulator(mode)
+    pyfn(path, CHR2TID, acc_p)
+    assert capfd.readouterr().err.count("Warning") == n_warn
+    _assert_equal_sets(acc_n.build(), acc_p.build())
+
+
+def test_random_fuzz_bed(tmp_path):
+    rng = np.random.RandomState(11)
+    names = list(CHR2TID)
+    for mode, pyfn in ((MODE_BED3, _parse_bed3),
+                       (MODE_BED4, _parse_bed4)):
+        lines = []
+        for _ in range(300):
+            c = names[rng.randint(0, 3)] if rng.rand() < 0.9 else "cZ"
+            s = int(rng.randint(0, 1000))
+            e = s + int(rng.randint(-50, 500))
+            row = [c, str(s), str(e), f"id{rng.randint(0, 30)}"]
+            ncols = rng.choice([1, 2, 3, 4, 4, 4])
+            lines.append("\t".join(row[:ncols]))
+        path = str(tmp_path / f"f{mode}.bed")
+        _write(path, lines)
+        acc_n = GeneAccumulator(mode)
+        assert _try_native_targets(path, "CDS", mode, CHR2TID, acc_n)
+        acc_p = GeneAccumulator(mode)
+        pyfn(path, CHR2TID, acc_p)
+        _assert_equal_sets(acc_n.build(), acc_p.build())
 
 
 def test_random_fuzz_gff(tmp_path):

@@ -116,3 +116,61 @@ def test_small_window_tiling_drops_last_base_quirk():
     assert tw.tolist() == [[1, 2], [3, 4]]
     tw = small_window_tiling(6, 2)
     assert tw.tolist() == [[1, 2], [3, 4], [5, 6]]
+
+
+def test_merged_spans_fuzz_vs_scalar_oracle():
+    """Vectorized merged_spans/fetch_windows vs a straightforward
+    per-tid scalar merge on random (incl. negative-start) spans."""
+    import numpy as np
+    from pandepth_tpu.targets.model import TargetSet
+    from pandepth_tpu.config import MODE_BED3
+
+    rng = np.random.RandomState(3)
+    for trial in range(60):
+        n_t = int(rng.randint(1, 6))
+        n = int(rng.randint(0, 80))
+        tid = rng.randint(0, n_t, n).astype(np.int32)
+        s = rng.randint(-20, 400, n).astype(np.int64)
+        e = s + rng.randint(0, 120, n).astype(np.int64)
+        ts = TargetSet(mode=MODE_BED3, gene_tid=tid, gene_id=None,
+                       gene_start=s, gene_end=e,
+                       gene_length=e - s + 1,
+                       gene_gc=np.zeros(n, np.int64),
+                       seg_gene=np.arange(n, dtype=np.int32),
+                       seg_start=s, seg_end=e)
+        off, ms, me = ts.merged_spans(n_t)
+        # scalar oracle
+        o_off = [0]
+        o_s, o_e = [], []
+        for t in range(n_t):
+            sel = np.flatnonzero(tid == t)
+            order = sel[np.argsort(s[sel], kind="stable")]
+            cur = None
+            for i in order:
+                if cur is None or s[i] > cur[1]:
+                    if cur is not None:
+                        o_s.append(cur[0]); o_e.append(cur[1])
+                    cur = [int(s[i]), int(e[i])]
+                elif e[i] > cur[1]:
+                    cur[1] = int(e[i])
+            if cur is not None:
+                o_s.append(cur[0]); o_e.append(cur[1])
+            o_off.append(len(o_s))
+        assert np.array_equal(off, np.asarray(o_off)), trial
+        assert np.array_equal(ms, np.asarray(o_s, np.int64)), trial
+        assert np.array_equal(me, np.asarray(o_e, np.int64)), trial
+
+        lengths = rng.randint(50, 500, n_t).astype(np.int64)
+        w_off, b0, e0 = ts.fetch_windows(lengths)
+        ob0, oe0, ow = [], [], [0]
+        for t in range(n_t):
+            c = 0
+            for k in range(o_off[t], o_off[t + 1]):
+                b = max(o_s[k] - 1, 1) - 1
+                ee = min(o_e[k] + 1, int(lengths[t]))
+                if ee > b:
+                    ob0.append(b); oe0.append(ee); c += 1
+            ow.append(ow[-1] + c)
+        assert np.array_equal(w_off, np.asarray(ow)), trial
+        assert np.array_equal(b0, np.asarray(ob0, np.int64)), trial
+        assert np.array_equal(e0, np.asarray(oe0, np.int64)), trial
