@@ -144,6 +144,37 @@ def main():
             results[f"ref_{mode}_reads_per_s"] = round(N_READS / w2, 1)
             results[f"vs_baseline_{mode}"] = round(w2 / w, 3)
 
+    # serve mode: the multi-sample cost model (one resident warm
+    # process; the reference's own protocol reruns the binary 10x per
+    # config, reference/README.md:128-131). Same outputs, no per-run
+    # start-up tax.
+    os.environ["PANDEPTH_DAEMON"] = "1"
+    os.environ["PANDEPTH_DAEMON_REQUIRE"] = "1"
+    os.environ.setdefault("PANDEPTH_DAEMON_SOCK",
+                          os.path.join(BENCH_DIR, "bench.sock"))
+    try:
+        for mode, extra in (("chr", []), ("gene", ["-g", gff])):
+            run_child(ours_argv(bam, out + "o", extra))  # warm daemon
+            w, _ = best(lambda: run_child(ours_argv(bam, out + "o",
+                                                    extra)), 3)
+            results[f"ours_{mode}_daemon_wall_s"] = round(w, 3)
+            results[f"ours_{mode}_daemon_reads_per_s"] = round(
+                N_READS / w, 1)
+            if f"ref_{mode}_wall_s" in results:
+                results[f"vs_baseline_{mode}_daemon"] = round(
+                    results[f"ref_{mode}_wall_s"] / w, 3)
+        from pandepth_tpu.serve import _request, sock_path
+        st = _request(sock_path(), {"cmd": "stat"})
+        if "rss_mb" in st:
+            results["daemon_rss_mb"] = st["rss_mb"]
+    except Exception as e:
+        results["daemon_error"] = str(e)[:200]
+    finally:
+        from pandepth_tpu.serve import stop_daemon
+        stop_daemon()
+        os.environ.pop("PANDEPTH_DAEMON", None)
+        os.environ.pop("PANDEPTH_DAEMON_REQUIRE", None)
+
     # byte parity of the tables produced above
     import gzip
     for mode, suffix in (("chr", ".chr.stat.gz"),

@@ -125,12 +125,28 @@ def init_started() -> bool:
 
 def main(argv=None) -> int:
     """Launcher entry (the ``pandepth`` script): restore site cheaply,
-    kick jax init into the background, run the CLI."""
+    kick jax init into the background, run the CLI. ``--serve`` /
+    ``--daemon-stop`` and ``PANDEPTH_DAEMON=1`` route through the
+    resident serve mode (pandepth_tpu/serve.py) instead."""
     restore_site()
+    args = list(sys.argv[1:] if argv is None else argv)
+    if "--serve" in args:
+        from pandepth_tpu.serve import serve_foreground
+
+        return serve_foreground()
+    if "--daemon-stop" in args:
+        from pandepth_tpu.serve import stop_daemon
+
+        return stop_daemon()
+    if os.environ.get("PANDEPTH_DAEMON") == "1":
+        # no background() here: the daemon must fork before any jax
+        # thread exists, and the client itself never needs jax
+        from pandepth_tpu.serve import client_main
+
+        return client_main(args)
     background()
     from pandepth_tpu.cli import main as cli_main
 
     # cli.main's argv convention is the reference binary's: a full
     # argv whose [0] is the program name (src/PanDepth.cpp:84)
-    return cli_main(["pandepth"] + (sys.argv[1:] if argv is None
-                                    else list(argv)))
+    return cli_main(["pandepth"] + args)

@@ -1,0 +1,296 @@
+"""Resident serve mode: a warm pandepth process answering CLI runs.
+
+The reference pandepth is a compiled binary with zero start-up tax; a
+Python + jax process pays seconds of import/plugin/jit-cache
+initialization per invocation — a fixed loss on every sample of a
+multi-sample campaign (the reference's own benchmark protocol runs
+the tool 10x per configuration, reference/README.md:128-131).
+
+Serve mode removes that loss the way production services do: one
+resident process keeps jax, the native library, and the jit caches
+warm; each ``pandepth`` invocation becomes a microsecond-scale unix
+socket round-trip that ships ``argv`` + the caller's
+stdin/stdout/stderr file descriptors (SCM_RIGHTS) to the daemon,
+which runs the normal CLI ``main`` under the caller's cwd and streams
+output to the caller's own terminal/pipes. Observable behavior
+(tables, stdout/stderr bytes, exit codes) is identical to a direct
+run — only the start-up tax is gone.
+
+Surface:
+
+* ``pandepth --serve``        run a server in the foreground
+* ``PANDEPTH_DAEMON=1 pandepth ...``  run via the daemon, spawning it
+  on first use (double-fork detached; idle-exit after
+  ``PANDEPTH_DAEMON_IDLE_S``, default 900 s)
+* ``pandepth --daemon-stop``  terminate the daemon
+* ``PANDEPTH_DAEMON_SOCK``    socket path override
+
+Staleness safety: the handshake carries a token derived from the
+package source mtimes; a daemon built from older sources answers
+``stale`` and exits, and the client respawns — an edited tree never
+silently serves old code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import sys
+import threading
+
+_REQ_LIMIT = 1 << 20
+
+
+def sock_path() -> str:
+    return os.environ.get(
+        "PANDEPTH_DAEMON_SOCK",
+        os.path.join("/tmp", f"pandepth-daemon-{os.getuid()}.sock"))
+
+
+def code_token() -> str:
+    """Cheap package-version fingerprint: newest mtime among the
+    package's top-level sources (covers the compiled-in native lib
+    too, whose rebuild touches its directory)."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    newest = 0.0
+    for root, dirs, files in os.walk(pkg):
+        if "_build" in root or "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith((".py", ".cpp")):
+                try:
+                    m = os.stat(os.path.join(root, f)).st_mtime
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+    return f"{newest:.6f}"
+
+
+def _recv_request(conn):
+    """One request: (json dict, [fds])."""
+    msg, fds, _flags, _addr = socket.recv_fds(conn, _REQ_LIMIT, 3)
+    if not msg:
+        return None, []
+    return json.loads(msg.decode()), list(fds)
+
+
+class _Server:
+    def __init__(self, path: str):
+        self.path = path
+        self.token = code_token()
+        self.lock = threading.Lock()
+        self.stop = False
+
+    def _run_one(self, req, fds):
+        """Execute one CLI request under the caller's cwd/fds; returns
+        the reply dict. PANDEPTH_* env vars from the caller are applied
+        for the duration (they are read at run time, not import time)."""
+        from pandepth_tpu.cli import main as cli_main
+
+        saved_fds = [os.dup(i) for i in range(3)]
+        saved_cwd = os.getcwd()
+        saved_env = {}
+        rc = 1
+        try:
+            for i, fd in enumerate(fds[:3]):
+                os.dup2(fd, i)
+            for k, v in (req.get("env") or {}).items():
+                if k.startswith(("PANDEPTH_",)):
+                    saved_env[k] = os.environ.get(k)
+                    os.environ[k] = v
+            os.chdir(req.get("cwd") or "/")
+            try:
+                rc = int(cli_main(["pandepth"] + list(req["argv"])))
+            except SystemExit as e:
+                rc = int(e.code or 0)
+            except BaseException as e:  # never kill the daemon
+                print(f"Error: {e}", file=sys.stderr)
+                rc = 1
+        finally:
+            try:
+                sys.stdout.flush()
+                sys.stderr.flush()
+            except OSError:
+                pass
+            os.chdir(saved_cwd)
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            for i, fd in enumerate(saved_fds):
+                os.dup2(fd, i)
+                os.close(fd)
+            for fd in fds:
+                os.close(fd)
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        return {"rc": rc, "rss_mb": round(rss, 1)}
+
+    def serve(self, idle_s: float, ready_fd: int = -1) -> int:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(self.path)
+        os.chmod(self.path, 0o600)
+        srv.listen(16)
+        srv.settimeout(idle_s)
+        if ready_fd >= 0:  # spawner handshake
+            os.write(ready_fd, b"R")
+            os.close(ready_fd)
+        # warm the heavy imports before the first request lands
+        from pandepth_tpu import boot
+
+        boot.background()
+        try:
+            while not self.stop:
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    break  # idle: exit and free the TPU/socket
+                with conn:
+                    try:
+                        req, fds = _recv_request(conn)
+                    except (OSError, ValueError):
+                        continue
+                    if req is None:
+                        continue
+                    if req.get("cmd") == "stop":
+                        conn.sendall(b'{"rc": 0}')
+                        break
+                    if req.get("cmd") == "stat":
+                        import resource
+
+                        rss = resource.getrusage(
+                            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+                        conn.sendall(json.dumps(
+                            {"rc": 0, "rss_mb": round(rss, 1)}).encode())
+                        continue
+                    if req.get("cmd") == "ping":
+                        ok = req.get("token") == self.token
+                        conn.sendall(json.dumps(
+                            {"rc": 0 if ok else 1}).encode())
+                        if not ok:
+                            break
+                        continue
+                    if req.get("token") != self.token:
+                        conn.sendall(b'{"error": "stale"}')
+                        for fd in fds:
+                            os.close(fd)
+                        break  # exit so the client respawns fresh code
+                    with self.lock:
+                        reply = self._run_one(req, fds)
+                    try:
+                        conn.sendall(json.dumps(reply).encode())
+                    except OSError:
+                        pass
+        finally:
+            srv.close()
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+        return 0
+
+
+def serve_foreground() -> int:
+    idle = float(os.environ.get("PANDEPTH_DAEMON_IDLE_S", "900"))
+    return _Server(sock_path()).serve(idle)
+
+
+def _spawn_daemon() -> bool:
+    """Detached daemon via double fork; True once its socket is
+    listening (the grandchild signals readiness over a pipe *after*
+    bind+listen, so a racing client can't connect into the void)."""
+    rfd, wfd = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child
+        try:
+            os.close(rfd)
+            os.setsid()
+            pid2 = os.fork()
+            if pid2 > 0:
+                os._exit(0)
+            devnull = os.open(os.devnull, os.O_RDWR)
+            for i in range(3):
+                os.dup2(devnull, i)
+            os.close(devnull)
+            idle = float(os.environ.get("PANDEPTH_DAEMON_IDLE_S",
+                                        "900"))
+            _Server(sock_path()).serve(idle, ready_fd=wfd)
+        finally:
+            os._exit(0)
+    os.close(wfd)
+    os.waitpid(pid, 0)  # reap the intermediate child
+    try:
+        ready = os.read(rfd, 1) == b"R"
+    finally:
+        os.close(rfd)
+    return ready
+
+
+def _request(path: str, payload: dict, fds=()) -> dict:
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        conn.connect(path)
+        msg = json.dumps(payload).encode()
+        if fds:
+            socket.send_fds(conn, [msg], list(fds))
+        else:
+            conn.sendall(msg)
+        conn.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            part = conn.recv(65536)
+            if not part:
+                break
+            buf += part
+        return json.loads(buf.decode()) if buf else {"error": "closed"}
+    finally:
+        conn.close()
+
+
+def stop_daemon() -> int:
+    try:
+        _request(sock_path(), {"cmd": "stop"})
+    except OSError:
+        pass
+    return 0
+
+
+def client_main(argv) -> int:
+    """Run one CLI invocation through the daemon, spawning it when
+    absent or stale. Falls back to in-process on spawn failure."""
+    path = sock_path()
+    payload = {
+        "argv": list(argv),
+        "cwd": os.getcwd(),
+        "token": code_token(),
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith("PANDEPTH_") and k != "PANDEPTH_DAEMON"},
+    }
+    for attempt in range(2):
+        try:
+            reply = _request(path, payload,
+                             fds=[0, sys.stdout.fileno(),
+                                  sys.stderr.fileno()])
+            if "rc" in reply:
+                return int(reply["rc"])
+        except OSError:
+            pass
+        if attempt == 0 and not _spawn_daemon():
+            break
+    if os.environ.get("PANDEPTH_DAEMON_REQUIRE") == "1":
+        # benches/tests: a silent in-process fallback would fake the
+        # daemon's latency numbers — fail loudly instead
+        print("Error: pandepth daemon unavailable", file=sys.stderr)
+        return 1
+    # daemon unavailable: run directly (never fail the user's job)
+    from pandepth_tpu.cli import main as cli_main
+
+    return cli_main(["pandepth"] + list(argv))

@@ -6,6 +6,13 @@ import shutil
 import subprocess
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# small encoded-window buffers: test fixtures are hundreds of reads,
+# and the production 2^19-pair windows make every CPU run sort ~99.9%
+# padding (~5 s per CLI run, ~0.15 s with these). The encoding logic
+# is cap-independent; tests that exercise capacity behavior set their
+# own values (setdefault keeps them in charge).
+os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 14))
+os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 11))
 # keep CPU-compiled artifacts apart from the axon/TPU remote-compiled
 # ones (their machine-feature signatures differ)
 os.environ.setdefault(
