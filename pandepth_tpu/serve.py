@@ -69,11 +69,19 @@ def code_token() -> str:
 
 
 def _recv_request(conn):
-    """One request: (json dict, [fds])."""
+    """One request: (json dict, [fds]). The client half-closes after
+    sending, so read to EOF — a stream socket may split the JSON
+    across recvs (the SCM_RIGHTS fds ride the first chunk)."""
     msg, fds, _flags, _addr = socket.recv_fds(conn, _REQ_LIMIT, 3)
     if not msg:
         return None, []
-    return json.loads(msg.decode()), list(fds)
+    buf = bytearray(msg)
+    while len(buf) < _REQ_LIMIT:
+        part = conn.recv(65536)
+        if not part:
+            break
+        buf += part
+    return json.loads(bytes(buf).decode()), list(fds)
 
 
 class _Server:
