@@ -10,7 +10,13 @@ pseudo-genes (src/PanDepth.cpp:3975-4051):
 
 The tiling loop starts with ``End = 2`` and tests ``End <= len`` before
 each iteration, so contigs of length < 2 get NO regions at all and are
-absent from every output table — replicated here.
+absent from every output table — replicated here. The same check runs
+against the PREVIOUS window's ``End + 2``, which drops a final window
+of exactly 1 base (a window starts at position s only when s < len):
+a contig with ``(len - 1) % bin == 0`` loses its last base from every
+chr/win table and fetch region — also replicated (found by
+differential fuzzing; the reference behaves this way in all four
+engines, src/PanDepth.cpp:4000-4044, :2555-2608, :1380-1441).
 """
 
 from __future__ import annotations
@@ -50,7 +56,9 @@ def synthesize_default_targets(
         clen = int(lengths[tid])
         if clen < 2:
             continue
-        s = np.arange(1, clen + 1, bin_w, dtype=np.int64)
+        # arange end = clen (strict): a window never STARTS at the
+        # last base — the reference's 1-base final-window drop
+        s = np.arange(1, clen, bin_w, dtype=np.int64)
         e = np.minimum(s + bin_w - 1, clen)
         tids.append(np.full(s.shape[0], tid, np.int32))
         starts.append(s)

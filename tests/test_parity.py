@@ -260,3 +260,34 @@ def test_multi_file_list(tmp_path, oracle_bin):
                    capture_output=True)
     run_ours(tmp, ["-i", lst, "-o", our_out])
     compare_outputs(tmp, "ref", "ours")
+
+
+@pytest.mark.parametrize("win", [0, 1000, 100])
+def test_one_base_final_window_drop(tmp_path, oracle_bin, win):
+    """A contig with (len - 1) % bin == 0 loses its final 1-base
+    window in the reference's synthesis loop (the End+2 check,
+    src/PanDepth.cpp:4000-4044) — in every mode that tiles contigs
+    (chr uses 10 Mb bins, so only w-mode boundaries are practical to
+    hit here) and in both single- and multi-file engines. Found by
+    differential fuzzing (seed 3035)."""
+    tmp = str(tmp_path)
+    contigs = [("cA", 5001), ("cB", 4000), ("cC", 2001)]
+    bam = os.path.join(tmp, "b.bam")
+    # end_slack: >100 bp contig overhang is documented reference UB in
+    # multi-file mode (heap writes land in the NEXT contig's array)
+    make_bam(bam, contigs=contigs, n=600, seed=35, end_slack=60)
+    extra = ["-w", str(win)] if win else []
+    _both(tmp, oracle_bin, extra, bam=bam)
+
+    # multi-file engine: same drop through the .list path
+    bam2 = os.path.join(tmp, "b2.bam")
+    make_bam(bam2, contigs=contigs, n=400, seed=36, end_slack=60)
+    lst = os.path.join(tmp, "in.list")
+    with open(lst, "w") as fh:
+        fh.write(bam + "\n" + bam2 + "\n")
+    ref_out = os.path.join(tmp, "refL")
+    our_out = os.path.join(tmp, "oursL")
+    subprocess.run([oracle_bin, "-i", lst, "-o", ref_out] + extra,
+                   check=True, capture_output=True)
+    run_ours(tmp, ["-i", lst, "-o", our_out] + extra)
+    compare_outputs(tmp, "refL", "oursL")
