@@ -88,7 +88,17 @@ def _gen_case(tmp: str, seed: int):
     gc_risky = False
     mode = rng.choice(["chr", "win", "bed", "gff", "gtf"])
     if mode == "win":
-        args += ["-w", str(rng.choice([1, 7, 50, 149, 150, 500, 20000]))]
+        w = rng.choice([1, 7, 50, 149, 150, 500, 20000])
+        if rng.random() < 0.3:
+            # make (len - 1) % w == 0 likely: the reference drops the
+            # final 1-base window then (End+2 loop quirk, see
+            # targets/windows.py) — keep that boundary hot in the fuzz
+            t = rng.randrange(len(contigs))
+            for k in (2, 3, 4, 5):
+                if (lengths[t] - 1) % k == 0 and (lengths[t] - 1) // k >= 150:
+                    w = (lengths[t] - 1) // k
+                    break
+        args += ["-w", str(w)]
     elif mode == "bed":
         bed = os.path.join(tmp, f"f{seed}.bed")
         with open(bed, "w") as fh:
