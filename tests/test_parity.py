@@ -291,3 +291,16 @@ def test_one_base_final_window_drop(tmp_path, oracle_bin, win):
                    check=True, capture_output=True)
     run_ours(tmp, ["-i", lst, "-o", our_out] + extra)
     compare_outputs(tmp, "refL", "oursL")
+
+
+def test_chr_mode_10mb_boundary_contig(tmp_path, oracle_bin):
+    """Chr mode tiles with 10 Mb bins, so a 10,000,001-length contig
+    hits the same 1-base final-window drop: the reference prints
+    Length 10000000 for it (the last base never gets a region)."""
+    tmp = str(tmp_path)
+    contigs = [("big", 10_000_001), ("cB", 4000)]
+    bam = os.path.join(tmp, "c.bam")
+    make_bam(bam, contigs=contigs, n=300, seed=40, end_slack=60)
+    _both(tmp, oracle_bin, [], bam=bam)
+    ref = gunzip_bytes(os.path.join(tmp, "ref.chr.stat.gz"))
+    assert b"big\t10000000\t" in ref  # the quirk itself, pinned
