@@ -29,8 +29,11 @@ def ensure_fixture():
     os.makedirs(BENCH_DIR, exist_ok=True)
     bam = os.path.join(BENCH_DIR, f"bench3gb_{N_READS}.bam")
     gff = os.path.join(BENCH_DIR, "bench3gb_genes.gff")
+    bed = os.path.join(BENCH_DIR, "bench3gb_regions.bed")
+    if not os.path.exists(bed) and os.path.exists(gff):
+        _write_bed_from_gff(gff, bed)
     if os.path.exists(bam) and os.path.exists(gff):
-        return bam, gff
+        return bam, gff, bed
     sys.stderr.write(f"bench3gb: generating {N_READS}-read / 3 Gb "
                      f"fixture...\n")
     import numpy as np
@@ -71,7 +74,21 @@ def ensure_fixture():
                              f"\t.\tParent={gid}\n")
                 g += 1
     os.replace(gff + ".tmp", gff)
-    return bam, gff
+    _write_bed_from_gff(gff, bed)
+    return bam, gff, bed
+
+
+def _write_bed_from_gff(gff: str, bed: str) -> None:
+    """BED4 regions from the CDS rows of the gene fixture (same ~175k
+    segments, exercising the .bed table shape / RegionID path)."""
+    with open(gff) as fh, open(bed + ".tmp", "w") as out:
+        k = 0
+        for line in fh:
+            f = line.split("\t")
+            if len(f) > 4 and f[2] == "CDS":
+                out.write(f"{f[0]}\t{int(f[3]) - 1}\t{f[4]}\tr{k}\n")
+                k += 1
+    os.replace(bed + ".tmp", bed)
 
 
 def ensure_reference():
@@ -120,14 +137,18 @@ def best(fn, n):
 
 
 def main():
-    bam, gff = ensure_fixture()
+    bam, gff, bed = ensure_fixture()
     ref = ensure_reference()
     out = os.path.join(BENCH_DIR, "b3g")
     results = {"n_reads": N_READS, "genome_bp": N_CONTIGS * CONTIG_LEN,
                "gene_segments": N_GENES * SEGS_PER_GENE,
                "host_cores": os.cpu_count()}
 
-    for mode, extra in (("chr", []), ("gene", ["-g", gff])):
+    # all four table shapes of the BASELINE parity configs: chr, gene
+    # (GFF CDS), bed (BED4), win (mode 5 tiling)
+    configs = (("chr", []), ("gene", ["-g", gff]),
+               ("bed", ["-b", bed]), ("win", ["-w", "500000"]))
+    for mode, extra in configs:
         # ours first (tunnel latency degrades after heavy subprocess
         # CPU load); one warm-up run per mode pays the remote compile
         run_child(ours_argv(bam, out + "o", extra))
@@ -178,7 +199,9 @@ def main():
     # byte parity of the tables produced above
     import gzip
     for mode, suffix in (("chr", ".chr.stat.gz"),
-                         ("gene", ".gene.stat.gz")):
+                         ("gene", ".gene.stat.gz"),
+                         ("bed", ".bed.stat.gz"),
+                         ("win", ".win.stat.gz")):
         if not ref:
             break
         with gzip.open(out + "o" + suffix, "rb") as fh:

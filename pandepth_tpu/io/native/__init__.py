@@ -188,6 +188,11 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, i64p, i64p,
             i64p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.pancov_id_rows_write.restype = ctypes.c_int
+        lib.pancov_id_rows_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, i64p, i64p,
+            u8p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int]
         lib.pancov_itf8_decode_all.restype = ctypes.c_int64
         lib.pancov_itf8_decode_all.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,

@@ -2763,6 +2763,63 @@ int pancov_win_rows_write(const char* path, int append,
   return gzclose(gz) == Z_OK ? 0 : -3;
 }
 
+// gene/bed stat rows with the region-ID column:
+// "chr\tstart\tend\tid\tlen\tcov\tdsum[\tgc%]\tcov%\tmean"
+// (src/PanDepth.cpp:4891-4924 row shape); rows arrive pre-sorted in
+// output order; ids are a concatenated blob sliced by id_offs[n+1]
+int pancov_id_rows_write(const char* path, int append,
+                         const char* chr_name, const int64_t* start1,
+                         const int64_t* end1, const uint8_t* ids_blob,
+                         const int64_t* id_offs, const int64_t* length,
+                         const int64_t* cov, const int64_t* dsum,
+                         const int64_t* gc, int64_t n, int has_gc) {
+  gzFile gz = gzopen(path, append ? "ab1" : "wb1");
+  if (!gz) return -1;
+  std::string buf;
+  buf.reserve(1 << 20);
+  size_t name_len = std::strlen(chr_name);
+  char tmp[64];
+  for (int64_t i = 0; i < n; i++) {
+    buf.append(chr_name, name_len);
+    buf.push_back('\t');
+    put_u32(buf, (uint32_t)start1[i]);
+    buf.push_back('\t');
+    put_u32(buf, (uint32_t)end1[i]);
+    buf.push_back('\t');
+    buf.append((const char*)ids_blob + id_offs[i],
+               (size_t)(id_offs[i + 1] - id_offs[i]));
+    buf.push_back('\t');
+    put_u32(buf, (uint32_t)length[i]);
+    buf.push_back('\t');
+    put_u32(buf, (uint32_t)cov[i]);
+    buf.push_back('\t');
+    std::snprintf(tmp, sizeof tmp, "%lld", (long long)dsum[i]);
+    buf.append(tmp);
+    double L = (double)length[i];
+    if (has_gc) {
+      std::snprintf(tmp, sizeof tmp, "\t%.2f",
+                    (double)gc[i] * 100.0 / L);
+      buf.append(tmp);
+    }
+    std::snprintf(tmp, sizeof tmp, "\t%.2f\t%.2f\n",
+                  (double)cov[i] * 100.0 / L, (double)dsum[i] / L);
+    buf.append(tmp);
+    if (buf.size() >= (1 << 20) - 512) {
+      if (gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
+        gzclose(gz);
+        return -2;
+      }
+      buf.clear();
+    }
+  }
+  if (!buf.empty() &&
+      gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
+    gzclose(gz);
+    return -2;
+  }
+  return gzclose(gz) == Z_OK ? 0 : -3;
+}
+
 // appends one gzip member containing rows for [pos0, pos0+n) to fh
 int pancov_site_depth_write(const char* path, const char* chr_name,
                             int64_t pos0, const int32_t* depth,

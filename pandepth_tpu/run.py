@@ -157,18 +157,20 @@ def _is_writer_rank() -> bool:
 def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                         mode: int, targets: TargetSet, names: List[str],
                         lengths: np.ndarray, gc_cols: bool,
-                        ref_bases) -> None:
+                        ref_bases, stats: Optional[RunStats] = None
+                        ) -> None:
     prefix = output_prefix(config.out_prefix)
     # single-query modes skip shipping the sweep state back from the
     # device; -a (dense dump) and mode 6 (second stats pass) need it
     if hasattr(engine, "keep_state"):
         engine.keep_state = bool(config.site_output) \
             or mode == MODE_WIN_SMALL
-    seg = engine.segment_stats(targets.gene_tid[targets.seg_gene],
-                               np.asarray(targets.seg_start),
-                               np.asarray(targets.seg_end))
-    gene_cover, gene_dsum = aggregate_genes(targets, seg.cover,
-                                            seg.depth_sum)
+    with phase(stats, "segstats"):
+        seg = engine.segment_stats(targets.gene_tid[targets.seg_gene],
+                                   np.asarray(targets.seg_start),
+                                   np.asarray(targets.seg_end))
+        gene_cover, gene_dsum = aggregate_genes(targets, seg.cover,
+                                                seg.depth_sum)
 
     win6_rows = None
     if mode == MODE_WIN_SMALL:
@@ -187,12 +189,14 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
 
     if not _is_writer_rank():
         return
-    write_tables(table_path(prefix, mode), mode, gc_cols, names, targets,
-                 gene_cover, gene_dsum, win6_rows)
+    with phase(stats, "write"):
+        write_tables(table_path(prefix, mode), mode, gc_cols, names,
+                     targets, gene_cover, gene_dsum, win6_rows)
 
-    if config.site_output:
-        write_site_depth(prefix + ".SiteDepth.gz", names, lengths,
-                         targets.tids_with_regions(), engine.dense_depth)
+        if config.site_output:
+            write_site_depth(prefix + ".SiteDepth.gz", names, lengths,
+                             targets.tids_with_regions(),
+                             engine.dense_depth)
 
 
 def _try_native_load(path: str, config: RunConfig,
@@ -746,7 +750,7 @@ def run_alignment(config: RunConfig) -> int:
     with maybe_profile():
         with phase(stats, "stats+write"):
             _finalize_and_write(config, engine, mode, targets, names,
-                                lengths, gc_cols, ref_bases)
+                                lengths, gc_cols, ref_bases, stats)
     stats.emit()
     return 0
 

@@ -102,6 +102,11 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
     if mode == MODE_WIN_SMALL and win6_rows[0].shape[0] > 50_000 and \
             _write_win6_native(path, gc, names, win6_rows):
         return
+    if mode in (MODE_GFF, MODE_GTF, MODE_BED3, MODE_BED4) and \
+            targets.n_genes > 50_000 and \
+            _write_id_rows_native(path, mode, gc, names, targets,
+                                  gene_cover, gene_dsum):
+        return
 
     with GzTextWriter(path) as out:
         out.write(table_header(mode, gc))
@@ -187,6 +192,64 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
             ss_total += dsum
             ss_gc += gcc
         out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+
+
+def _write_id_rows_native(path: str, mode: int, gc: bool,
+                          names: Sequence[str], targets: TargetSet,
+                          gene_cover: np.ndarray,
+                          gene_dsum: np.ndarray) -> bool:
+    """Genome-scale gene/bed tables: stream the ID rows through the C
+    formatter (one gzip member per contig; header/footer as python
+    members). The Python row loop tops out around 150k rows/s; bed
+    fixtures at the reference's own benchmark scale have ~175k rows."""
+    if targets.gene_id is None:
+        return False
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+    except Exception:
+        lib = None
+    if lib is None:
+        return False
+    import gzip as _gzip
+
+    order = np.lexsort((
+        np.array([i.encode() for i in targets.gene_id]),
+        targets.gene_start, targets.gene_tid))
+    with _gzip.open(path, "wt", compresslevel=1) as fh:
+        fh.write(table_header(mode, gc))
+    length = np.ascontiguousarray(targets.gene_length[order], np.int64)
+    cover = np.ascontiguousarray(gene_cover[order], np.int64)
+    dsum = np.ascontiguousarray(gene_dsum[order], np.int64)
+    gcc = np.ascontiguousarray(targets.gene_gc[order], np.int64) \
+        if gc else np.zeros(order.shape[0], np.int64)
+    starts = np.ascontiguousarray(targets.gene_start[order], np.int64)
+    ends = np.ascontiguousarray(targets.gene_end[order], np.int64)
+    tid_arr = targets.gene_tid[order]
+    ids = [targets.gene_id[g].encode() for g in order]
+    for tid in np.unique(tid_arr):
+        sel = np.nonzero(tid_arr == tid)[0]
+        a, b = int(sel[0]), int(sel[-1]) + 1
+        blob = b"".join(ids[a:b])
+        offs = np.zeros(b - a + 1, np.int64)
+        offs[1:] = np.cumsum([len(s) for s in ids[a:b]])
+        rc = lib.pancov_id_rows_write(
+            path.encode(), 1, names[int(tid)].encode(),
+            starts[a:b], ends[a:b],
+            np.frombuffer(blob, np.uint8) if blob
+            else np.zeros(1, np.uint8), offs,
+            length[a:b], cover[a:b], dsum[a:b], gcc[a:b], b - a,
+            1 if gc else 0)
+        if rc != 0:
+            raise OSError(f"id table write failed ({rc}): {path}")
+    ss_len = int(targets.gene_length.sum())
+    ss_cov = int(gene_cover.sum())
+    ss_total = int(gene_dsum.sum())
+    ss_gc = int(targets.gene_gc.sum()) if gc else 0
+    with _gzip.open(path, "at", compresslevel=1) as fh:
+        fh.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+    return True
 
 
 def _write_win_big_native(path: str, gc: bool, names: Sequence[str],

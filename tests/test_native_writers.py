@@ -67,3 +67,45 @@ def test_win_big_native_gc_matches(tmp_path, monkeypatch):
     write_tables(p_py, mode, True, ["c"], t, cover, dsum)
 
     assert _gunzip(p_native) == _gunzip(p_py)
+
+
+def test_id_rows_native_matches_python(tmp_path, monkeypatch):
+    """Gene/bed ID tables >50k rows route through pancov_id_rows_write;
+    bytes must match the Python row loop (incl. GC column and the
+    (tid, start, id-bytes) row order with duplicate starts)."""
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    if native.load_library() is None:
+        pytest.skip("native unavailable")
+
+    from pandepth_tpu.config import MODE_BED4
+    from pandepth_tpu.targets.model import TargetSet
+
+    n = 60_000
+    rng = np.random.RandomState(3)
+    tid = np.sort(rng.randint(0, 3, n)).astype(np.int32)
+    start = rng.randint(1, 5_000_000, n).astype(np.int64)
+    start[1000:1010] = start[1000]  # duplicate starts: id byte order
+    length = rng.randint(1, 900, n).astype(np.int64)
+    end = start + length - 1
+    ids = [f"r{i % 7}_{i}" for i in range(n)]
+    gcc = rng.randint(0, 200, n).astype(np.int64)
+    t = TargetSet(mode=MODE_BED4, gene_tid=tid, gene_id=ids,
+                  gene_start=start, gene_end=end, gene_length=length,
+                  gene_gc=gcc, seg_gene=np.arange(n, dtype=np.int32),
+                  seg_start=start, seg_end=end)
+    cover = rng.randint(0, 900, n).astype(np.int64)
+    dsum = (cover * rng.randint(1, 30, n)).astype(np.int64)
+
+    for gc in (False, True):
+        p_native = str(tmp_path / f"n{gc}.bed.stat.gz")
+        write_tables(p_native, MODE_BED4, gc, ["cA", "cB", "cC"], t,
+                     cover, dsum)
+        import pandepth_tpu.io.native as nat
+
+        monkeypatch.setattr(nat, "_lib", None)
+        monkeypatch.setattr(nat, "_build_error", "forced off")
+        p_py = str(tmp_path / f"p{gc}.bed.stat.gz")
+        write_tables(p_py, MODE_BED4, gc, ["cA", "cB", "cC"], t,
+                     cover, dsum)
+        monkeypatch.undo()
+        assert _gunzip(p_native) == _gunzip(p_py)
