@@ -41,6 +41,57 @@ _ready = threading.Event()
 _bg = None
 
 
+def disable_thp() -> None:
+    """Opt this process out of transparent huge pages.
+
+    numpy madvises ``MADV_HUGEPAGE`` on every allocation >= 4 MB; on
+    this host family the huge-page fault path crawls (measured: a
+    fresh 240 MB ``np.arange`` takes 26-35 s with the madvise vs
+    0.14-0.5 s without — ~9 MB/s of first-touch compaction stalls).
+    ``PR_SET_THP_DISABLE`` alone does NOT neutralize madvised regions
+    on this kernel, so numpy's own switch must be thrown too. The
+    prctl flag is inherited across fork/exec, so the serve daemon and
+    test subprocesses keep it; each Python child re-runs this for the
+    numpy side. ``PANDEPTH_THP=1`` keeps THP enabled."""
+    if os.environ.get("PANDEPTH_THP") == "1":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
+    except Exception:  # best-effort tuning only
+        pass
+    try:
+        from numpy._core.multiarray import _set_madvise_hugepage
+    except ImportError:
+        try:
+            from numpy.core.multiarray import _set_madvise_hugepage
+        except ImportError:
+            _set_madvise_hugepage = None
+    if _set_madvise_hugepage is not None:
+        try:
+            _set_madvise_hugepage(False)
+        except Exception:
+            pass
+    # keep big blocks on glibc's freelist instead of munmapping them:
+    # genome-scale table passes allocate GBs of short-lived numpy
+    # temporaries, and this host's page faults are slow enough
+    # (~3-10 us) that refaulting every temporary dominated sys time
+    # (measured 5x 240MB alloc cycles: 1.7 s sys before, 0.0 after)
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+disable_thp()
+
+
 def restore_site() -> None:
     """Under ``python -S``: do what ``site.main()`` would have done,
     minus the expensive ``sitecustomize``/``usercustomize`` imports
@@ -129,6 +180,9 @@ def main(argv=None) -> int:
     ``--daemon-stop`` and ``PANDEPTH_DAEMON=1`` route through the
     resident serve mode (pandepth_tpu/serve.py) instead."""
     restore_site()
+    # under `python -S` numpy was not importable when the module-level
+    # call ran, so its madvise switch silently no-opped — repeat now
+    disable_thp()
     args = list(sys.argv[1:] if argv is None else argv)
     if "--serve" in args:
         from pandepth_tpu.serve import serve_foreground

@@ -529,6 +529,194 @@ class CoverageEngine:
             dsum[i:j] = np.asarray(qs)[: j - i]
         return SegmentStats(cover=cover, depth_sum=dsum)
 
+    def segment_stats_sorted_host(self, seg_tid: np.ndarray,
+                                  seg_start: np.ndarray,
+                                  seg_end: np.ndarray) -> SegmentStats:
+        """segment_stats for a batch whose GLOBAL boundaries arrive
+        sorted non-decreasing (mode-6 window tilings: tid-major,
+        start-minor — src/PanDepth.cpp:4313-4317 always emits them so).
+
+        Evaluates on the host straight from the sweep state: ranking B
+        sorted queries against E sorted events is one
+        searchsorted(queries, events) + bincount-cumsum — O(E log B +
+        B), no device round-trip per chunk. A 3 Gb genome at ``-w 100``
+        is ~30 M windows; the chunked device path pays ~30 padded
+        sort dispatches (and, through a tunneled TPU, ~0.5 GB of
+        boundary uploads) where this pays one state fetch that mode 6
+        already needs for its second stats pass."""
+        lay = self.layout
+        lo = lay.offsets[seg_tid] + np.maximum(seg_start - 1, 0)
+        hi = lay.offsets[seg_tid] + np.asarray(seg_end, np.int64)
+        lo = np.minimum(lo, lay.limits[seg_tid])
+        hi = np.minimum(hi, lay.limits[seg_tid])
+        hi = np.maximum(hi, lo)
+
+        st = self.sweep_state()
+        pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
+        depth = np.asarray(st[1])
+
+        # prefix integrals re-derived on host (fetching c_cov/c_sum
+        # would double the device->host bytes for no work saved)
+        covered = depth >= self.min_dep
+        nxt = np.empty_like(pos_s)
+        nxt[:-1] = pos_s[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        plen = np.where(covered, nxt - pos_s, 0)
+        c_cov = np.cumsum(plen)
+        c_sum = np.cumsum(plen * depth.astype(np.int64))
+
+        e = pos_s.shape[0]
+
+        def rank_sorted(x: np.ndarray) -> np.ndarray:
+            # r[j] = #{events < x[j]} for sorted x: each event lands at
+            # its first strictly-greater query index; prefix-count
+            j0 = np.searchsorted(x, pos_s, side="right")
+            return np.cumsum(np.bincount(j0, minlength=x.shape[0] + 1)
+                             )[: x.shape[0]].astype(np.int64)
+
+        def q_eval(x: np.ndarray, r: np.ndarray):
+            i_full = np.clip(r - 2, 0, e - 1)
+            i_part = np.clip(r - 1, 0, e - 1)
+            full_cov = np.where(r >= 2, c_cov[i_full], 0)
+            full_sum = np.where(r >= 2, c_sum[i_full], 0)
+            ind = (depth[i_part] >= self.min_dep).astype(np.int64)
+            diff = x - pos_s[i_part]
+            part_len = np.where(r >= 1, diff * ind, 0)
+            return (full_cov + part_len,
+                    full_sum + part_len * depth[i_part].astype(np.int64))
+
+        qc_lo, qs_lo = q_eval(lo, rank_sorted(lo))
+        qc_hi, qs_hi = q_eval(hi, rank_sorted(hi))
+        return SegmentStats(cover=qc_hi - qc_lo,
+                            depth_sum=qs_hi - qs_lo)
+
+    def window_stats_host(self, seg_tid: np.ndarray,
+                          seg_start: np.ndarray, seg_end: np.ndarray,
+                          win: int) -> Optional[SegmentStats]:
+        """Window stats for the mode-6 regular tiling, or None when the
+        batch isn't one (caller falls back to the generic eval).
+
+        The tiling (small_window_tiling) is an arithmetic grid per
+        contig — window j of contig t spans global
+        [off_t + j*win, off_t + (j+1)*win) with only the LAST window
+        clipped — so instead of evaluating 2 boundaries per window
+        (30 M random gathers at ``-w 100`` on a 3 Gb genome; this
+        host's large-gather latency is erratic under khugepaged), each
+        covered depth PIECE scatters its overlap into the grid:
+        bincount point-adds for the edge windows, a diff-array +
+        cumsum for the full interior windows — O(E) scatter + O(W)
+        sequential cumsum, nothing random-access.
+
+        Weights ride float64 bincounts: every addend is bounded by
+        win * 2^18 < 2^26 and running sums stay far below 2^53, so
+        the integer results are exact."""
+        if self.min_dep < 1:
+            return None  # depth-0 pieces span contig gaps; use generic
+        lay = self.layout
+        w = int(win)
+        counts = np.bincount(seg_tid, minlength=lay.n_targets)
+        # the regular tiling is fully determined by (contig length,
+        # win): ceil((L-1)/win) windows, last end = min(K*win, L)
+        exp_counts = np.where(lay.lengths > 1,
+                              -(-(lay.lengths - 1) // w), 0)
+        used = counts > 0
+        if not np.array_equal(counts[used], exp_counts[used]):
+            return None
+        if seg_start.shape[0] == 0:
+            z = np.zeros(0, np.int64)
+            return SegmentStats(cover=z, depth_sum=z)
+        woff = np.zeros(lay.n_targets + 1, np.int64)
+        np.cumsum(counts, out=woff[1:])
+        # cheap structural spot-checks (full interior follows from the
+        # count + grid construction)
+        first = woff[:-1][used]
+        last = woff[1:][used] - 1
+        if not (np.all(seg_start[first] == 1)
+                and np.all(seg_end[last] ==
+                           np.minimum(counts[used] * w,
+                                      lay.lengths[used]))
+                and np.all(seg_end[first] ==
+                           np.minimum(w, lay.lengths[used]))):
+            return None
+
+        W = int(seg_start.shape[0])
+        st = self.sweep_state()
+        pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
+        depth = np.asarray(st[1])
+        nxt = np.empty_like(pos_s)
+        nxt[:-1] = pos_s[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        covered = depth >= self.min_dep
+        sel = covered & (nxt > pos_s)
+        a = pos_s[sel]
+        b = nxt[sel]
+        d = depth[sel].astype(np.int64)
+
+        # piece -> contig (pieces with depth>=1 never span contigs:
+        # they lie inside read intervals, which are clamped per contig)
+        t = np.searchsorted(lay.offsets, a, side="right") - 1
+        g0 = lay.offsets[t]
+        ge = g0 + counts[t].astype(np.int64) * w
+        b = np.minimum(b, ge)
+        ok = b > a
+        a, b, d, t, g0 = a[ok], b[ok], d[ok], t[ok], g0[ok]
+
+        ja = (a - g0) // w + woff[t]
+        jb = (b - 1 - g0) // w + woff[t]
+        one = ja == jb
+        cover_pt = np.bincount(ja[one], weights=(b - a)[one],
+                               minlength=W + 1)
+        dsum_pt = np.bincount(ja[one], weights=((b - a) * d)[one],
+                              minlength=W + 1)
+        mm = ~one
+        jam, jbm = ja[mm], jb[mm]
+        head = (jam - woff[t[mm]] + 1) * w + g0[mm] - a[mm]
+        tail = b[mm] - ((jbm - woff[t[mm]]) * w + g0[mm])
+        dm = d[mm]
+        cover_pt += np.bincount(jam, weights=head, minlength=W + 1)
+        cover_pt += np.bincount(jbm, weights=tail, minlength=W + 1)
+        dsum_pt += np.bincount(jam, weights=head * dm, minlength=W + 1)
+        dsum_pt += np.bincount(jbm, weights=tail * dm, minlength=W + 1)
+        # full interior windows (ja+1 .. jb-1): diff array + cumsum
+        edges = np.concatenate([jam + 1, jbm])
+        cw = np.concatenate([np.full(jam.shape[0], float(w)),
+                             np.full(jbm.shape[0], float(-w))])
+        dw = np.concatenate([dm * float(w), dm * float(-w)])
+        cover_in = np.cumsum(np.bincount(edges, weights=cw,
+                                         minlength=W + 1))
+        dsum_in = np.cumsum(np.bincount(edges, weights=dw,
+                                        minlength=W + 1))
+        cover = (cover_pt + cover_in)[:W].astype(np.int64)
+        dsum = (dsum_pt + dsum_in)[:W].astype(np.int64)
+
+        # clipped final windows: the grid over-counts [L, K*win)
+        clip_t = np.nonzero(used & (exp_counts * w > lay.lengths))[0]
+        if clip_t.shape[0]:
+            c_cov = np.cumsum(np.where(covered, nxt - pos_s, 0))
+            c_sum = np.cumsum(np.where(covered, nxt - pos_s, 0)
+                              * depth.astype(np.int64))
+            e = pos_s.shape[0]
+
+            def q(x):
+                r = np.searchsorted(pos_s, x, side="left")
+                i_full = np.clip(r - 2, 0, e - 1)
+                i_part = np.clip(r - 1, 0, e - 1)
+                fc = np.where(r >= 2, c_cov[i_full], 0)
+                fs = np.where(r >= 2, c_sum[i_full], 0)
+                ind = (depth[i_part] >= self.min_dep).astype(np.int64)
+                pl = np.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
+                return (fc + pl,
+                        fs + pl * depth[i_part].astype(np.int64))
+
+            xlo = lay.offsets[clip_t] + lay.lengths[clip_t]
+            xhi = lay.offsets[clip_t] + exp_counts[clip_t] * w
+            qc0, qs0 = q(xlo)
+            qc1, qs1 = q(xhi)
+            last_w = woff[clip_t + 1] - 1
+            cover[last_w] -= qc1 - qc0
+            dsum[last_w] -= qs1 - qs0
+        return SegmentStats(cover=cover, depth_sum=dsum)
+
     def dense_depth(self, tid: int, start0: int = 0,
                     end0: Optional[int] = None) -> np.ndarray:
         """Per-base depth for one contig (0-based half-open range)."""

@@ -175,7 +175,18 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
     win6_rows = None
     if mode == MODE_WIN_SMALL:
         def stats_fn(seg_tid, s, e):
-            st = engine.segment_stats(seg_tid, s, e)
+            # the regular tiling evaluates as piece-scatter + cumsum
+            # (O(E+W), no per-window gathers); irregular batches fall
+            # back to the sorted-boundary host eval, then the device
+            st = None
+            if hasattr(engine, "window_stats_host"):
+                st = engine.window_stats_host(seg_tid, s, e,
+                                              config.win_size)
+            if st is None and hasattr(engine,
+                                      "segment_stats_sorted_host"):
+                st = engine.segment_stats_sorted_host(seg_tid, s, e)
+            if st is None:
+                st = engine.segment_stats(seg_tid, s, e)
             return st.cover, st.depth_sum
 
         gc_fn = None
@@ -183,9 +194,11 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
             def gc_fn(tid, s, e):
                 seq = (ref_bases or {}).get(int(tid), b"")
                 return gc_count_ranges(seq, s, e)
-        win6_rows = mode6_window_rows(names, lengths,
-                                      targets.tids_with_regions(),
-                                      config.win_size, stats_fn, gc_fn)
+        with phase(stats, "win6"):
+            win6_rows = mode6_window_rows(names, lengths,
+                                          targets.tids_with_regions(),
+                                          config.win_size, stats_fn,
+                                          gc_fn)
 
     if not _is_writer_rank():
         return

@@ -23,6 +23,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# khugepaged stalls large numpy buffers on this host (see
+# boot.disable_thp); opt the test process out before arrays exist
+from pandepth_tpu.boot import disable_thp  # noqa: E402
+
+disable_thp()
+
 # the axon site hook overrides JAX_PLATFORMS at interpreter start, so
 # the env var alone is not enough — force it through jax.config too
 import jax  # noqa: E402
