@@ -165,6 +165,24 @@ def main():
             results[f"ref_{mode}_reads_per_s"] = round(N_READS / w2, 1)
             results[f"vs_baseline_{mode}"] = round(w2 / w, 3)
 
+    # small-window whole-genome mode (-w 100: ~30M windows; the
+    # reference allocates per-base SiteInfo arrays, 12.8 GB at 3 Gb).
+    # Long (the reference needs 10+ min), so opt-in; single runs.
+    if os.environ.get("PANDEPTH_BENCH3GB_W100") == "1":
+        w, r = run_child(ours_argv(bam, out + "o", ["-w", "100"]))
+        results["ours_w100_wall_s"] = round(w, 3)
+        results["ours_w100_rss_mb"] = round(r, 1)
+        if ref:
+            try:
+                w2, r2 = run_child(["timeout", "2400", ref, "-i", bam,
+                                    "-o", out + "r", "-w", "100"])
+                results["ref_w100_wall_s"] = round(w2, 3)
+                results["ref_w100_rss_mb"] = round(r2, 1)
+                results["vs_baseline_w100"] = round(w2 / w, 3)
+            except RuntimeError:
+                results["ref_w100_wall_s"] = None  # timed out (2400s)
+                results["vs_baseline_w100"] = round(2400.0 / w, 3)
+
     # serve mode: the multi-sample cost model (one resident warm
     # process; the reference's own protocol reruns the binary 10x per
     # config, reference/README.md:128-131). Same outputs, no per-run

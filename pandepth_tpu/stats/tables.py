@@ -398,32 +398,35 @@ def mode6_window_rows(names: Sequence[str], lengths: np.ndarray,
     order.
     """
     region_set = set(int(t) for t in tids_with_regions)
-    tids, tiles = [], []
-    for tid in range(len(names)):
-        if tid not in region_set:
-            continue
-        tiling = small_window_tiling(int(lengths[tid]), win_size)
-        if tiling.shape[0] == 0:
-            continue
-        tids.append(np.full(tiling.shape[0], tid, np.int32))
-        tiles.append(tiling)
-    if not tids:
+    # preallocate and fill per contig: a 3 Gb genome at -w 100 is ~30M
+    # windows, and this host's page faults are slow enough that the
+    # list-then-concatenate shape would double the fresh-page bill
+    use = [tid for tid in range(len(names))
+           if tid in region_set and int(lengths[tid]) > 1]
+    counts = [(int(lengths[t]) - 2) // win_size + 1 for t in use]
+    total = sum(counts)
+    if total == 0:
         z64 = np.zeros(0, np.int64)
         return (np.zeros(0, np.int32), z64, z64, z64, z64, z64)
-    seg_tid = np.concatenate(tids)
-    tiling = np.concatenate(tiles)
-    starts, ends = tiling[:, 0], tiling[:, 1]
+    seg_tid = np.empty(total, np.int32)
+    starts = np.empty(total, np.int64)
+    ends = np.empty(total, np.int64)
+    off = 0
+    for tid, n in zip(use, counts):
+        tiling = small_window_tiling(int(lengths[tid]), win_size)
+        seg_tid[off: off + n] = tid
+        starts[off: off + n] = tiling[:, 0]
+        ends[off: off + n] = tiling[:, 1]
+        off += n
     cover, dsum = stats_fn(seg_tid, starts, ends)
     if gc_counts_fn is not None:
-        gcc = np.empty(seg_tid.shape[0], np.int64)
+        gcc = np.empty(total, np.int64)
         off = 0
-        for t, til in zip(tids, tiles):
-            n = til.shape[0]
-            gcc[off: off + n] = gc_counts_fn(int(t[0]), til[:, 0],
-                                             til[:, 1])
+        for tid, n in zip(use, counts):
+            gcc[off: off + n] = gc_counts_fn(
+                int(tid), starts[off: off + n], ends[off: off + n])
             off += n
     else:
-        gcc = np.zeros(seg_tid.shape[0], np.int64)
-    return (seg_tid, np.asarray(starts, np.int64),
-            np.asarray(ends, np.int64), np.asarray(cover, np.int64),
+        gcc = np.zeros(total, np.int64)
+    return (seg_tid, starts, ends, np.asarray(cover, np.int64),
             np.asarray(dsum, np.int64), gcc)
