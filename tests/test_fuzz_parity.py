@@ -18,7 +18,7 @@ from pandepth_tpu.cli import main as cli_main
 from pandepth_tpu.io.bam_writer import write_bam
 
 
-def _gen_case(tmp: str, seed: int):
+def _gen_case(tmp: str, seed: int, fmt: str = "bam"):
     rng = random.Random(seed)
     n_contigs = rng.randint(1, 4)
     contigs = [(f"ctg{i}_{seed}", rng.randint(400, 9000))
@@ -79,9 +79,37 @@ def _gen_case(tmp: str, seed: int):
                      0x10 if rng.random() < 0.5 else 0,
                      rng.choice([0, 30, 60]), "1M1D" * pairs))
     recs.sort(key=lambda x: (x[0], x[1]))
-    bam = os.path.join(tmp, f"f{seed}.bam")
-    write_bam(bam, names, lengths, recs,
-              make_index=rng.random() < 0.7)
+    if fmt in ("sam", "sam.gz"):
+        # same records as SAM text (seq "*" keeps htslib's seq-vs-CIGAR
+        # length check out of play, like the reference's own test data)
+        bam = os.path.join(tmp, f"f{seed}.{fmt}")
+        lines = []
+        if rng.random() < 0.7:
+            lines.append("@HD\tVN:1.6\tSO:coordinate")
+        for nm, ln in zip(names, lengths):
+            lines.append(f"@SQ\tSN:{nm}\tLN:{ln}")
+        for k, (tid, pos, flag, mapq, cigar) in enumerate(recs):
+            lines.append(f"r{k}\t{flag}\t{names[tid]}\t{pos + 1}\t"
+                         f"{mapq}\t{cigar}\t*\t0\t0\t*\t*")
+        data = ("\n".join(lines) + "\n").encode()
+        if fmt == "sam.gz":
+            import gzip as _gz
+
+            with _gz.open(bam, "wb") as fh:
+                fh.write(data)
+        else:
+            with open(bam, "wb") as fh:
+                fh.write(data)
+    elif fmt.startswith("cram"):
+        from pandepth_tpu.io.cram_writer import write_cram
+
+        bam = os.path.join(tmp, f"f{seed}.cram")
+        write_cram(bam, names, lengths, recs,
+                   index=fmt == "cram+crai")
+    else:
+        bam = os.path.join(tmp, f"f{seed}.bam")
+        write_bam(bam, names, lengths, recs,
+                  make_index=rng.random() < 0.7)
 
     # random target mode
     args = []
@@ -157,8 +185,8 @@ def _gen_case(tmp: str, seed: int):
     return bam, args, strip_gc
 
 
-def _run_case(tmp: str, oracle: str, seed: int):
-    bam, args, strip_gc = _gen_case(tmp, seed)
+def _run_case(tmp: str, oracle: str, seed: int, fmt: str = "bam"):
+    bam, args, strip_gc = _gen_case(tmp, seed, fmt=fmt)
     ref_out = os.path.join(tmp, f"ref{seed}")
     our_out = os.path.join(tmp, f"ours{seed}")
     rr = subprocess.run([oracle, "-i", bam, "-o", ref_out] + args,
@@ -196,6 +224,15 @@ def test_fuzz_case_pure_python(tmp_path, oracle_bin, seed,
     same differential contract as the native path."""
     monkeypatch.setenv("PANDEPTH_NO_NATIVE", "1")
     _run_case(str(tmp_path), oracle_bin, 500 + seed)
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_case_formats(tmp_path, oracle_bin, seed):
+    """The same generated records spun through the other container
+    formats (SAM text, gzipped SAM, CRAM, indexed CRAM) — exercises
+    every decode path against the oracle, not just BGZF BAM."""
+    fmt = ("sam", "sam.gz", "cram", "cram+crai")[seed % 4]
+    _run_case(str(tmp_path), oracle_bin, 900 + seed, fmt=fmt)
 
 
 def _gen_multi_case(tmp: str, seed: int):
