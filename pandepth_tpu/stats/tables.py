@@ -194,6 +194,42 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
         out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
 
 
+def _run_member_jobs(path: str, jobs) -> None:
+    """Run per-contig native row-writer calls concurrently.
+
+    Each job is ``fn(out_path) -> rc`` producing ONE complete gzip
+    member (the C calls release the GIL, so a thread pool gets real
+    parallelism out of deflate); members land in temp files and are
+    appended to ``path`` in contig order — gzip members concatenate
+    losslessly, which is also how the single-threaded writers already
+    framed their output."""
+    import concurrent.futures
+    import shutil
+
+    tmps = [f"{path}.m{i}" for i in range(len(jobs))]
+    try:
+        if len(jobs) == 1:
+            rcs = [jobs[0](tmps[0])]
+        else:
+            with concurrent.futures.ThreadPoolExecutor(
+                    min(len(jobs), os.cpu_count() or 1)) as ex:
+                rcs = list(ex.map(lambda a: a[1](tmps[a[0]]),
+                                  enumerate(jobs)))
+        with open(path, "ab") as out:
+            for i, rc in enumerate(rcs):
+                if rc != 0:
+                    raise OSError(f"table row write failed ({rc}): "
+                                  f"{path}")
+                with open(tmps[i], "rb") as fh:
+                    shutil.copyfileobj(fh, out, 1 << 20)
+    finally:
+        for t in tmps:
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+
+
 def _write_id_rows_native(path: str, mode: int, gc: bool,
                           names: Sequence[str], targets: TargetSet,
                           gene_cover: np.ndarray,
@@ -228,21 +264,24 @@ def _write_id_rows_native(path: str, mode: int, gc: bool,
     ends = np.ascontiguousarray(targets.gene_end[order], np.int64)
     tid_arr = targets.gene_tid[order]
     ids = [targets.gene_id[g].encode() for g in order]
+    jobs = []
     for tid in np.unique(tid_arr):
         sel = np.nonzero(tid_arr == tid)[0]
         a, b = int(sel[0]), int(sel[-1]) + 1
         blob = b"".join(ids[a:b])
         offs = np.zeros(b - a + 1, np.int64)
         offs[1:] = np.cumsum([len(s) for s in ids[a:b]])
-        rc = lib.pancov_id_rows_write(
-            path.encode(), 1, names[int(tid)].encode(),
-            starts[a:b], ends[a:b],
-            np.frombuffer(blob, np.uint8) if blob
-            else np.zeros(1, np.uint8), offs,
-            length[a:b], cover[a:b], dsum[a:b], gcc[a:b], b - a,
-            1 if gc else 0)
-        if rc != 0:
-            raise OSError(f"id table write failed ({rc}): {path}")
+        arr = np.frombuffer(blob, np.uint8) if blob \
+            else np.zeros(1, np.uint8)
+
+        def job(p, tid=tid, a=a, b=b, arr=arr, offs=offs):
+            return lib.pancov_id_rows_write(
+                p.encode(), 0, names[int(tid)].encode(),
+                starts[a:b], ends[a:b], arr, offs,
+                length[a:b], cover[a:b], dsum[a:b], gcc[a:b], b - a,
+                1 if gc else 0)
+        jobs.append(job)
+    _run_member_jobs(path, jobs)
     ss_len = int(targets.gene_length.sum())
     ss_cov = int(gene_cover.sum())
     ss_total = int(gene_dsum.sum())
@@ -278,19 +317,22 @@ def _write_win_big_native(path: str, gc: bool, names: Sequence[str],
     starts = np.ascontiguousarray(targets.gene_start, np.int64)
     ends = np.ascontiguousarray(targets.gene_end, np.int64)
     tid_arr = targets.gene_tid
+    jobs = []
     for tid in np.unique(tid_arr):
         sel = np.nonzero(tid_arr == tid)[0]
         a, b = int(sel[0]), int(sel[-1]) + 1
-        rc = lib.pancov_win_rows_write(
-            path.encode(), 1, names[int(tid)].encode(),
-            np.ascontiguousarray(starts[a:b]),
-            np.ascontiguousarray(ends[a:b]),
-            np.ascontiguousarray(length[a:b]),
-            np.ascontiguousarray(cover[a:b]),
-            np.ascontiguousarray(dsum[a:b]),
-            np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
-        if rc != 0:
-            raise OSError(f"win table write failed ({rc}): {path}")
+
+        def job(p, tid=tid, a=a, b=b):
+            return lib.pancov_win_rows_write(
+                p.encode(), 0, names[int(tid)].encode(),
+                np.ascontiguousarray(starts[a:b]),
+                np.ascontiguousarray(ends[a:b]),
+                np.ascontiguousarray(length[a:b]),
+                np.ascontiguousarray(cover[a:b]),
+                np.ascontiguousarray(dsum[a:b]),
+                np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
+        jobs.append(job)
+    _run_member_jobs(path, jobs)
     with _gzip.open(path, "at", compresslevel=1) as fh:
         fh.write(_footer(int(length.sum()), int(cover.sum()),
                          int(dsum.sum()), gc, int(gcc.sum())))
@@ -316,19 +358,22 @@ def _write_win6_native(path: str, gc: bool, names: Sequence[str],
     with _gzip.open(path, "wt", compresslevel=1) as fh:
         fh.write(table_header(MODE_WIN_SMALL, gc))
     gcc = w_gcc if gc else np.zeros(w_tid.shape[0], np.int64)
+    jobs = []
     for tid in np.unique(w_tid):
         sel = np.nonzero(w_tid == tid)[0]
         a, b = int(sel[0]), int(sel[-1]) + 1
-        rc = lib.pancov_win_rows_write(
-            path.encode(), 1, names[int(tid)].encode(),
-            np.ascontiguousarray(w_s[a:b]),
-            np.ascontiguousarray(w_e[a:b]),
-            np.ascontiguousarray(w_len[a:b]),
-            np.ascontiguousarray(w_cov[a:b]),
-            np.ascontiguousarray(w_dsum[a:b]),
-            np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
-        if rc != 0:
-            raise OSError(f"win table write failed ({rc}): {path}")
+
+        def job(p, tid=tid, a=a, b=b):
+            return lib.pancov_win_rows_write(
+                p.encode(), 0, names[int(tid)].encode(),
+                np.ascontiguousarray(w_s[a:b]),
+                np.ascontiguousarray(w_e[a:b]),
+                np.ascontiguousarray(w_len[a:b]),
+                np.ascontiguousarray(w_cov[a:b]),
+                np.ascontiguousarray(w_dsum[a:b]),
+                np.ascontiguousarray(gcc[a:b]), b - a, 1 if gc else 0)
+        jobs.append(job)
+    _run_member_jobs(path, jobs)
     with _gzip.open(path, "at", compresslevel=1) as fh:
         fh.write(_footer(int(w_len.sum()), int(w_cov.sum()),
                          int(w_dsum.sum()), gc, int(gcc.sum())))
