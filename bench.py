@@ -99,7 +99,33 @@ def time_ours(bam: str) -> float:
     return wall
 
 
+def probe_device(timeout_s: int = 600) -> bool:
+    """True when the accelerator answers a trivial op in time. The TPU
+    tunnel in this environment can go down for hours (device ops hang
+    while jax.devices() still lists the chip); probing in a subprocess
+    keeps this process's jax uninitialized so it can still fall back."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print(int(jnp.arange(8).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    platform = "device"
+    if os.environ.get("PANDEPTH_FORCE_PLATFORM") is None \
+            and not probe_device():
+        sys.stderr.write("bench: accelerator unreachable; falling back "
+                         "to the CPU backend\n")
+        os.environ["PANDEPTH_FORCE_PLATFORM"] = "cpu"
+        platform = "cpu-fallback"
+        # production encoded-window caps make the CPU sort ~99.9%
+        # padding on this fixture; use the suite's CPU-sized caps
+        os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 16))
+        os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 12))
     bam = ensure_fixture()
     # the TPU tunnel in this environment has high run-to-run variance
     # and degrades under concurrent CPU load: measure ours first (warm
@@ -118,6 +144,7 @@ def main() -> None:
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "platform": platform,
     }))
 
 

@@ -150,6 +150,12 @@ class CoverageEngine:
             "PANDEPTH_FLUSH_EVENTS", 48 << 20))
         self._state = None  # cached sweep state after finalize
         self.n_reads_seen = 0
+        # boundary-eval method: on TPU a big query batch rides the fast
+        # sort (~20x the serial binary search there), but on the CPU
+        # backend the sort re-sorts ALL events with the queries —
+        # measured 1.5x whole-run slowdown on a 16M-event mode-5 run —
+        # while the unrolled scan is a few vectorized passes either way
+        self._eval_sort_ok = jax.devices()[0].platform != "cpu"
         # compact encoded windows (device-resident, uploaded async
         # during the feed; ~2 B/event over the tunnel instead of 8)
         self.enc_cap = int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19))
@@ -479,7 +485,7 @@ class CoverageEngine:
             hi_c = np.zeros(bp, self.pos_dtype)
             lo_c[:b] = lo
             hi_c[:b] = hi
-            method = "scan_unrolled" if bp <= 4096 else "sort"
+            method = "scan_unrolled" if bp <= 4096 or not self._eval_sort_ok else "sort"
             self._flush_stage()
             if self._chunks:
                 cp = tuple(c[0] for c in self._chunks)
@@ -521,7 +527,7 @@ class CoverageEngine:
             lo_c[: j - i] = lo[i:j]
             hi_c[: j - i] = hi[i:j]
             # few queries -> binary search; many -> ride the TPU sort
-            method = "scan_unrolled" if bp <= 4096 else "sort"
+            method = "scan_unrolled" if bp <= 4096 or not self._eval_sort_ok else "sort"
             qc, qs = sweep_mod.eval_pair(
                 pos_s, depth, c_cov, c_sum, md, jnp.asarray(lo_c),
                 jnp.asarray(hi_c), method=method)
