@@ -142,7 +142,9 @@ def main():
     out = os.path.join(BENCH_DIR, "b3g")
     results = {"n_reads": N_READS, "genome_bp": N_CONTIGS * CONTIG_LEN,
                "gene_segments": N_GENES * SEGS_PER_GENE,
-               "host_cores": os.cpu_count()}
+               "host_cores": os.cpu_count(),
+               "platform": os.environ.get("PANDEPTH_FORCE_PLATFORM",
+                                          "device")}
 
     # all four table shapes of the BASELINE parity configs: chr, gene
     # (GFF CDS), bed (BED4), win (mode 5 tiling)
