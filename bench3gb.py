@@ -231,8 +231,14 @@ def main():
         results[f"parity_{mode}"] = a == b
 
     print(json.dumps(results))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_3GB.json"), "w") as fh:
+    # CPU-forced / smoke runs must not clobber the committed TPU
+    # artifact unless explicitly pointed at it
+    default_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_3GB.json" if results["platform"] == "device"
+        else "BENCH_3GB_cpu.json")
+    with open(os.environ.get("PANDEPTH_BENCH3GB_OUT", default_out),
+              "w") as fh:
         json.dump(results, fh, indent=1)
         fh.write("\n")
 
