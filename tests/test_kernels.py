@@ -113,3 +113,58 @@ def test_overhanging_read_lands_in_slack():
                            np.array([130]))
     assert st.cover[0] == 36
     assert st.depth_sum[0] == 36
+
+
+@pytest.mark.parametrize("min_dep,wrap18,win",
+                         [(1, False, 100), (2, True, 7), (1, True, 149),
+                          (3, False, 101)])
+def test_window_stats_host_matches_generic(min_dep, wrap18, win):
+    """The O(E+W) piece-scatter window eval must match the generic
+    boundary eval on the mode-6 regular tiling: random reads, clipped
+    final windows, dropped 1-base windows, min_dep>1, 18-bit wrap."""
+    from pandepth_tpu.targets.windows import small_window_tiling
+
+    rng = np.random.RandomState(win * 7 + min_dep)
+    # len % win == 1 on contig 1 -> dropped final 1-base window;
+    # contig 2 shorter than one window
+    lengths = np.array([5003, 4 * win + 1, max(win - 1, 2), 1],
+                       np.int64)
+    layout = GenomeLayout(lengths)
+    eng = CoverageEngine(layout, min_dep=min_dep, wrap18=wrap18)
+    recs = []
+    for _ in range(600):
+        tid = rng.randint(0, 3)
+        pos = rng.randint(0, max(int(lengths[tid]) - 5, 1))
+        recs.append((tid, pos, 0, 60, f"{rng.randint(1, 200)}M"))
+    recs.sort(key=lambda r: (r[0], r[1]))
+    eng.add_batch(batch_from_recs(recs))
+
+    tids, tiles = [], []
+    for tid in range(3):
+        t = small_window_tiling(int(lengths[tid]), win)
+        tiles.append(t)
+        tids.append(np.full(t.shape[0], tid, np.int32))
+    seg_tid = np.concatenate(tids)
+    tiling = np.concatenate(tiles)
+
+    fast = eng.window_stats_host(seg_tid, tiling[:, 0], tiling[:, 1],
+                                 win)
+    assert fast is not None
+    ref = eng.segment_stats_sorted_host(seg_tid, tiling[:, 0],
+                                        tiling[:, 1])
+    np.testing.assert_array_equal(fast.cover, ref.cover)
+    np.testing.assert_array_equal(fast.depth_sum, ref.depth_sum)
+    dev = eng.segment_stats(seg_tid, np.asarray(tiling[:, 0]),
+                            np.asarray(tiling[:, 1]))
+    np.testing.assert_array_equal(fast.cover, dev.cover)
+    np.testing.assert_array_equal(fast.depth_sum, dev.depth_sum)
+
+
+def test_window_stats_host_rejects_irregular():
+    layout = GenomeLayout(np.array([1000]))
+    eng = CoverageEngine(layout)
+    # wrong window size for the claimed tiling -> count check fails
+    assert eng.window_stats_host(np.zeros(3, np.int32),
+                                 np.array([1, 101, 201]),
+                                 np.array([100, 200, 300]),
+                                 50) is None
