@@ -99,7 +99,8 @@ def time_ours(bam: str) -> float:
     return wall
 
 
-def probe_device(timeout_s: int = 600) -> bool:
+def probe_device(timeout_s: int = int(os.environ.get(
+        "PANDEPTH_PROBE_TIMEOUT", 600))) -> bool:
     """True when the accelerator answers a trivial op in time. The TPU
     tunnel in this environment can go down for hours (device ops hang
     while jax.devices() still lists the chip); probing in a subprocess
