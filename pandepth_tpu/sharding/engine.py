@@ -275,7 +275,10 @@ class ShardedCoverageEngine:
         hi_c = np.zeros(bp, np.int64)
         lo_c[:b] = lo
         hi_c[:b] = hi
-        method = "scan_unrolled" if bp <= 4096 else "sort"
+        # the sort method re-sorts all events with the queries: a win
+        # on the TPU sort unit, a 1.5x whole-run loss on CPU backends
+        method = "scan_unrolled" if bp <= 4096 or \
+            jax.devices()[0].platform == "cpu" else "sort"
         return lo_c, hi_c, method
 
     def segment_stats(self, seg_tid: np.ndarray, seg_start: np.ndarray,
