@@ -670,10 +670,15 @@ class CoverageEngine:
         ja = (a - g0) // w + woff[t]
         jb = (b - 1 - g0) // w + woff[t]
         one = ja == jb
-        cover_pt = np.bincount(ja[one], weights=(b - a)[one],
+        # accumulate in explicit float64: np.bincount returns int64
+        # when its weights array is EMPTY (no pieces in a class), and
+        # int64 += float64 is not a same-kind cast
+        cover_pt = np.zeros(W + 1, np.float64)
+        dsum_pt = np.zeros(W + 1, np.float64)
+        cover_pt += np.bincount(ja[one], weights=(b - a)[one],
+                                minlength=W + 1)
+        dsum_pt += np.bincount(ja[one], weights=((b - a) * d)[one],
                                minlength=W + 1)
-        dsum_pt = np.bincount(ja[one], weights=((b - a) * d)[one],
-                              minlength=W + 1)
         mm = ~one
         jam, jbm = ja[mm], jb[mm]
         head = (jam - woff[t[mm]] + 1) * w + g0[mm] - a[mm]

@@ -168,3 +168,25 @@ def test_window_stats_host_rejects_irregular():
                                  np.array([1, 101, 201]),
                                  np.array([100, 200, 300]),
                                  50) is None
+
+
+def test_window_stats_host_empty_piece_classes():
+    """np.bincount returns int64 for EMPTY weights arrays; a batch
+    with no single-window pieces (or none at all) must not poison the
+    float64 accumulators (found by fuzzing, seed 10149)."""
+    from pandepth_tpu.targets.windows import small_window_tiling
+
+    layout = GenomeLayout(np.array([1000], np.int64))
+    eng = CoverageEngine(layout, wrap18=True)
+    # every piece spans many 5bp windows -> the single-window class is
+    # empty
+    eng.add_batch(batch_from_recs([(0, 10, 0, 60, "200M")]))
+    t = small_window_tiling(1000, 5)
+    st = eng.window_stats_host(np.zeros(t.shape[0], np.int32),
+                               t[:, 0], t[:, 1], 5)
+    assert st is not None and st.cover.sum() == 200
+
+    eng2 = CoverageEngine(layout, wrap18=True)  # no reads at all
+    st2 = eng2.window_stats_host(np.zeros(t.shape[0], np.int32),
+                                 t[:, 0], t[:, 1], 5)
+    assert st2 is not None and st2.cover.sum() == 0
