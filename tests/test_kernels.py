@@ -190,3 +190,33 @@ def test_window_stats_host_empty_piece_classes():
     st2 = eng2.window_stats_host(np.zeros(t.shape[0], np.int32),
                                  t[:, 0], t[:, 1], 5)
     assert st2 is not None and st2.cover.sum() == 0
+
+
+def test_window_stats_host_int64_genome():
+    """>4 Gb layouts run the int64 position tier; the host window eval
+    must stay exact there (global coords overflow int32/uint32)."""
+    from pandepth_tpu.targets.windows import small_window_tiling
+
+    lengths = np.array([3_000_000_000, 2_000_000_000], np.int64)
+    layout = GenomeLayout(lengths)
+    assert layout.total > (1 << 32)
+    eng = CoverageEngine(layout)
+    eng.add_intervals(np.array([1, 1], np.int32),
+                      np.array([1_999_999_000, 500], np.int64),
+                      np.array([2_000_000_000, 700], np.int64))
+    win = 100_000_000
+    tids, tiles = [], []
+    for tid in range(2):
+        t = small_window_tiling(int(lengths[tid]), win)
+        tiles.append(t)
+        tids.append(np.full(t.shape[0], tid, np.int32))
+    seg_tid = np.concatenate(tids)
+    tiling = np.concatenate(tiles)
+    fast = eng.window_stats_host(seg_tid, tiling[:, 0], tiling[:, 1],
+                                 win)
+    assert fast is not None
+    ref = eng.segment_stats_sorted_host(seg_tid, tiling[:, 0],
+                                        tiling[:, 1])
+    np.testing.assert_array_equal(fast.cover, ref.cover)
+    np.testing.assert_array_equal(fast.depth_sum, ref.depth_sum)
+    assert fast.cover.sum() == 1_200
