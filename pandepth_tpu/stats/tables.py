@@ -397,21 +397,25 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
 
     region_set = set(int(t) for t in tids_with_regions)
     if native_write is not None:
-        first = True
-        wrote = False
+        jobs = []
         for tid in range(len(names)):
             if tid not in region_set:
                 continue
-            d = np.ascontiguousarray(dense_depth_fn(tid), np.int32)
-            rc = native_write(path.encode(), names[tid].encode(), 0, d,
-                              d.shape[0], 0 if first else 1)
-            if rc != 0:
-                raise OSError(f"site depth write failed ({rc}): {path}")
-            first = False
-            wrote = True
-        if not wrote:  # keep an (empty) file for parity
+
+            def job(p, tid=tid):
+                # dense expansion inside the job: np.repeat and the C
+                # gzip formatter both release the GIL, so contigs
+                # overlap across the member pool
+                d = np.ascontiguousarray(dense_depth_fn(tid), np.int32)
+                return native_write(p.encode(), names[tid].encode(),
+                                    0, d, d.shape[0], 0)
+            jobs.append(job)
+        if not jobs:  # keep an (empty) file for parity
             with GzTextWriter(path):
                 pass
+            return
+        open(path, "wb").close()
+        _run_member_jobs(path, jobs)
         return
 
     with GzTextWriter(path) as out:
