@@ -116,7 +116,7 @@ def probe_device(timeout_s: int = int(os.environ.get(
 
 
 def main() -> None:
-    platform = "device"
+    platform = os.environ.get("PANDEPTH_FORCE_PLATFORM", "device")
     if os.environ.get("PANDEPTH_FORCE_PLATFORM") is None \
             and not probe_device():
         sys.stderr.write("bench: accelerator unreachable; falling back "

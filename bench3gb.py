@@ -171,13 +171,15 @@ def main():
     # reference allocates per-base SiteInfo arrays, 12.8 GB at 3 Gb).
     # Long (the reference needs 10+ min), so opt-in; single runs.
     if os.environ.get("PANDEPTH_BENCH3GB_W100") == "1":
-        w, r = run_child(ours_argv(bam, out + "o", ["-w", "100"]))
+        # distinct output prefixes: the mode-5 win tables above feed
+        # the parity check below and must not be overwritten
+        w, r = run_child(ours_argv(bam, out + "ow100", ["-w", "100"]))
         results["ours_w100_wall_s"] = round(w, 3)
         results["ours_w100_rss_mb"] = round(r, 1)
         if ref:
             try:
                 w2, r2 = run_child(["timeout", "2400", ref, "-i", bam,
-                                    "-o", out + "r", "-w", "100"])
+                                    "-o", out + "rw100", "-w", "100"])
                 results["ref_w100_wall_s"] = round(w2, 3)
                 results["ref_w100_rss_mb"] = round(r2, 1)
                 results["vs_baseline_w100"] = round(w2 / w, 3)

@@ -537,9 +537,12 @@ class CoverageEngine:
 
     def segment_stats_sorted_host(self, seg_tid: np.ndarray,
                                   seg_start: np.ndarray,
-                                  seg_end: np.ndarray) -> SegmentStats:
+                                  seg_end: np.ndarray
+                                  ) -> Optional[SegmentStats]:
         """segment_stats for a batch whose GLOBAL boundaries arrive
-        sorted non-decreasing (mode-6 window tilings: tid-major,
+        sorted non-decreasing (returns None otherwise — the caller
+        falls back to the generic device eval)
+        (mode-6 window tilings: tid-major,
         start-minor — src/PanDepth.cpp:4313-4317 always emits them so).
 
         Evaluates on the host straight from the sweep state: ranking B
@@ -557,21 +560,11 @@ class CoverageEngine:
         hi = np.minimum(hi, lay.limits[seg_tid])
         hi = np.maximum(hi, lo)
 
-        st = self.sweep_state()
-        pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
-        depth = np.asarray(st[1])
+        if np.any(np.diff(lo) < 0) or np.any(np.diff(hi) < 0):
+            return None  # rank_sorted requires sorted queries
 
-        # prefix integrals re-derived on host (fetching c_cov/c_sum
-        # would double the device->host bytes for no work saved)
-        covered = depth >= self.min_dep
-        nxt = np.empty_like(pos_s)
-        nxt[:-1] = pos_s[1:]
-        nxt[-1] = np.iinfo(np.int64).max
-        plen = np.where(covered, nxt - pos_s, 0)
-        c_cov = np.cumsum(plen)
-        c_sum = np.cumsum(plen * depth.astype(np.int64))
-
-        e = pos_s.shape[0]
+        sweep = self._host_sweep()
+        pos_s = sweep[0]
 
         def rank_sorted(x: np.ndarray) -> np.ndarray:
             # r[j] = #{events < x[j]} for sorted x: each event lands at
@@ -580,21 +573,43 @@ class CoverageEngine:
             return np.cumsum(np.bincount(j0, minlength=x.shape[0] + 1)
                              )[: x.shape[0]].astype(np.int64)
 
-        def q_eval(x: np.ndarray, r: np.ndarray):
-            i_full = np.clip(r - 2, 0, e - 1)
-            i_part = np.clip(r - 1, 0, e - 1)
-            full_cov = np.where(r >= 2, c_cov[i_full], 0)
-            full_sum = np.where(r >= 2, c_sum[i_full], 0)
-            ind = (depth[i_part] >= self.min_dep).astype(np.int64)
-            diff = x - pos_s[i_part]
-            part_len = np.where(r >= 1, diff * ind, 0)
-            return (full_cov + part_len,
-                    full_sum + part_len * depth[i_part].astype(np.int64))
-
-        qc_lo, qs_lo = q_eval(lo, rank_sorted(lo))
-        qc_hi, qs_hi = q_eval(hi, rank_sorted(hi))
+        qc_lo, qs_lo = self._host_q_eval(sweep, lo, rank_sorted(lo))
+        qc_hi, qs_hi = self._host_q_eval(sweep, hi, rank_sorted(hi))
         return SegmentStats(cover=qc_hi - qc_lo,
                             depth_sum=qs_hi - qs_lo)
+
+    def _host_sweep(self):
+        """(pos_s int64, depth, c_cov, c_sum) as host numpy arrays.
+
+        Prefix integrals are re-derived on host: fetching c_cov/c_sum
+        from the device would double the device->host bytes for no
+        work saved."""
+        st = self.sweep_state()
+        pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
+        depth = np.asarray(st[1])
+        covered = depth >= self.min_dep
+        nxt = np.empty_like(pos_s)
+        nxt[:-1] = pos_s[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+        plen = np.where(covered, nxt - pos_s, 0)
+        c_cov = np.cumsum(plen)
+        c_sum = np.cumsum(plen * depth.astype(np.int64))
+        return pos_s, depth, c_cov, c_sum
+
+    def _host_q_eval(self, sweep, x: np.ndarray, r: np.ndarray):
+        """Q_cov(x), Q_sum(x) given each query's event rank r[j] =
+        #{events < x[j]} (numpy twin of sweep.eval_boundaries)."""
+        pos_s, depth, c_cov, c_sum = sweep
+        e = pos_s.shape[0]
+        i_full = np.clip(r - 2, 0, e - 1)
+        i_part = np.clip(r - 1, 0, e - 1)
+        full_cov = np.where(r >= 2, c_cov[i_full], 0)
+        full_sum = np.where(r >= 2, c_sum[i_full], 0)
+        ind = (depth[i_part] >= self.min_dep).astype(np.int64)
+        diff = x - pos_s[i_part]
+        part_len = np.where(r >= 1, diff * ind, 0)
+        return (full_cov + part_len,
+                full_sum + part_len * depth[i_part].astype(np.int64))
 
     def window_stats_host(self, seg_tid: np.ndarray,
                           seg_start: np.ndarray, seg_end: np.ndarray,
@@ -615,9 +630,10 @@ class CoverageEngine:
 
         Weights ride float64 bincounts: every addend is bounded by
         win * 2^18 < 2^26 and running sums stay far below 2^53, so
-        the integer results are exact."""
-        if self.min_dep < 1:
-            return None  # depth-0 pieces span contig gaps; use generic
+        the integer results are exact. (The piece->contig assignment
+        relies on min_dep >= 1 — covered pieces then lie inside read
+        intervals, which never span contigs — and __init__ clamps
+        min_dep to >= 1.)"""
         lay = self.layout
         w = int(win)
         counts = np.bincount(seg_tid, minlength=lay.n_targets)
@@ -646,9 +662,8 @@ class CoverageEngine:
             return None
 
         W = int(seg_start.shape[0])
-        st = self.sweep_state()
-        pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
-        depth = np.asarray(st[1])
+        sweep = self._host_sweep()
+        pos_s, depth = sweep[0], sweep[1]
         nxt = np.empty_like(pos_s)
         nxt[:-1] = pos_s[1:]
         nxt[-1] = np.iinfo(np.int64).max
@@ -703,21 +718,9 @@ class CoverageEngine:
         # clipped final windows: the grid over-counts [L, K*win)
         clip_t = np.nonzero(used & (exp_counts * w > lay.lengths))[0]
         if clip_t.shape[0]:
-            c_cov = np.cumsum(np.where(covered, nxt - pos_s, 0))
-            c_sum = np.cumsum(np.where(covered, nxt - pos_s, 0)
-                              * depth.astype(np.int64))
-            e = pos_s.shape[0]
-
             def q(x):
                 r = np.searchsorted(pos_s, x, side="left")
-                i_full = np.clip(r - 2, 0, e - 1)
-                i_part = np.clip(r - 1, 0, e - 1)
-                fc = np.where(r >= 2, c_cov[i_full], 0)
-                fs = np.where(r >= 2, c_sum[i_full], 0)
-                ind = (depth[i_part] >= self.min_dep).astype(np.int64)
-                pl = np.where(r >= 1, (x - pos_s[i_part]) * ind, 0)
-                return (fc + pl,
-                        fs + pl * depth[i_part].astype(np.int64))
+                return self._host_q_eval(sweep, x, r)
 
             xlo = lay.offsets[clip_t] + lay.lengths[clip_t]
             xhi = lay.offsets[clip_t] + exp_counts[clip_t] * w

@@ -75,6 +75,16 @@ def _footer(ss_len: int, ss_cov: int, ss_total: int, gc: bool,
             f"Coverage(%): {coverage:.2f}\tMeanDepth: {mean:.2f}\n")
 
 
+def _id_row_order(targets: TargetSet):
+    """Output row order for ID tables: tid-major, start-minor, C++
+    ``map<string>`` byte order for start ties
+    (src/PanDepth.cpp:4909-4923). Returns (order, encoded_ids)."""
+    ids_enc = [s.encode() for s in targets.gene_id]
+    order = np.lexsort((np.array(ids_enc), targets.gene_start,
+                        targets.gene_tid))
+    return order, ids_enc
+
+
 def aggregate_genes(targets: TargetSet, seg_cover: np.ndarray,
                     seg_dsum: np.ndarray):
     """Sum per-segment stats into per-gene CoveredSite/TotalDepth."""
@@ -138,9 +148,7 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
             return
 
         if targets.gene_id is not None:
-            order = np.lexsort((
-                np.array([i.encode() for i in targets.gene_id]),
-                targets.gene_start, targets.gene_tid))
+            order, _ = _id_row_order(targets)
         else:  # synthesized tilings have unique starts per contig
             order = np.lexsort((targets.gene_start, targets.gene_tid))
 
@@ -194,7 +202,8 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
         out.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
 
 
-def _run_member_jobs(path: str, jobs) -> None:
+def _run_member_jobs(path: str, jobs, workers: Optional[int] = None
+                     ) -> None:
     """Run per-contig native row-writer calls concurrently.
 
     Each job is ``fn(out_path) -> rc`` producing ONE complete gzip
@@ -212,7 +221,8 @@ def _run_member_jobs(path: str, jobs) -> None:
             rcs = [jobs[0](tmps[0])]
         else:
             with concurrent.futures.ThreadPoolExecutor(
-                    min(len(jobs), os.cpu_count() or 1)) as ex:
+                    min(len(jobs), workers or os.cpu_count() or 1)
+                    ) as ex:
                 rcs = list(ex.map(lambda a: a[1](tmps[a[0]]),
                                   enumerate(jobs)))
         with open(path, "ab") as out:
@@ -250,9 +260,7 @@ def _write_id_rows_native(path: str, mode: int, gc: bool,
         return False
     import gzip as _gzip
 
-    order = np.lexsort((
-        np.array([i.encode() for i in targets.gene_id]),
-        targets.gene_start, targets.gene_tid))
+    order, ids_enc = _id_row_order(targets)
     with _gzip.open(path, "wt", compresslevel=1) as fh:
         fh.write(table_header(mode, gc))
     length = np.ascontiguousarray(targets.gene_length[order], np.int64)
@@ -263,7 +271,7 @@ def _write_id_rows_native(path: str, mode: int, gc: bool,
     starts = np.ascontiguousarray(targets.gene_start[order], np.int64)
     ends = np.ascontiguousarray(targets.gene_end[order], np.int64)
     tid_arr = targets.gene_tid[order]
-    ids = [targets.gene_id[g].encode() for g in order]
+    ids = [ids_enc[g] for g in order]
     jobs = []
     for tid in np.unique(tid_arr):
         sel = np.nonzero(tid_arr == tid)[0]
@@ -414,8 +422,18 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
             with GzTextWriter(path):
                 pass
             return
+        # materialize the (possibly lazily merged) sweep state once,
+        # single-threaded, before the pool races to build it
+        try:
+            dense_depth_fn(int(next(iter(region_set))), 0, 0)
+        except TypeError:
+            pass
         open(path, "wb").close()
-        _run_member_jobs(path, jobs)
+        # each job holds a whole contig of dense int32 depth (~1 GB
+        # per 250 Mb contig): bound the pool so peak RSS stays a few
+        # contigs, not cpu_count of them
+        _run_member_jobs(path, jobs, workers=min(4, os.cpu_count()
+                                                 or 1))
         return
 
     with GzTextWriter(path) as out:
