@@ -17,7 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from pandepth_tpu.config import (MODE_CHR, MODE_WIN_SMALL, RunConfig)
+from pandepth_tpu.config import (MODE_CHR, MODE_WIN_BIG,
+                                 MODE_WIN_SMALL, RunConfig)
 from pandepth_tpu.device.layout import GenomeLayout
 from pandepth_tpu.io.bam import BamHeader, BamReader
 from pandepth_tpu.io.fasta import gc_count_ranges, load_ref_bases
@@ -166,9 +167,27 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
         engine.keep_state = bool(config.site_output) \
             or mode == MODE_WIN_SMALL
     with phase(stats, "segstats"):
-        seg = engine.segment_stats(targets.gene_tid[targets.seg_gene],
-                                   np.asarray(targets.seg_start),
-                                   np.asarray(targets.seg_end))
+        seg_tid = targets.gene_tid[targets.seg_gene]
+        seg = None
+        if targets.gene_id is None and targets.n_segments > (1 << 20) \
+                and hasattr(engine, "window_stats_host"):
+            # synthesized tilings (chr / win modes) are regular grids;
+            # at genome scale (e.g. -w 150 on 3 Gb = 20M windows) the
+            # O(E+W) host grid eval replaces ~20 chunked device
+            # dispatches (~320 MB of boundary uploads on a tunneled
+            # TPU). window_stats_host validates the grid and returns
+            # None if it doesn't match.
+            from pandepth_tpu.targets.windows import MEM_BIN_WINDOWS
+
+            grid_w = config.win_size if mode == MODE_WIN_BIG \
+                else MEM_BIN_WINDOWS
+            seg = engine.window_stats_host(
+                seg_tid, np.asarray(targets.seg_start),
+                np.asarray(targets.seg_end), grid_w)
+        if seg is None:
+            seg = engine.segment_stats(seg_tid,
+                                       np.asarray(targets.seg_start),
+                                       np.asarray(targets.seg_end))
         gene_cover, gene_dsum = aggregate_genes(targets, seg.cover,
                                                 seg.depth_sum)
 

@@ -89,10 +89,17 @@ def aggregate_genes(targets: TargetSet, seg_cover: np.ndarray,
                     seg_dsum: np.ndarray):
     """Sum per-segment stats into per-gene CoveredSite/TotalDepth."""
     n = targets.n_genes
+    sg = targets.seg_gene
+    if sg.shape[0] == n and n and sg[0] == 0 and \
+            np.all(np.diff(sg) == 1):
+        # one segment per gene in order (every synthesized tiling;
+        # 20M windows at -w 150 on 3 Gb): skip the slow ufunc.at
+        return (np.asarray(seg_cover, np.int64),
+                np.asarray(seg_dsum, np.int64))
     cover = np.zeros(n, np.int64)
     dsum = np.zeros(n, np.int64)
-    np.add.at(cover, targets.seg_gene, seg_cover)
-    np.add.at(dsum, targets.seg_gene, seg_dsum)
+    np.add.at(cover, sg, seg_cover)
+    np.add.at(dsum, sg, seg_dsum)
     return cover, dsum
 
 
