@@ -682,38 +682,40 @@ class CoverageEngine:
         ok = b > a
         a, b, d, t, g0 = a[ok], b[ok], d[ok], t[ok], g0[ok]
 
-        ja = (a - g0) // w + woff[t]
-        jb = (b - 1 - g0) // w + woff[t]
-        one = ja == jb
-        # accumulate in explicit float64: np.bincount returns int64
-        # when its weights array is EMPTY (no pieces in a class), and
-        # int64 += float64 is not a same-kind cast
-        cover_pt = np.zeros(W + 1, np.float64)
-        dsum_pt = np.zeros(W + 1, np.float64)
-        cover_pt += np.bincount(ja[one], weights=(b - a)[one],
-                                minlength=W + 1)
-        dsum_pt += np.bincount(ja[one], weights=((b - a) * d)[one],
-                               minlength=W + 1)
-        mm = ~one
-        jam, jbm = ja[mm], jb[mm]
-        head = (jam - woff[t[mm]] + 1) * w + g0[mm] - a[mm]
-        tail = b[mm] - ((jbm - woff[t[mm]]) * w + g0[mm])
-        dm = d[mm]
-        cover_pt += np.bincount(jam, weights=head, minlength=W + 1)
-        cover_pt += np.bincount(jbm, weights=tail, minlength=W + 1)
-        dsum_pt += np.bincount(jam, weights=head * dm, minlength=W + 1)
-        dsum_pt += np.bincount(jbm, weights=tail * dm, minlength=W + 1)
+        jal = (a - g0) // w          # window index local to the contig
+        jbl = (b - 1 - g0) // w
+        ja = jal + woff[t]
+        jb = jbl + woff[t]
+        multi = (jb > ja).astype(np.float64)
+        # uniform per-piece decomposition (no class masks): the head
+        # cell clips to the piece end for single-window pieces, the
+        # tail and interior weights are zeroed by `multi`, and
+        # zero-weight bincount entries are free. float64 accumulation
+        # is exact here (addends < 2^26 with 18-bit depths, running
+        # sums far below 2^53); np.bincount would also silently return
+        # int64 if a weights array were empty.
+        head = np.minimum(b, g0 + (jal + 1) * w) - a
+        tail = (b - (g0 + jbl * w)) * multi
+        pt_idx = np.concatenate([ja, jb])
+        cover_pt = np.bincount(pt_idx,
+                               weights=np.concatenate([head, tail]),
+                               minlength=W + 1).astype(np.float64,
+                                                       copy=False)
+        dsum_pt = np.bincount(pt_idx,
+                              weights=np.concatenate([head * d,
+                                                      tail * d]),
+                              minlength=W + 1)
         # full interior windows (ja+1 .. jb-1): diff array + cumsum
-        edges = np.concatenate([jam + 1, jbm])
-        cw = np.concatenate([np.full(jam.shape[0], float(w)),
-                             np.full(jbm.shape[0], float(-w))])
-        dw = np.concatenate([dm * float(w), dm * float(-w)])
-        cover_in = np.cumsum(np.bincount(edges, weights=cw,
-                                         minlength=W + 1))
-        dsum_in = np.cumsum(np.bincount(edges, weights=dw,
-                                        minlength=W + 1))
-        cover = (cover_pt + cover_in)[:W].astype(np.int64)
-        dsum = (dsum_pt + dsum_in)[:W].astype(np.int64)
+        wm = w * multi
+        edges = np.concatenate([ja + 1, jb])
+        cover_in = np.cumsum(np.bincount(
+            edges, weights=np.concatenate([wm, -wm]),
+            minlength=W + 2))
+        dsum_in = np.cumsum(np.bincount(
+            edges, weights=np.concatenate([wm * d, -wm * d]),
+            minlength=W + 2))
+        cover = (cover_pt[:W] + cover_in[:W]).astype(np.int64)
+        dsum = (dsum_pt[:W] + dsum_in[:W]).astype(np.int64)
 
         # clipped final windows: the grid over-counts [L, K*win)
         clip_t = np.nonzero(used & (exp_counts * w > lay.lengths))[0]
