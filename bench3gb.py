@@ -91,6 +91,29 @@ def _write_bed_from_gff(gff: str, bed: str) -> None:
     os.replace(bed + ".tmp", bed)
 
 
+def _write_paf_fixture(paf: str) -> None:
+    """8M-line PAF over the same 3 Gb contig space (cg:Z:150M)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n = N_READS
+    names = [f"chr{i + 1}" for i in range(N_CONTIGS)]
+    L = CONTIG_LEN
+    tid = rng.randint(0, N_CONTIGS, n)
+    pos = rng.randint(0, L - 200, n)
+    mapq = rng.choice([0, 10, 30, 60], n)
+    with open(paf + ".tmp", "w", buffering=1 << 22) as fh:
+        chunk = 200_000
+        for i in range(0, n, chunk):
+            rows = [f"r\t150\t0\t150\t+\t{names[t]}\t{L}\t{p}\t"
+                    f"{p + 150}\t150\t150\t{q}\tcg:Z:150M"
+                    for t, p, q in zip(tid[i:i + chunk],
+                                       pos[i:i + chunk],
+                                       mapq[i:i + chunk])]
+            fh.write("\n".join(rows) + "\n")
+    os.replace(paf + ".tmp", paf)
+
+
 def ensure_reference():
     if os.path.exists(REF_BIN):
         return REF_BIN
@@ -186,6 +209,25 @@ def main():
             except RuntimeError:
                 results["ref_w100_wall_s"] = None  # timed out (2400s)
                 results["vs_baseline_w100"] = round(2400.0 / w, 3)
+
+    # PAF engine at scale (opt-in: the reference's single-threaded
+    # PAF parse + per-base fill needs ~7 min on this fixture)
+    if os.environ.get("PANDEPTH_BENCH3GB_PAF") == "1":
+        paf = os.path.join(BENCH_DIR, "bench3gb.paf")
+        if not os.path.exists(paf):
+            _write_paf_fixture(paf)
+        w, r = run_child(ours_argv(paf, out + "opaf", []))
+        results["ours_paf_wall_s"] = round(w, 3)
+        results["ours_paf_rss_mb"] = round(r, 1)
+        if ref:
+            try:
+                w2, r2 = run_child(["timeout", "2400", ref, "-i", paf,
+                                    "-o", out + "rpaf"])
+                results["ref_paf_wall_s"] = round(w2, 3)
+                results["vs_baseline_paf"] = round(w2 / w, 3)
+            except RuntimeError:
+                results["ref_paf_wall_s"] = None
+                results["vs_baseline_paf"] = round(2400.0 / w, 3)
 
     # serve mode: the multi-sample cost model (one resident warm
     # process; the reference's own protocol reruns the binary 10x per
