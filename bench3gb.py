@@ -91,6 +91,22 @@ def _write_bed_from_gff(gff: str, bed: str) -> None:
     os.replace(bed + ".tmp", bed)
 
 
+def _write_fasta_fixture(fa: str) -> None:
+    """3 Gb random ACGT reference over the same contig space."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    with open(fa + ".tmp", "w", buffering=1 << 22) as fh:
+        for c in range(N_CONTIGS):
+            fh.write(f">chr{c + 1}\n")
+            for _ in range(CONTIG_LEN // 10_000_000):
+                seq = rng.choice([65, 67, 71, 84],
+                                 10_000_000).astype(np.uint8)
+                fh.write(seq.tobytes().decode("ascii"))
+                fh.write("\n")
+    os.replace(fa + ".tmp", fa)
+
+
 def _write_paf_fixture(paf: str) -> None:
     """8M-line PAF over the same 3 Gb contig space (cg:Z:150M)."""
     import numpy as np
@@ -209,6 +225,28 @@ def main():
             except RuntimeError:
                 results["ref_w100_wall_s"] = None  # timed out (2400s)
                 results["vs_baseline_w100"] = round(2400.0 / w, 3)
+
+    # GC mode (opt-in: generates a 3 GB reference fasta once)
+    if os.environ.get("PANDEPTH_BENCH3GB_GC") == "1":
+        fa = os.path.join(BENCH_DIR, "bench3gb.fa")
+        if not os.path.exists(fa):
+            _write_fasta_fixture(fa)
+        extra = ["-g", gff, "-c", "-r", fa]
+        w, r = run_child(ours_argv(bam, out + "ogc", extra))
+        results["ours_gc_wall_s"] = round(w, 3)
+        results["ours_gc_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", bam, "-o", out + "rgc"]
+                               + extra)
+            results["ref_gc_wall_s"] = round(w2, 3)
+            results["ref_gc_rss_mb"] = round(r2, 1)
+            results["vs_baseline_gc"] = round(w2 / w, 3)
+            import gzip as _g
+            with _g.open(out + "ogc.gene.stat.gz", "rb") as fh:
+                a = fh.read()
+            with _g.open(out + "rgc.gene.stat.gz", "rb") as fh:
+                b = fh.read()
+            results["parity_gc"] = a == b
 
     # PAF engine at scale (opt-in: the reference's single-threaded
     # PAF parse + per-base fill needs ~7 min on this fixture)

@@ -193,6 +193,26 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, i64p, i64p,
             u8p, i64p, i64p, i64p, i64p, i64p, ctypes.c_int64,
             ctypes.c_int]
+        lib.pancov_fasta_gc_load.restype = ctypes.c_void_p
+        lib.pancov_fasta_gc_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.pancov_fasta_gc_count.restype = ctypes.c_int64
+        lib.pancov_fasta_gc_count.argtypes = [ctypes.c_void_p]
+        lib.pancov_fasta_gc_len.restype = ctypes.c_int64
+        lib.pancov_fasta_gc_len.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_int64]
+        lib.pancov_fasta_gc_name.restype = ctypes.c_int
+        lib.pancov_fasta_gc_name.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int]
+        lib.pancov_fasta_gc_packed_size.restype = ctypes.c_int64
+        lib.pancov_fasta_gc_packed_size.argtypes = [ctypes.c_void_p,
+                                                    ctypes.c_int64]
+        lib.pancov_fasta_gc_copy.restype = None
+        lib.pancov_fasta_gc_copy.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int64, u8p]
+        lib.pancov_fasta_gc_free.restype = None
+        lib.pancov_fasta_gc_free.argtypes = [ctypes.c_void_p]
         lib.pancov_itf8_decode_all.restype = ctypes.c_int64
         lib.pancov_itf8_decode_all.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,

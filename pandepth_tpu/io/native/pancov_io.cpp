@@ -2853,3 +2853,168 @@ int pancov_site_depth_write(const char* path, const char* chr_name,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Streaming FASTA -> packed G/C indicator (the kseq + GC equivalent,
+// reference src/PanDepth.cpp:3513-3527 + :947-949). One pass over the
+// (possibly gzipped) file; per contig it emits a 1-bit-per-base G/C
+// bitmap (bitorder little) so a 3 Gb reference costs ~375 MB instead
+// of 3 GB resident (this host's VMM backs RSS fast only to ~4 GB).
+
+namespace {
+
+struct FastaGC {
+  std::vector<std::string> names;
+  std::vector<std::vector<uint8_t>> packed;
+  std::vector<int64_t> lens;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pancov_fasta_gc_load(const char* path, char* err, int err_len) {
+  gzFile gz = gzopen(path, "rb");
+  if (!gz) {
+    if (err && err_len > 0)
+      std::snprintf(err, err_len, "cannot open fasta: %s", path);
+    return nullptr;
+  }
+  gzbuffer(gz, 1 << 20);
+  auto* fg = new FastaGC();
+  std::vector<uint8_t> buf(1 << 22);
+  bool in_name = false, skip_to_eol = false, have_contig = false;
+  std::string name;
+  std::vector<uint8_t>* bits = nullptr;
+  int64_t n = 0;  // bases in current contig
+  uint8_t cur = 0;
+  auto flush_contig = [&]() {
+    if (!have_contig) return;
+    if (n & 7) bits->push_back(cur);
+    fg->lens.push_back(n);
+  };
+  for (;;) {
+    int got = gzread(gz, buf.data(), (unsigned)buf.size());
+    if (got < 0) {
+      gzclose(gz);
+      delete fg;
+      if (err && err_len > 0)
+        std::snprintf(err, err_len, "fasta read error: %s", path);
+      return nullptr;
+    }
+    if (got == 0) break;
+    static const std::vector<uint8_t> tab = [] {
+      std::vector<uint8_t> t(256, 0);
+      t['g'] = t['G'] = t['c'] = t['C'] = 1;
+      return t;
+    }();
+    for (int i = 0; i < got;) {
+      uint8_t c = buf[i];
+      if (in_name) {
+        if (c == '\n') {
+          in_name = false;
+          fg->names.back() = name;  // commit at header EOL
+        } else if (skip_to_eol) {
+          // name already captured; discard description
+        } else if (c == ' ' || c == '\t' || c == '\r') {
+          skip_to_eol = true;
+        } else {
+          name.push_back((char)c);
+        }
+        i++;
+        continue;
+      }
+      if (c == '>') {
+        flush_contig();
+        have_contig = true;
+        name.clear();
+        in_name = true;
+        skip_to_eol = false;
+        fg->names.emplace_back();  // placeholder, set at EOL
+        fg->packed.emplace_back();
+        bits = &fg->packed.back();
+        n = 0;
+        cur = 0;
+        i++;
+        continue;
+      }
+      if (c == '\n' || c == '\r') {
+        i++;
+        continue;
+      }
+      if (!have_contig) {  // junk before first header
+        i++;
+        continue;
+      }
+      // a run of sequence bytes: ends at the next line break (or the
+      // chunk edge — '\r' handled as a break so a split "\r\n" never
+      // counts as a base)
+      int end = got;
+      const void* nl = std::memchr(buf.data() + i, '\n', got - i);
+      if (nl) end = (int)((const uint8_t*)nl - buf.data());
+      const void* cr = std::memchr(buf.data() + i, '\r', end - i);
+      if (cr) end = (int)((const uint8_t*)cr - buf.data());
+      while ((n & 7) && i < end) {  // align to a bit-byte boundary
+        cur |= (uint8_t)(tab[buf[i]] << (n & 7));
+        n++;
+        i++;
+        if (!(n & 7)) {
+          bits->push_back(cur);
+          cur = 0;
+        }
+      }
+      while (end - i >= 8) {  // bulk: 8 bases -> 1 packed byte
+        const uint8_t* p = buf.data() + i;
+        bits->push_back((uint8_t)(
+            tab[p[0]] | (tab[p[1]] << 1) | (tab[p[2]] << 2) |
+            (tab[p[3]] << 3) | (tab[p[4]] << 4) | (tab[p[5]] << 5) |
+            (tab[p[6]] << 6) | (tab[p[7]] << 7)));
+        n += 8;
+        i += 8;
+      }
+      while (i < end) {
+        cur |= (uint8_t)(tab[buf[i]] << (n & 7));
+        n++;
+        i++;
+        if (!(n & 7)) {
+          bits->push_back(cur);
+          cur = 0;
+        }
+      }
+    }
+  }
+  if (in_name && !fg->names.empty())  // header line without newline
+    fg->names.back() = name;
+  flush_contig();
+  gzclose(gz);
+  return fg;
+}
+
+int64_t pancov_fasta_gc_count(void* h) {
+  return (int64_t)((FastaGC*)h)->names.size();
+}
+
+int64_t pancov_fasta_gc_len(void* h, int64_t i) {
+  return ((FastaGC*)h)->lens[i];
+}
+
+int pancov_fasta_gc_name(void* h, int64_t i, char* out, int out_len) {
+  const std::string& s = ((FastaGC*)h)->names[i];
+  if ((int)s.size() + 1 > out_len) return -1;
+  std::memcpy(out, s.data(), s.size());
+  out[s.size()] = 0;
+  return (int)s.size();
+}
+
+int64_t pancov_fasta_gc_packed_size(void* h, int64_t i) {
+  return (int64_t)((FastaGC*)h)->packed[i].size();
+}
+
+void pancov_fasta_gc_copy(void* h, int64_t i, uint8_t* out) {
+  auto& v = ((FastaGC*)h)->packed[i];
+  std::memcpy(out, v.data(), v.size());
+}
+
+void pancov_fasta_gc_free(void* h) { delete (FastaGC*)h; }
+
+}  // extern "C"

@@ -858,18 +858,21 @@ def run_paf(config: RunConfig) -> int:
 
 
 def paf_contigs_from_fasta(path: str):
-    from pandepth_tpu.io.fasta import iter_fasta
+    from pandepth_tpu.io.fasta import iter_fasta_gc
 
     names: List[str] = []
     lengths: List[int] = []
-    for name, seq in iter_fasta(path):
+    for name, gc in iter_fasta_gc(path):
         names.append(name)
-        lengths.append(len(seq))
+        lengths.append(len(gc))
     chr2tid = {n: i for i, n in enumerate(names)}
     return names, np.asarray(lengths, np.int64), chr2tid
 
 
-def load_ref_bases_paf(path: str) -> Dict[str, bytes]:
-    from pandepth_tpu.io.fasta import iter_fasta
+def load_ref_bases_paf(path: str):
+    """name -> PackedGC (the PAF engine only needs GC counts; packing
+    keeps a 3 Gb reference at ~375 MB instead of 3 GB — see
+    io.fasta.PackedGC)."""
+    from pandepth_tpu.io.fasta import iter_fasta_gc
 
-    return {name: seq for name, seq in iter_fasta(path)}
+    return dict(iter_fasta_gc(path))

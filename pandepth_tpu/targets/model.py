@@ -155,6 +155,11 @@ class GeneAccumulator:
         seq = self._ref.get(tid)
         if seq is None:
             return 0
+        if not isinstance(seq, (bytes, bytearray)):  # PackedGC
+            import numpy as np
+
+            return int(seq.count_ranges(np.array([start]),
+                                        np.array([end]))[0])
         frag = seq[max(start - 1, 0): end]
         return frag.count(b"G") + frag.count(b"C") + \
             frag.count(b"g") + frag.count(b"c")

@@ -174,3 +174,70 @@ def test_merged_spans_fuzz_vs_scalar_oracle():
         assert np.array_equal(w_off, np.asarray(ow)), trial
         assert np.array_equal(b0, np.asarray(ob0, np.int64)), trial
         assert np.array_equal(e0, np.asarray(oe0, np.int64)), trial
+
+
+def test_packed_gc_matches_bytes():
+    """PackedGC popcount counts must equal the raw-bytes path on random
+    sequences for every alignment of range boundaries (head/tail/full
+    byte splits, empty ranges, out-of-range clipping, lowercase, N)."""
+    import numpy as np
+
+    from pandepth_tpu.io.fasta import PackedGC, gc_count_ranges
+
+    rng = np.random.RandomState(11)
+    seq = bytes(rng.choice(list(b"ACGTacgtNn"), 10_037).astype(np.uint8))
+    p = PackedGC(seq)
+    assert len(p) == len(seq)
+    starts = rng.randint(-5, len(seq) + 10, 4000).astype(np.int64)
+    ends = starts + rng.randint(-3, 40, 4000)
+    np.testing.assert_array_equal(p.count_ranges(starts, ends),
+                                  gc_count_ranges(seq, starts, ends))
+    # dense sweep of every (offset, length<=17) pair at a byte seam
+    s2, e2 = [], []
+    for off in range(64, 90):
+        for ln in range(0, 18):
+            s2.append(off)
+            e2.append(off + ln - 1)
+    s2 = np.asarray(s2, np.int64)
+    e2 = np.asarray(e2, np.int64)
+    np.testing.assert_array_equal(p.count_ranges(s2, e2),
+                                  gc_count_ranges(seq, s2, e2))
+    assert PackedGC(b"").count_ranges(np.array([1]),
+                                      np.array([5])).tolist() == [0]
+
+
+def test_native_fasta_gc_matches_python(tmp_path):
+    """The C++ streaming FASTA->PackedGC scanner must agree with the
+    Python path on names, lengths, and packed bits (multi-contig,
+    descriptions, CRLF, trailing header without newline, gzip)."""
+    import gzip as _gz
+
+    import numpy as np
+    import pytest
+
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    if native.load_library() is None:
+        pytest.skip("native unavailable")
+    from pandepth_tpu.io.fasta import PackedGC, iter_fasta, iter_fasta_gc
+
+    rng = np.random.RandomState(4)
+    body = b">c1 some description\r\n"
+    s1 = bytes(rng.choice(list(b"ACGTacgtNn"), 1000).astype(np.uint8))
+    body += b"\r\n".join(s1[i:i + 60] for i in range(0, 1000, 60))
+    s2 = bytes(rng.choice(list(b"ACGT"), 17).astype(np.uint8))
+    body += b"\n>c2\n" + s2 + b"\n>empty"
+    for gz in (False, True):
+        p = str(tmp_path / ("t.fa.gz" if gz else "t.fa"))
+        if gz:
+            with _gz.open(p, "wb") as fh:
+                fh.write(body)
+        else:
+            with open(p, "wb") as fh:
+                fh.write(body)
+        got = list(iter_fasta_gc(p))
+        exp = [(n, PackedGC(s)) for n, s in iter_fasta(p)]
+        assert [g[0] for g in got] == [e[0] for e in exp] \
+            == ["c1", "c2", "empty"]
+        for (gn, gp), (en, ep) in zip(got, exp):
+            assert len(gp) == len(ep)
+            np.testing.assert_array_equal(gp.packed, ep.packed)
