@@ -107,6 +107,29 @@ def _write_fasta_fixture(fa: str) -> None:
     os.replace(fa + ".tmp", fa)
 
 
+def _write_cram_fixture(cram: str) -> None:
+    """2M-read coordinate-sorted CRAM (+.crai) over the contig space."""
+    import numpy as np
+
+    from pandepth_tpu.io.cram_writer import write_cram
+
+    rng = np.random.RandomState(3)
+    n = 2_000_000
+    names = [f"chr{i + 1}" for i in range(N_CONTIGS)]
+    tid = np.sort(rng.randint(0, N_CONTIGS, n))
+    recs = []
+    for t in range(N_CONTIGS):
+        k = int((tid == t).sum())
+        pos = np.sort(rng.randint(0, CONTIG_LEN - 200, k))
+        mq = rng.choice([0, 10, 30, 60], k)
+        recs.extend((int(t), int(p), 0, int(q), "150M")
+                    for p, q in zip(pos, mq))
+    write_cram(cram + ".tmp", names, [CONTIG_LEN] * N_CONTIGS, recs,
+               index=True)
+    os.replace(cram + ".tmp.crai", cram + ".crai")
+    os.replace(cram + ".tmp", cram)
+
+
 def _write_paf_fixture(paf: str) -> None:
     """8M-line PAF over the same 3 Gb contig space (cg:Z:150M)."""
     import numpy as np
@@ -247,6 +270,32 @@ def main():
             with _g.open(out + "rgc.gene.stat.gz", "rb") as fh:
                 b = fh.read()
             results["parity_gc"] = a == b
+
+    # CRAM + GC (BASELINE parity config 5) at scale (opt-in: writes a
+    # 2M-read CRAM once, ~4 min)
+    if os.environ.get("PANDEPTH_BENCH3GB_CRAM") == "1":
+        cram = os.path.join(BENCH_DIR, "bench3gb_2m.cram")
+        if not os.path.exists(cram):
+            _write_cram_fixture(cram)
+        fa = os.path.join(BENCH_DIR, "bench3gb.fa")
+        if not os.path.exists(fa):
+            _write_fasta_fixture(fa)
+        extra = ["-g", gff, "-c", "-r", fa]
+        w, r = run_child(ours_argv(cram, out + "ocr", extra))
+        results["ours_cramgc_wall_s"] = round(w, 3)
+        results["ours_cramgc_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", cram, "-o", out + "rcr"]
+                               + extra)
+            results["ref_cramgc_wall_s"] = round(w2, 3)
+            results["ref_cramgc_rss_mb"] = round(r2, 1)
+            results["vs_baseline_cramgc"] = round(w2 / w, 3)
+            import gzip as _g
+            with _g.open(out + "ocr.gene.stat.gz", "rb") as fh:
+                a = fh.read()
+            with _g.open(out + "rcr.gene.stat.gz", "rb") as fh:
+                b = fh.read()
+            results["parity_cramgc"] = a == b
 
     # PAF engine at scale (opt-in: the reference's single-threaded
     # PAF parse + per-base fill needs ~7 min on this fixture)
