@@ -312,6 +312,12 @@ def main():
                                     "-o", out + "rpaf"])
                 results["ref_paf_wall_s"] = round(w2, 3)
                 results["vs_baseline_paf"] = round(w2 / w, 3)
+                import gzip as _g
+                with _g.open(out + "opaf.chr.stat.gz", "rb") as fh:
+                    a = fh.read()
+                with _g.open(out + "rpaf.chr.stat.gz", "rb") as fh:
+                    b = fh.read()
+                results["parity_paf"] = a == b
             except RuntimeError:
                 results["ref_paf_wall_s"] = None
                 results["vs_baseline_paf"] = round(2400.0 / w, 3)

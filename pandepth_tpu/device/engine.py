@@ -725,7 +725,14 @@ class CoverageEngine:
                 return self._host_q_eval(sweep, x, r)
 
             xlo = lay.offsets[clip_t] + lay.lengths[clip_t]
-            xhi = lay.offsets[clip_t] + exp_counts[clip_t] * w
+            # the grid tail [L, K*w) can extend past the contig's slack
+            # (K*w - L up to w-1 > pad for large -w) into the NEXT
+            # contig's range (limits[t] == offsets[t+1]). The grid only
+            # ever counted pieces clipped to this contig (events clamp
+            # to the limit), so the over-count to subtract is the
+            # integral over [L, K*w) INTERSECTED with the contig range
+            xhi = np.minimum(lay.offsets[clip_t] + exp_counts[clip_t] * w,
+                             lay.limits[clip_t])
             qc0, qs0 = q(xlo)
             qc1, qs1 = q(xhi)
             last_w = woff[clip_t + 1] - 1

@@ -11,28 +11,145 @@ faithfully in ``load_ref_bases``.
 from __future__ import annotations
 
 import gzip
-import os
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, Optional, Tuple
+
+
+_KSEQ_SPACE = b" \t\n\v\f\r"
+
+
+def _iter_lines(fh) -> Iterator[Tuple[bytes, bool]]:
+    """(line_without_newline, had_newline) pairs; the '\\n' terminator
+    is consumed. A final piece without a terminator is yielded with
+    ``had_newline=False`` (nothing is yielded for a trailing '\\n')."""
+    buf = b""
+    while True:
+        chunk = fh.read(1 << 20)
+        if not chunk:
+            break
+        buf += chunk
+        start = 0
+        while True:
+            nl = buf.find(b"\n", start)
+            if nl < 0:
+                break
+            yield buf[start:nl], True
+            start = nl + 1
+        buf = buf[start:]
+    if buf:
+        yield buf, False
 
 
 def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
-    """Yield (name, sequence) pairs; name is the first whitespace token
-    after '>' (kseq semantics)."""
+    """Yield (name, sequence) pairs with EXACT kseq.h semantics (the
+    reference's -r reader, include/kseq.h:185-224) — byte-parity on
+    pathological files demands the full contract, established against
+    the reference headers:
+
+    - a record starts at any '>' or '@' byte (even mid-line in junk);
+      name = bytes until the first isspace() (possibly empty), rest of
+      that line is a discarded comment;
+    - sequence lines: empty lines skipped; a line-initial '>'/'@'
+      starts the next record; every line is appended VERBATIM (a
+      mid-line '\\r' is a length-occupying base) except that ONE
+      trailing '\\r' is dropped per line — and only when the
+      cumulative sequence length exceeds 1 (kseq.h:138's l>1 guard:
+      a lone leading '\\r' survives);
+    - at EOF without a newline the trim needs the final line to have
+      >= 2 chars (kseq's manual first-char append is not trimmed when
+      ks_getuntil2 reads nothing);
+    - a line-initial '+' switches to FASTQ quality reading: the '+'
+      line is discarded, then raw lines (same '\\r' trim against the
+      cumulative QUALITY length) accumulate until qual_len >= seq_len.
+      qual_len == seq_len emits the record and scanning continues;
+      anything else is kseq_read's -2, which makes the reference's
+      read loop (src/PanDepth.cpp:3513) drop the record and stop
+      reading the file entirely;
+    - a '>' at end-of-file with nothing after it yields no record
+      (ks_getuntil returns -1 on a zero-byte name read)."""
     opener = gzip.open if _is_gz(path) else open
-    name = None
-    seq: List[bytes] = []
     with opener(path, "rb") as fh:
-        for raw in fh:
-            line = raw.rstrip(b"\r\n")
-            if line.startswith(b">"):
-                if name is not None:
-                    yield name, b"".join(seq)
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                seq = []
-            elif name is not None:
-                seq.append(line)
-    if name is not None:
-        yield name, b"".join(seq)
+        lines = _iter_lines(fh)
+        name: Optional[str] = None
+        seq = bytearray()
+        state = "scan"          # scan | seq | qual
+        qual_len = 0
+        seq_pending: Optional[bytearray] = None
+
+        def start_header(line: bytes, pos: int, had_nl: bool):
+            """Parse a record start at line[pos-1]; returns the new
+            (name, emitted_ok) — emitted_ok False only for the
+            '>'-at-EOF no-record case."""
+            rest = line[pos:]
+            if not rest and not had_nl:
+                return None  # '>' then EOF: ks_getuntil -1, no record
+            end = len(rest)
+            for i, ch in enumerate(rest):
+                if ch in _KSEQ_SPACE:
+                    end = i
+                    break
+            return rest[:end].decode()  # utf-8, like the BAM header names
+
+        for line, had_nl in lines:
+            while True:
+                if state == "scan":
+                    p1, p2 = line.find(b">"), line.find(b"@")
+                    p = p1 if p2 < 0 else (p2 if p1 < 0 else min(p1, p2))
+                    if p < 0:
+                        break
+                    if name is not None:
+                        yield name, bytes(seq)
+                    nm = start_header(line, p + 1, had_nl)
+                    if nm is None:
+                        name = None
+                        break
+                    name, seq, state = nm, bytearray(), "seq"
+                    break
+                if state == "seq":
+                    if not line:
+                        break
+                    c0 = line[0]
+                    if c0 in b">@":
+                        yield name, bytes(seq)
+                        nm = start_header(line, 1, had_nl)
+                        if nm is None:
+                            name, state = None, "scan"
+                            break
+                        name, seq = nm, bytearray()
+                        break
+                    if c0 == ord("+"):
+                        if not had_nl:
+                            return  # EOF while skipping the '+' line
+                            # itself: kseq_read -2 before any quality
+                            # logic — record dropped, file abandoned
+                        state, qual_len = "qual", 0
+                        seq_pending = seq
+                        break
+                    seq += line
+                    if line[-1] == 13 and len(seq) > 1 and \
+                            (had_nl or len(line) >= 2):
+                        del seq[-1]
+                    break
+                if state == "qual":
+                    qual_len += len(line)
+                    if line and line[-1] == 13 and qual_len > 1:
+                        qual_len -= 1
+                    if qual_len >= len(seq_pending):
+                        if qual_len != len(seq_pending):
+                            return  # kseq_read -2: drop record, stop
+                        yield name, bytes(seq_pending)
+                        name, seq, state = None, bytearray(), "scan"
+                        seq_pending = None
+                    break
+        if state == "qual":
+            # EOF in quality: ks_getuntil2 returns -1 and the equality
+            # check still runs — qual_len == seq_len (only possible as
+            # 0 == 0, e.g. "+\n" then EOF) emits; anything else is the
+            # -2 drop-and-stop
+            if qual_len == len(seq_pending):
+                yield name, bytes(seq_pending)
+            return
+        if name is not None:
+            yield name, bytes(seq)
 
 
 def _is_gz(path: str) -> bool:
@@ -49,10 +166,10 @@ def iter_fasta_gc(path: str) -> Iterator[Tuple[str, PackedGC]]:
 
         from pandepth_tpu.io.native import load_library
 
-        lib = load_library()
+        lib = load_library()  # None under PANDEPTH_NO_NATIVE=1
     except Exception:
         lib = None
-    if lib is not None and os.environ.get("PANDEPTH_NO_NATIVE") != "1":
+    if lib is not None:
         import numpy as np
 
         err = ctypes.create_string_buffer(256)
@@ -61,13 +178,15 @@ def iter_fasta_gc(path: str) -> Iterator[Tuple[str, PackedGC]]:
             try:
                 nbuf = ctypes.create_string_buffer(4096)
                 for i in range(lib.pancov_fasta_gc_count(h)):
-                    if lib.pancov_fasta_gc_name(h, i, nbuf, 4096) < 0:
+                    ln = lib.pancov_fasta_gc_name(h, i, nbuf, 4096)
+                    if ln < 0:
                         raise ValueError("fasta contig name too long")
                     sz = lib.pancov_fasta_gc_packed_size(h, i)
                     packed = np.empty(sz, np.uint8)
                     if sz:
                         lib.pancov_fasta_gc_copy(h, i, packed)
-                    yield (nbuf.value.decode(),
+                    # raw[:ln], not .value: kseq names may contain NUL
+                    yield (nbuf.raw[:ln].decode(),
                            PackedGC.from_packed(
                                packed, lib.pancov_fasta_gc_len(h, i)))
             finally:

@@ -2874,6 +2874,20 @@ struct FastaGC {
 extern "C" {
 
 void* pancov_fasta_gc_load(const char* path, char* err, int err_len) {
+  // EXACT kseq.h record semantics (the reference's -r reader,
+  // include/kseq.h:94-224), validated differentially against a
+  // kseq-linked oracle and the Python iter_fasta twin: records start
+  // at any '>' or '@' byte; name = bytes until isspace(); '\n' is the
+  // ONLY line break (a mid-line '\r' is a length-occupying base); ONE
+  // trailing '\r' per line is dropped, and only while the cumulative
+  // sequence length exceeds 1; at EOF the trim additionally needs
+  // >= 2 bytes on the final line (kseq's manual first-char append is
+  // outside ks_getuntil2's trim). A line-initial '+' switches to
+  // FASTQ quality lines (same '\r' trim against the QUALITY length)
+  // until qual_len >= seq_len: equality commits the record, anything
+  // else -- or EOF inside the '+' line or the quality -- drops it and
+  // abandons the rest of the file (kseq_read's -2 return stops the
+  // reference's read loop, src/PanDepth.cpp:3513).
   gzFile gz = gzopen(path, "rb");
   if (!gz) {
     if (err && err_len > 0)
@@ -2883,16 +2897,62 @@ void* pancov_fasta_gc_load(const char* path, char* err, int err_len) {
   gzbuffer(gz, 1 << 20);
   auto* fg = new FastaGC();
   std::vector<uint8_t> buf(1 << 22);
-  bool in_name = false, skip_to_eol = false, have_contig = false;
-  std::string name;
-  std::vector<uint8_t>* bits = nullptr;
-  int64_t n = 0;  // bases in current contig
-  uint8_t cur = 0;
-  auto flush_contig = [&]() {
-    if (!have_contig) return;
-    if (n & 7) bits->push_back(cur);
-    fg->lens.push_back(n);
+  static const std::vector<uint8_t> tab = [] {
+    std::vector<uint8_t> t(256, 0);
+    t['g'] = t['G'] = t['c'] = t['C'] = 1;
+    return t;
+  }();
+  auto is_space = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\v' ||
+           c == '\f' || c == '\r';
   };
+  enum State { JUNK, NAME, COMMENT, SEQ, PLUS, QUAL, DONE };
+  State st = JUNK;
+  std::string name;
+  bool name_byte_seen = false;   // ">"+EOF yields no record
+  std::vector<uint8_t> bits;
+  int64_t n = 0;                 // bases packed so far (cur included)
+  uint8_t cur = 0;
+  int64_t line_len = 0;          // seq/qual bytes on the current line
+  uint8_t last_ch = 0;           // last seq/qual byte on that line
+  int64_t qual_len = 0;
+  bool at_bol = true;
+
+  auto append_base = [&](uint8_t c) {
+    cur |= (uint8_t)(tab[c] << (n & 7));
+    n++;
+    if (!(n & 7)) {
+      bits.push_back(cur);
+      cur = 0;
+    }
+  };
+  auto pop_base = [&]() {        // drop the most recent base
+    n--;
+    if ((n & 7) == 7) {
+      cur = bits.back();
+      bits.pop_back();
+    }
+    cur &= (uint8_t)((1u << (n & 7)) - 1);
+  };
+  auto commit = [&]() {
+    if (n & 7) bits.push_back(cur);
+    fg->names.push_back(name);
+    fg->packed.push_back(std::move(bits));
+    fg->lens.push_back(n);
+    bits.clear();
+    n = 0;
+    cur = 0;
+  };
+  auto begin_record = [&]() {
+    name.clear();
+    name_byte_seen = false;
+    bits.clear();
+    n = 0;
+    cur = 0;
+    line_len = 0;
+    st = NAME;
+  };
+
   for (;;) {
     int got = gzread(gz, buf.data(), (unsigned)buf.size());
     if (got < 0) {
@@ -2903,89 +2963,156 @@ void* pancov_fasta_gc_load(const char* path, char* err, int err_len) {
       return nullptr;
     }
     if (got == 0) break;
-    static const std::vector<uint8_t> tab = [] {
-      std::vector<uint8_t> t(256, 0);
-      t['g'] = t['G'] = t['c'] = t['C'] = 1;
-      return t;
-    }();
-    for (int i = 0; i < got;) {
+    int i = 0;
+    while (i < got && st != DONE) {
       uint8_t c = buf[i];
-      if (in_name) {
-        if (c == '\n') {
-          in_name = false;
-          fg->names.back() = name;  // commit at header EOL
-        } else if (skip_to_eol) {
-          // name already captured; discard description
-        } else if (c == ' ' || c == '\t' || c == '\r') {
-          skip_to_eol = true;
-        } else {
-          name.push_back((char)c);
+      switch (st) {
+        case JUNK: {
+          const uint8_t* p = buf.data() + i;
+          const uint8_t* gt =
+              (const uint8_t*)std::memchr(p, '>', got - i);
+          const uint8_t* at =
+              (const uint8_t*)std::memchr(p, '@', got - i);
+          const uint8_t* m =
+              gt && at ? (gt < at ? gt : at) : (gt ? gt : at);
+          if (!m) {
+            i = got;
+            break;
+          }
+          i = (int)(m - buf.data()) + 1;
+          begin_record();
+          break;
         }
-        i++;
-        continue;
-      }
-      if (c == '>') {
-        flush_contig();
-        have_contig = true;
-        name.clear();
-        in_name = true;
-        skip_to_eol = false;
-        fg->names.emplace_back();  // placeholder, set at EOL
-        fg->packed.emplace_back();
-        bits = &fg->packed.back();
-        n = 0;
-        cur = 0;
-        i++;
-        continue;
-      }
-      if (c == '\n' || c == '\r') {
-        i++;
-        continue;
-      }
-      if (!have_contig) {  // junk before first header
-        i++;
-        continue;
-      }
-      // a run of sequence bytes: ends at the next line break (or the
-      // chunk edge — '\r' handled as a break so a split "\r\n" never
-      // counts as a base)
-      int end = got;
-      const void* nl = std::memchr(buf.data() + i, '\n', got - i);
-      if (nl) end = (int)((const uint8_t*)nl - buf.data());
-      const void* cr = std::memchr(buf.data() + i, '\r', end - i);
-      if (cr) end = (int)((const uint8_t*)cr - buf.data());
-      while ((n & 7) && i < end) {  // align to a bit-byte boundary
-        cur |= (uint8_t)(tab[buf[i]] << (n & 7));
-        n++;
-        i++;
-        if (!(n & 7)) {
-          bits->push_back(cur);
-          cur = 0;
+        case NAME:
+          name_byte_seen = true;
+          if (is_space(c)) {
+            if (c == '\n') {
+              st = SEQ;
+              at_bol = true;
+              line_len = 0;
+            } else {
+              st = COMMENT;
+            }
+          } else {
+            name.push_back((char)c);
+          }
+          i++;
+          break;
+        case COMMENT: {
+          const void* nl = std::memchr(buf.data() + i, '\n', got - i);
+          if (!nl) {
+            i = got;
+            break;
+          }
+          i = (int)((const uint8_t*)nl - buf.data()) + 1;
+          st = SEQ;
+          at_bol = true;
+          line_len = 0;
+          break;
         }
-      }
-      while (end - i >= 8) {  // bulk: 8 bases -> 1 packed byte
-        const uint8_t* p = buf.data() + i;
-        bits->push_back((uint8_t)(
-            tab[p[0]] | (tab[p[1]] << 1) | (tab[p[2]] << 2) |
-            (tab[p[3]] << 3) | (tab[p[4]] << 4) | (tab[p[5]] << 5) |
-            (tab[p[6]] << 6) | (tab[p[7]] << 7)));
-        n += 8;
-        i += 8;
-      }
-      while (i < end) {
-        cur |= (uint8_t)(tab[buf[i]] << (n & 7));
-        n++;
-        i++;
-        if (!(n & 7)) {
-          bits->push_back(cur);
-          cur = 0;
+        case SEQ: {
+          if (at_bol) {
+            if (c == '\n') {       // empty line: skipped
+              i++;
+              break;
+            }
+            if (c == '>' || c == '@') {
+              commit();
+              i++;
+              begin_record();
+              break;
+            }
+            if (c == '+') {
+              i++;
+              st = PLUS;
+              break;
+            }
+            at_bol = false;        // c is a base; fall into the run
+          }
+          const void* nlp = std::memchr(buf.data() + i, '\n', got - i);
+          int end = nlp ? (int)((const uint8_t*)nlp - buf.data()) : got;
+          if (end > i) last_ch = buf[end - 1];
+          line_len += end - i;
+          while ((n & 7) && i < end) append_base(buf[i++]);
+          while (end - i >= 8) {   // bulk: 8 bases -> 1 packed byte
+            const uint8_t* p = buf.data() + i;
+            bits.push_back((uint8_t)(
+                tab[p[0]] | (tab[p[1]] << 1) | (tab[p[2]] << 2) |
+                (tab[p[3]] << 3) | (tab[p[4]] << 4) | (tab[p[5]] << 5) |
+                (tab[p[6]] << 6) | (tab[p[7]] << 7)));
+            n += 8;
+            i += 8;
+          }
+          while (i < end) append_base(buf[i++]);
+          if (nlp) {
+            if (line_len > 0 && last_ch == '\r' && n > 1) pop_base();
+            i++;                   // consume the '\n'
+            at_bol = true;
+            line_len = 0;
+          }
+          break;
         }
+        case PLUS: {
+          const void* nl = std::memchr(buf.data() + i, '\n', got - i);
+          if (!nl) {
+            i = got;
+            break;
+          }
+          i = (int)((const uint8_t*)nl - buf.data()) + 1;
+          st = QUAL;
+          qual_len = 0;
+          line_len = 0;
+          break;
+        }
+        case QUAL: {
+          const void* nlp = std::memchr(buf.data() + i, '\n', got - i);
+          int end = nlp ? (int)((const uint8_t*)nlp - buf.data()) : got;
+          if (end > i) last_ch = buf[end - 1];
+          line_len += end - i;
+          qual_len += end - i;
+          i = end;
+          if (nlp) {
+            if (line_len > 0 && last_ch == '\r' && qual_len > 1)
+              qual_len--;
+            i++;
+            if (qual_len >= n) {
+              if (qual_len == n) {
+                commit();
+                st = JUNK;
+              } else {
+                st = DONE;         // kseq -2: drop record, stop file
+              }
+            }
+            line_len = 0;
+          }
+          break;
+        }
+        case DONE:
+          i = got;
+          break;
       }
     }
+    if (st == DONE) break;
   }
-  if (in_name && !fg->names.empty())  // header line without newline
-    fg->names.back() = name;
-  flush_contig();
+  // EOF finalization (kseq_read's end-of-stream behavior per state)
+  switch (st) {
+    case NAME:
+      if (name_byte_seen) commit();
+      break;
+    case COMMENT:
+      commit();
+      break;
+    case SEQ:
+      if (line_len >= 2 && last_ch == '\r' && n > 1) pop_base();
+      commit();
+      break;
+    case QUAL:
+      if (line_len > 0 && last_ch == '\r' && qual_len > 1) qual_len--;
+      if (qual_len == n) commit();
+      break;
+    default:
+      break;  // JUNK; PLUS (EOF inside '+' line drops); DONE
+  }
   gzclose(gz);
   return fg;
 }

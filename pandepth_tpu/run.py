@@ -788,14 +788,14 @@ def run_alignment(config: RunConfig) -> int:
 
 
 def run_paf(config: RunConfig) -> int:
-    ref_bases = None
+    ref_by_tid = None
     if config.reference:
         # -r alone enables GC columns in the PAF engine (RefIn=true at
         # src/PanDepth.cpp:881). Documented divergence: without -c the
         # reference reads freed kseq buffers for those GC counts (UB
         # garbage); we always compute real GC from the fasta.
-        ref_bases = load_ref_bases_paf(config.reference)
-        names, lengths, chr2tid = paf_contigs_from_fasta(config.reference)
+        names, lengths, chr2tid, ref_by_tid = \
+            paf_contigs_from_fasta(config.reference)
         gc_cols = True
     else:
         if config.gc:
@@ -808,11 +808,6 @@ def run_paf(config: RunConfig) -> int:
         names, lengths = paf_contig_table(config.inputs[:1])
         chr2tid = {n: i for i, n in enumerate(names)}
         gc_cols = False
-
-    ref_by_tid = None
-    if ref_bases is not None:
-        ref_by_tid = {chr2tid[n]: s for n, s in ref_bases.items()
-                      if n in chr2tid}
 
     mode, targets = _prepare_targets(config, names, lengths, chr2tid,
                                      ref_by_tid)
@@ -858,21 +853,20 @@ def run_paf(config: RunConfig) -> int:
 
 
 def paf_contigs_from_fasta(path: str):
+    """ONE streaming pass over the -r fasta: contig table + per-tid
+    PackedGC (a second pass would re-gunzip and re-pack a 3 Gb
+    reference for nothing). Duplicate names get distinct tids exactly
+    like the reference's per-record ID++ / RefBase[ID] fasta load
+    (src/PanDepth.cpp:885-896); chr2tid keeps the LAST tid per name
+    (C++ map operator[] assignment)."""
     from pandepth_tpu.io.fasta import iter_fasta_gc
 
     names: List[str] = []
     lengths: List[int] = []
+    ref_by_tid = {}
     for name, gc in iter_fasta_gc(path):
+        ref_by_tid[len(names)] = gc
         names.append(name)
         lengths.append(len(gc))
     chr2tid = {n: i for i, n in enumerate(names)}
-    return names, np.asarray(lengths, np.int64), chr2tid
-
-
-def load_ref_bases_paf(path: str):
-    """name -> PackedGC (the PAF engine only needs GC counts; packing
-    keeps a 3 Gb reference at ~375 MB instead of 3 GB — see
-    io.fasta.PackedGC)."""
-    from pandepth_tpu.io.fasta import iter_fasta_gc
-
-    return dict(iter_fasta_gc(path))
+    return names, np.asarray(lengths, np.int64), chr2tid, ref_by_tid

@@ -90,7 +90,10 @@ def run_one(seed: int) -> tuple:
             finally:
                 os.environ.pop("PANDEPTH_NO_NATIVE", None)
         elif kind < 7:
-            fmt = ("sam", "sam.gz", "cram", "cram+crai")[seed % 4]
+            # (seed // 8) % 4, NOT seed % 4: kind = seed % 8 in
+            # {4,5,6} pins seed % 4 to {0,1,2} and 'cram+crai' would
+            # never be selected
+            fmt = ("sam", "sam.gz", "cram", "cram+crai")[(seed // 8) % 4]
             st = _run_case(tmp, ORACLE, seed, fmt=fmt)
         else:
             st = _run_multi(tmp, seed)

@@ -160,6 +160,38 @@ def test_window_stats_host_matches_generic(min_dep, wrap18, win):
     np.testing.assert_array_equal(fast.depth_sum, dev.depth_sum)
 
 
+def test_window_stats_host_grid_tail_past_slack():
+    """Large -w clipped windows: the grid tail [L, K*w) can overrun
+    the contig's 512-cell slack into the NEXT contig's range
+    (K*w - L up to w-1); the over-count correction must clamp its
+    integral to the contig limit or it subtracts the next contig's
+    coverage (regression: cover went negative)."""
+    from pandepth_tpu.targets.windows import small_window_tiling
+
+    win = 1000
+    lengths = np.array([1400, 5000], np.int64)  # K*w - L = 600 > 512
+    layout = GenomeLayout(lengths)
+    eng = CoverageEngine(layout)
+    recs = [(0, 0, 0, 60, "100M"),
+            (1, 0, 0, 60, "150M"), (1, 100, 0, 60, "150M")]
+    eng.add_batch(batch_from_recs(recs))
+    tids, tiles = [], []
+    for tid in range(2):
+        t = small_window_tiling(int(lengths[tid]), win)
+        tiles.append(t)
+        tids.append(np.full(t.shape[0], tid, np.int32))
+    seg_tid = np.concatenate(tids)
+    tiling = np.concatenate(tiles)
+    fast = eng.window_stats_host(seg_tid, tiling[:, 0], tiling[:, 1],
+                                 win)
+    assert fast is not None
+    dev = eng.segment_stats(seg_tid, np.asarray(tiling[:, 0]),
+                            np.asarray(tiling[:, 1]))
+    np.testing.assert_array_equal(fast.cover, dev.cover)
+    np.testing.assert_array_equal(fast.depth_sum, dev.depth_sum)
+    assert (fast.cover >= 0).all()
+
+
 def test_window_stats_host_rejects_irregular():
     layout = GenomeLayout(np.array([1000]))
     eng = CoverageEngine(layout)
