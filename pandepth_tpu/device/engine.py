@@ -155,7 +155,8 @@ class CoverageEngine:
         # backend the sort re-sorts ALL events with the queries —
         # measured 1.5x whole-run slowdown on a 16M-event mode-5 run —
         # while the unrolled scan is a few vectorized passes either way
-        self._eval_sort_ok = jax.devices()[0].platform != "cpu"
+        self._is_cpu_backend = jax.devices()[0].platform == "cpu"
+        self._eval_sort_ok = not self._is_cpu_backend
         # compact encoded windows (device-resident, uploaded async
         # during the feed; ~2 B/event over the tunnel instead of 8)
         self.enc_cap = int(os.environ.get("PANDEPTH_ENC_CAP", 1 << 19))
@@ -185,7 +186,17 @@ class CoverageEngine:
 
     @property
     def wants_encoded_windows(self) -> bool:
-        return os.environ.get("PANDEPTH_ENC", "1") != "0"
+        """Compact ~2 B/event code windows pay off across a narrow
+        device link (the tunneled TPU moves ~35 MB/s); on the CPU
+        backend there is no link and the fixed-capacity code blocks
+        make the XLA sort mostly sentinel padding — raw event staging
+        is ~2x faster end-to-end there (measured on the 3 Gb bench:
+        gene 7.5 s -> 3.0 s, chr 9.7 s -> 5.5 s). PANDEPTH_ENC=0/1
+        overrides."""
+        env = os.environ.get("PANDEPTH_ENC")
+        if env is not None:
+            return env != "0"
+        return not self._is_cpu_backend
 
     @property
     def pos_bits32(self) -> bool:

@@ -640,8 +640,14 @@ def run_alignment(config: RunConfig) -> int:
     # huge file can't undo the loader's flat-RSS guarantee
     puller0 = None
     stash0: List[tuple] = []
-    if r0 is not None and hasattr(r0, "take_enc_acc") and \
-            os.environ.get("PANDEPTH_ENC", "1") != "0":
+    enc_env = os.environ.get("PANDEPTH_ENC")
+    enc_hint = enc_env != "0" if enc_env is not None else \
+        os.environ.get("PANDEPTH_FORCE_PLATFORM") != "cpu"
+    # the engine doesn't exist yet (jax is still initializing in the
+    # background); pull encoded windows only when the eventual backend
+    # plausibly wants them — a wrong guess still drains correctly
+    # through decode_enc_host in _feed_stream
+    if r0 is not None and hasattr(r0, "take_enc_acc") and enc_hint:
         from pandepth_tpu import boot
 
         if boot.init_started() and not boot.is_ready():

@@ -13,6 +13,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # own values (setdefault keeps them in charge).
 os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 14))
 os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 11))
+# the production TPU feed path is the encoded one; keep the CPU suite
+# exercising it (the engine's backend-aware default would pick raw
+# staging on CPU — tests that want that default unset this)
+os.environ.setdefault("PANDEPTH_ENC", "1")
 # keep CPU-compiled artifacts apart from the axon/TPU remote-compiled
 # ones (their machine-feature signatures differ)
 os.environ.setdefault(

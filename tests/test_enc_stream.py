@@ -321,3 +321,40 @@ def test_feed_stream_upgrades_to_u16_on_sparse(tmp_path):
     b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
     assert np.array_equal(a.cover, b.cover)
     assert np.array_equal(a.depth_sum, b.depth_sum)
+
+
+def test_backend_aware_enc_default(tmp_path, monkeypatch):
+    """With PANDEPTH_ENC unset the engine picks the feed path by
+    backend: raw staging on CPU (no link to compress for; the padded
+    code blocks make the XLA-CPU sort mostly sentinels — measured 2x
+    end-to-end on the 3 Gb bench), encoded windows elsewhere. The
+    full stream feed through the default-raw path must match the
+    encoded path bit for bit."""
+    from pandepth_tpu.run import _feed_stream
+
+    monkeypatch.delenv("PANDEPTH_ENC", raising=False)
+    bam = str(tmp_path / "d.bam")
+    _mixed_bam(bam)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+
+    eng = CoverageEngine(lay)
+    assert eng._is_cpu_backend and not eng.wants_encoded_windows
+    r = _native_stream(bam)
+    _feed_stream(eng, r)
+    assert not eng._has_enc          # the raw take32 path was used
+
+    monkeypatch.setenv("PANDEPTH_ENC", "1")
+    eng2 = CoverageEngine(lay)
+    assert eng2.wants_encoded_windows
+    r2 = _native_stream(bam)
+    _feed_stream(eng2, r2)
+
+    seg_tid = np.arange(len(hdr.lengths), dtype=np.int64)
+    a = eng.segment_stats(seg_tid, np.ones(seg_tid.shape[0]),
+                          hdr.lengths)
+    b = eng2.segment_stats(seg_tid, np.ones(seg_tid.shape[0]),
+                           hdr.lengths)
+    assert np.array_equal(a.cover, b.cover)
+    assert np.array_equal(a.depth_sum, b.depth_sum)
+    assert eng.n_reads_seen == eng2.n_reads_seen
