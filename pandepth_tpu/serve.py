@@ -71,17 +71,34 @@ def code_token() -> str:
 def _recv_request(conn):
     """One request: (json dict, [fds]). The client half-closes after
     sending, so read to EOF — a stream socket may split the JSON
-    across recvs (the SCM_RIGHTS fds ride the first chunk)."""
-    msg, fds, _flags, _addr = socket.recv_fds(conn, _REQ_LIMIT, 3)
-    if not msg:
+    across recvs (the SCM_RIGHTS fds ride the first chunk).
+
+    Owns the received fds until successful return: every failure path
+    (empty request, oversized/undecodable payload, socket timeout mid
+    read) closes them — SCM_RIGHTS fds arrive before the payload is
+    validated and would otherwise leak toward EMFILE in a long-lived
+    daemon."""
+    fds = []
+    try:
+        msg, fds, _flags, _addr = socket.recv_fds(conn, _REQ_LIMIT, 3)
+        fds = list(fds)
+        if not msg:
+            raise ValueError("empty request")
+        buf = bytearray(msg)
+        while len(buf) < _REQ_LIMIT:
+            part = conn.recv(65536)
+            if not part:
+                break
+            buf += part
+        req = json.loads(bytes(buf).decode())
+    except (OSError, ValueError):
+        for fd in fds:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
         return None, []
-    buf = bytearray(msg)
-    while len(buf) < _REQ_LIMIT:
-        part = conn.recv(65536)
-        if not part:
-            break
-        buf += part
-    return json.loads(bytes(buf).decode()), list(fds)
+    return req, fds
 
 
 class _Server:
@@ -93,8 +110,13 @@ class _Server:
 
     def _run_one(self, req, fds):
         """Execute one CLI request under the caller's cwd/fds; returns
-        the reply dict. PANDEPTH_* env vars from the caller are applied
-        for the duration (they are read at run time, not import time)."""
+        the reply dict. The caller's PANDEPTH_* env REPLACES the
+        daemon's for the duration (vars the daemon inherited at spawn
+        but absent from the request are removed — they are read at run
+        time, not import time — so runs behave exactly like a fresh
+        process with the client's env). No exception may escape: the
+        daemon must survive dead cwds, bad fds, and string SystemExit
+        codes."""
         from pandepth_tpu.cli import main as cli_main
 
         saved_fds = [os.dup(i) for i in range(3)]
@@ -102,19 +124,36 @@ class _Server:
         saved_env = {}
         rc = 1
         try:
-            for i, fd in enumerate(fds[:3]):
-                os.dup2(fd, i)
-            for k, v in (req.get("env") or {}).items():
-                if k.startswith(("PANDEPTH_",)):
-                    saved_env[k] = os.environ.get(k)
-                    os.environ[k] = v
-            os.chdir(req.get("cwd") or "/")
             try:
+                for i, fd in enumerate(fds[:3]):
+                    os.dup2(fd, i)
+                req_env = {k: v
+                           for k, v in (req.get("env") or {}).items()
+                           if k.startswith("PANDEPTH_")}
+                mine = [k for k in os.environ
+                        if k.startswith("PANDEPTH_")]
+                for k in set(mine) | set(req_env):
+                    saved_env[k] = os.environ.get(k)
+                for k in mine:
+                    if k not in req_env:
+                        del os.environ[k]
+                os.environ.update(req_env)
+                os.chdir(req.get("cwd") or "/")
                 rc = int(cli_main(["pandepth"] + list(req["argv"])))
             except SystemExit as e:
-                rc = int(e.code or 0)
+                # CPython: sys.exit(str) prints to stderr, exits 1
+                if e.code is None:
+                    rc = 0
+                elif isinstance(e.code, int):
+                    rc = e.code
+                else:
+                    print(e.code, file=sys.stderr)
+                    rc = 1
             except BaseException as e:  # never kill the daemon
-                print(f"Error: {e}", file=sys.stderr)
+                try:
+                    print(f"Error: {e}", file=sys.stderr)
+                except OSError:
+                    pass
                 rc = 1
         finally:
             try:
@@ -122,7 +161,10 @@ class _Server:
                 sys.stderr.flush()
             except OSError:
                 pass
-            os.chdir(saved_cwd)
+            try:
+                os.chdir(saved_cwd)
+            except OSError:  # daemon home vanished: any stable cwd
+                os.chdir("/")
             for k, v in saved_env.items():
                 if v is None:
                     os.environ.pop(k, None)
@@ -148,6 +190,14 @@ class _Server:
         os.chmod(self.path, 0o600)
         srv.listen(16)
         srv.settimeout(idle_s)
+        # remember which inode WE bound: a replacement daemon may have
+        # re-created the path by the time this one exits, and deleting
+        # the replacement's socket would orphan it (clients would spawn
+        # a third daemon while it sits on the device until idle-exit)
+        try:
+            bound = os.stat(self.path)
+        except OSError:
+            bound = None
         if ready_fd >= 0:  # spawner handshake
             os.write(ready_fd, b"R")
             os.close(ready_fd)
@@ -155,6 +205,11 @@ class _Server:
         from pandepth_tpu import boot
 
         boot.background()
+        # a hung/stopped client must not wedge the single-threaded
+        # daemon: the accepted socket gets its own recv/send deadline
+        # (the run itself is not under this timeout)
+        req_timeout = float(os.environ.get(
+            "PANDEPTH_DAEMON_REQ_TIMEOUT_S", "120"))
         try:
             while not self.stop:
                 try:
@@ -162,45 +217,57 @@ class _Server:
                 except socket.timeout:
                     break  # idle: exit and free the TPU/socket
                 with conn:
-                    try:
-                        req, fds = _recv_request(conn)
-                    except (OSError, ValueError):
-                        continue
+                    conn.settimeout(req_timeout)
+                    req, fds = _recv_request(conn)
                     if req is None:
                         continue
+
+                    def close_fds():
+                        for fd in fds:
+                            try:
+                                os.close(fd)
+                            except OSError:
+                                pass
+                    def send(obj) -> None:
+                        try:
+                            conn.sendall(json.dumps(obj).encode())
+                        except OSError:
+                            pass  # client went away mid-reply
+
                     if req.get("cmd") == "stop":
-                        conn.sendall(b'{"rc": 0}')
+                        close_fds()
+                        send({"rc": 0})
                         break
                     if req.get("cmd") == "stat":
                         import resource
 
+                        close_fds()
                         rss = resource.getrusage(
                             resource.RUSAGE_SELF).ru_maxrss / 1024.0
-                        conn.sendall(json.dumps(
-                            {"rc": 0, "rss_mb": round(rss, 1)}).encode())
+                        send({"rc": 0, "rss_mb": round(rss, 1)})
                         continue
                     if req.get("cmd") == "ping":
+                        close_fds()
                         ok = req.get("token") == self.token
-                        conn.sendall(json.dumps(
-                            {"rc": 0 if ok else 1}).encode())
+                        send({"rc": 0 if ok else 1})
                         if not ok:
                             break
                         continue
                     if req.get("token") != self.token:
-                        conn.sendall(b'{"error": "stale"}')
-                        for fd in fds:
-                            os.close(fd)
-                        break  # exit so the client respawns fresh code
+                        close_fds()
+                        send({"error": "stale"})
+                        break  # exit: the client respawns fresh code
                     with self.lock:
                         reply = self._run_one(req, fds)
-                    try:
-                        conn.sendall(json.dumps(reply).encode())
-                    except OSError:
-                        pass
+                    send(reply)
         finally:
             srv.close()
             try:
-                os.unlink(self.path)
+                if bound is not None:
+                    st = os.stat(self.path)
+                    if (st.st_ino, st.st_dev) == (bound.st_ino,
+                                                  bound.st_dev):
+                        os.unlink(self.path)
             except OSError:
                 pass
         return 0

@@ -61,12 +61,12 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
-def _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo, seg_hi,
-                        n_dev: int, cap: int, min_dep: int,
-                        wrap18: bool):
+def _exchange_sorted(ev_pos, ev_delta, bounds, n_dev: int, cap: int,
+                     min_dep: int, wrap18: bool):
     """Shared shard_map body: range-bucket local events, one
     ``all_to_all`` hop to the owning device, carry-corrected local
-    sweep, psum'd segment eval. Returns (cover, dsum, overflow)."""
+    sort+scan. Returns (pos_sw, depth, c_cov, c_sum, overflow, lo, hi)
+    — the per-device sweep state over its owned range."""
     rid = jax.lax.axis_index("x")
     lo, hi = bounds[rid], bounds[rid + 1]
 
@@ -118,13 +118,29 @@ def _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo, seg_hi,
     del2 = jnp.concatenate([carry[None], recv_del])
     pos_sw, depth, c_cov, c_sum, _ = sweep_mod.sort_events(
         pos2, del2, min_dep=min_dep, wrap18=wrap18)
+    return pos_sw, depth, c_cov, c_sum, overflow, lo, hi
+
+
+def _state_eval(pos_sw, depth, c_cov, c_sum, lo, hi, seg_lo, seg_hi,
+                min_dep: int, method: str = "sort"):
     md = jnp.int32(min_dep)
     lo_q = jnp.clip(seg_lo, lo, hi)
     hi_q = jnp.clip(seg_hi, lo, hi)
     cover, dsum = sweep_mod.eval_pair(pos_sw, depth, c_cov, c_sum,
-                                      md, lo_q, hi_q)
-    return (jax.lax.psum(cover, "x"), jax.lax.psum(dsum, "x"),
-            overflow)
+                                      md, lo_q, hi_q, method=method)
+    return jax.lax.psum(cover, "x"), jax.lax.psum(dsum, "x")
+
+
+def _exchange_and_sweep(ev_pos, ev_delta, bounds, seg_lo, seg_hi,
+                        n_dev: int, cap: int, min_dep: int,
+                        wrap18: bool):
+    """Exchange + sweep + psum'd segment eval in one body.
+    Returns (cover, dsum, overflow)."""
+    pos_sw, depth, c_cov, c_sum, overflow, lo, hi = _exchange_sorted(
+        ev_pos, ev_delta, bounds, n_dev, cap, min_dep, wrap18)
+    cover, dsum = _state_eval(pos_sw, depth, c_cov, c_sum, lo, hi,
+                              seg_lo, seg_hi, min_dep)
+    return cover, dsum, overflow
 
 
 @functools.lru_cache(maxsize=None)
@@ -155,26 +171,62 @@ def _exchange_step(mesh: Mesh, n_dev: int, cap: int, flags_mask: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _events_exchange_step(mesh: Mesh, n_dev: int, cap: int,
-                          min_dep: int, wrap18: bool):
-    """Bucketed-exchange step over pre-extracted event rows — the
+def _events_exchange_finalize(mesh: Mesh, n_dev: int, cap: int,
+                              min_dep: int, wrap18: bool):
+    """Bucketed-exchange finalize over pre-extracted event rows — the
     multi-host path: every process decodes its own input files (the
     150 Gb-reads workload is decode-bound, so feed scaling IS the
     scaling) and contributes its events as rows on its local devices;
     one ``all_to_all`` lands each event on the device owning its
     genome range (ICI within a host, DCN across), and the replicated
-    tables come back identical on every process."""
+    tables come back identical on every process. ALSO returns the
+    per-device sorted sweep state as sharded rows, so follow-up
+    segment batches (query chunks, a second table pass) evaluate
+    against the cached device-resident state without repeating the
+    all_to_all + sort."""
 
     def step(pos2d, delta2d, bounds, seg_lo, seg_hi):
-        return _exchange_and_sweep(pos2d[0], delta2d[0], bounds,
-                                   seg_lo, seg_hi, n_dev, cap,
-                                   min_dep, wrap18)
+        pos_sw, depth, c_cov, c_sum, overflow, lo, hi = \
+            _exchange_sorted(pos2d[0], delta2d[0], bounds, n_dev, cap,
+                             min_dep, wrap18)
+        cover, dsum = _state_eval(pos_sw, depth, c_cov, c_sum, lo, hi,
+                                  seg_lo, seg_hi, min_dep)
+        return (cover, dsum, overflow, pos_sw[None], depth[None],
+                c_cov[None], c_sum[None])
 
     row = P("x", None)
     rep = P()
     return jax.jit(shard_map_fn(
         step, mesh, in_specs=(row, row, rep, rep, rep),
-        out_specs=(rep, rep, rep)))
+        out_specs=(rep, rep, rep, row, row, row, row)))
+
+
+@functools.lru_cache(maxsize=None)
+def _events_eval_step(mesh: Mesh, min_dep: int, method: str):
+    """Eval-only companion of _events_exchange_finalize: psum'd
+    segment stats against the cached sharded sweep state."""
+
+    def step(pos_s2, depth2, c_cov2, c_sum2, bounds, seg_lo, seg_hi):
+        rid = jax.lax.axis_index("x")
+        lo, hi = bounds[rid], bounds[rid + 1]
+        return _state_eval(pos_s2[0], depth2[0], c_cov2[0], c_sum2[0],
+                           lo, hi, seg_lo, seg_hi, min_dep,
+                           method=method)
+
+    row = P("x", None)
+    rep = P()
+    return jax.jit(shard_map_fn(
+        step, mesh, in_specs=(row, row, row, row, rep, rep, rep),
+        out_specs=(rep, rep)))
+
+
+@functools.lru_cache(maxsize=None)
+def _pmax_scalar_step(mesh: Mesh):
+    """Replicated max of a per-device scalar row (multi-host row-size
+    agreement). Cached so repeat calls reuse one compiled program."""
+    return jax.jit(shard_map_fn(
+        lambda v: jax.lax.pmax(v[0], "x"), mesh,
+        in_specs=P("x"), out_specs=P()))
 
 
 def sharded_coverage_step(mesh: Mesh, flags_mask: int, min_mapq: int,

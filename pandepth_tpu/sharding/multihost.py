@@ -68,21 +68,16 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
         return pos.astype(np.int64, copy=False), delta
 
     def _row_cap(self, n_local_rows: int) -> int:
-        """Globally agreed per-device row size: psum-max of the local
-        per-row need (every process must build the same global shape)."""
-        mesh = self._flat
-
-        @jax.jit
-        def gmax(x):
-            return jax.shard_map(
-                lambda v: jax.lax.pmax(v[0], "x"),
-                mesh=mesh, in_specs=P("x"), out_specs=P())(x)
-
+        """Globally agreed per-device row size: pmax of the local
+        per-row need (every process must build the same global shape).
+        The jitted pmax program is cached per mesh (a fresh @jax.jit
+        closure per call would retrace every time)."""
+        gmax = mesh_mod._pmax_scalar_step(self._flat)
         need = np.zeros(len(self._local), np.int64)
         need[:] = n_local_rows
         arrs = [jax.device_put(need[i: i + 1], d)
                 for i, d in enumerate(self._local)]
-        sh = NamedSharding(mesh, P("x"))
+        sh = NamedSharding(self._flat, P("x"))
         g = jax.make_array_from_single_device_arrays(
             (self.n_dev,), sh, arrs)
         return int(jax.device_get(gmax(g)))
@@ -123,14 +118,9 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
         hi = np.maximum(hi, lo)
         b = lo.shape[0]
 
-        pos, delta = self._local_events()
-        L = len(self._local)
-        cap = self._row_cap(-(-max(pos.shape[0], 1) // L))
-        cap = pad_pow2(cap, floor=256)
-        gp, gd = self._global_rows(pos, delta, cap)
-
         cover = np.empty(b, np.int64)
         dsum = np.empty(b, np.int64)
+        bounds = jnp.asarray(self.bounds)
         for i in range(0, b, chunk):
             j = min(i + chunk, b)
             bp = pad_pow2(j - i, floor=256)
@@ -138,19 +128,38 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
             hi_c = np.zeros(bp, np.int64)
             lo_c[: j - i] = lo[i:j]
             hi_c[: j - i] = hi[i:j]
-            # exchange capacity: 2x balanced share, doubled on overflow
-            ex = pad_pow2(-(-2 * cap // self.n_dev), floor=8)
-            mx = pad_pow2(2 * cap, floor=8)
-            while True:
-                step = mesh_mod._events_exchange_step(
-                    self._flat, self.n_dev, ex, self.min_dep,
-                    self.wrap18)
-                qc, qs, ovf = step(gp, gd, jnp.asarray(self.bounds),
-                                   jnp.asarray(lo_c),
-                                   jnp.asarray(hi_c))
-                if int(ovf) == 0 or ex >= mx:
-                    break
-                ex = min(ex * 2, mx)
+            if self._state is None:
+                # one exchange + sort per FEED (not per chunk/call):
+                # the finalize also returns the sharded sweep state,
+                # and every later batch rides the cheap eval program
+                # (the class docstring's cached-replicated-state
+                # contract). Exchange capacity: 2x balanced share,
+                # doubled on overflow.
+                pos, delta = self._local_events()
+                L = len(self._local)
+                rcap = self._row_cap(-(-max(pos.shape[0], 1) // L))
+                rcap = pad_pow2(rcap, floor=256)
+                gp, gd = self._global_rows(pos, delta, rcap)
+                ex = pad_pow2(-(-2 * rcap // self.n_dev), floor=8)
+                mx = pad_pow2(2 * rcap, floor=8)
+                while True:
+                    fin = mesh_mod._events_exchange_finalize(
+                        self._flat, self.n_dev, ex, self.min_dep,
+                        self.wrap18)
+                    out = fin(gp, gd, bounds, jnp.asarray(lo_c),
+                              jnp.asarray(hi_c))
+                    if int(out[2]) == 0 or ex >= mx:
+                        break
+                    ex = min(ex * 2, mx)
+                qc, qs = out[0], out[1]
+                self._state = out[3:7]
+            else:
+                method = "scan_unrolled" if bp <= 4096 or \
+                    jax.devices()[0].platform == "cpu" else "sort"
+                ev = mesh_mod._events_eval_step(self._flat,
+                                                self.min_dep, method)
+                qc, qs = ev(*self._state, bounds, jnp.asarray(lo_c),
+                            jnp.asarray(hi_c))
             cover[i:j] = np.asarray(qc)[: j - i]
             dsum[i:j] = np.asarray(qs)[: j - i]
         from pandepth_tpu.device.engine import SegmentStats

@@ -132,3 +132,57 @@ def test_serve_stale_token_refused(served):
                            stderr=subprocess.DEVNULL)
     _wait_sock(served["sock"])
     served["srv"] = srv
+
+
+def test_run_one_env_replacement_and_errors(tmp_path, monkeypatch):
+    """_run_one must (a) REPLACE the daemon's PANDEPTH_* env with the
+    request's — a var the daemon inherited at spawn but absent from
+    the request must not leak into the run; (b) survive a dead cwd and
+    a string SystemExit without killing the daemon; (c) restore env
+    afterwards."""
+    from pandepth_tpu import serve as srv_mod
+
+    s = srv_mod._Server(str(tmp_path / "x.sock"))
+    monkeypatch.setenv("PANDEPTH_TEST_INHERITED", "1")
+
+    seen = {}
+
+    def fake_main(argv):
+        seen["inherited"] = os.environ.get("PANDEPTH_TEST_INHERITED")
+        seen["sent"] = os.environ.get("PANDEPTH_TEST_SENT")
+        seen["cwd"] = os.getcwd()
+        return 0
+
+    monkeypatch.setattr("pandepth_tpu.cli.main", fake_main)
+    fds = [os.open(os.devnull, os.O_RDONLY),
+           os.open(os.devnull, os.O_WRONLY),
+           os.open(os.devnull, os.O_WRONLY)]
+    reply = s._run_one({"argv": ["-h"], "cwd": str(tmp_path),
+                        "env": {"PANDEPTH_TEST_SENT": "yes"}}, fds)
+    assert reply["rc"] == 0
+    assert seen["inherited"] is None      # removed for the run
+    assert seen["sent"] == "yes"
+    assert os.environ.get("PANDEPTH_TEST_INHERITED") == "1"  # restored
+    assert "PANDEPTH_TEST_SENT" not in os.environ
+
+    # dead cwd: rc != 0, no exception escapes
+    gone = tmp_path / "gone"
+    gone.mkdir()
+    gone.rmdir()
+    fds = [os.open(os.devnull, os.O_RDONLY),
+           os.open(os.devnull, os.O_WRONLY),
+           os.open(os.devnull, os.O_WRONLY)]
+    reply = s._run_one({"argv": [], "cwd": str(gone), "env": {}}, fds)
+    assert reply["rc"] != 0
+
+    # string SystemExit: CPython prints it and exits 1
+    def exit_main(argv):
+        raise SystemExit("boom")
+
+    monkeypatch.setattr("pandepth_tpu.cli.main", exit_main)
+    fds = [os.open(os.devnull, os.O_RDONLY),
+           os.open(os.devnull, os.O_WRONLY),
+           os.open(os.devnull, os.O_WRONLY)]
+    reply = s._run_one({"argv": [], "cwd": str(tmp_path), "env": {}},
+                       fds)
+    assert reply["rc"] == 1

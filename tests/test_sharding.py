@@ -169,3 +169,56 @@ def test_cli_sharded_vs_single_byte_parity(tmp_path, monkeypatch):
             if os.path.exists(a):
                 assert gzip.open(a).read() == gzip.open(b).read(), \
                     (args, suf)
+
+
+def test_multihost_engine_cached_state_eval():
+    """MultihostCoverageEngine must run the all_to_all exchange + sort
+    ONCE per feed: the first segment_stats caches the sharded sweep
+    state, later calls (and later chunks of a big batch) ride the
+    eval-only program — answers identical to the single-chip engine
+    every time. (Single-process here: process_count()==1 over the 8
+    virtual devices; the collective path is the same program.)"""
+    from pandepth_tpu.sharding.multihost import MultihostCoverageEngine
+
+    rng = np.random.RandomState(3)
+    lengths = np.array([5000, 2600], np.int64)
+    layout = GenomeLayout(lengths)
+    n = 600
+    tid = rng.randint(0, 2, n).astype(np.int32)
+    pos = rng.randint(0, 2400, n).astype(np.int64)
+    ln = rng.randint(1, 180, n).astype(np.int64)
+
+    ref = CoverageEngine(layout)
+    mh = MultihostCoverageEngine(layout)
+    for eng in (ref, mh):
+        eng.add_intervals(tid, pos, pos + ln)
+
+    seg_tid = np.array([0, 0, 1, 1], np.int32)
+    s1 = np.array([1, 2000, 1, 700], np.int64)
+    e1 = np.array([2500, 5000, 2600, 901], np.int64)
+    a = ref.segment_stats(seg_tid, s1, e1)
+    b1 = mh.segment_stats(seg_tid, s1, e1)       # exchange + cache
+    assert mh._state is not None
+    state_id = id(mh._state)
+    b2 = mh.segment_stats(seg_tid, s1, e1)       # cached eval only
+    assert id(mh._state) == state_id             # no re-exchange
+    np.testing.assert_array_equal(a.cover, b1.cover)
+    np.testing.assert_array_equal(a.depth_sum, b1.depth_sum)
+    np.testing.assert_array_equal(b1.cover, b2.cover)
+    np.testing.assert_array_equal(b1.depth_sum, b2.depth_sum)
+
+    # chunked batch: chunk 2 -> first chunk builds (already built),
+    # second chunk must reuse the state
+    b3 = mh.segment_stats(seg_tid, s1, e1, chunk=2)
+    np.testing.assert_array_equal(a.cover, b3.cover)
+    np.testing.assert_array_equal(a.depth_sum, b3.depth_sum)
+
+    # a new feed invalidates and rebuilds
+    mh.add_intervals(np.zeros(1, np.int32), np.array([10]),
+                     np.array([400]))
+    ref.add_intervals(np.zeros(1, np.int32), np.array([10]),
+                      np.array([400]))
+    a4 = ref.segment_stats(seg_tid, s1, e1)
+    b4 = mh.segment_stats(seg_tid, s1, e1)
+    np.testing.assert_array_equal(a4.cover, b4.cover)
+    np.testing.assert_array_equal(a4.depth_sum, b4.depth_sum)
