@@ -79,11 +79,13 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
 @functools.lru_cache(maxsize=8)
 def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
     """A (B, 2, CAP) all-zero code block (codes[:, 0] = deltas,
-    codes[:, 1] = lengths) + its (B, 2, CE) escape block: decodes to
-    B*CAP zero-length events at position 0 — depth-neutral pad for
-    the finalize arity."""
+    codes[:, 1] = lengths) + its (B, 2, CE) escape block + the
+    (B, 2, CE) escape-slot block (all CAP = "unused": slot CAP lands
+    in the decode's discard column): decodes to B*CAP zero-length
+    events at position 0 — depth-neutral pad for the finalize arity."""
     return (jnp.zeros((b, 2, cap), dtype),
-            jnp.zeros((b, 2, ce), jnp.int64))
+            jnp.zeros((b, 2, ce), jnp.int64),
+            jnp.full((b, 2, ce), cap, jnp.int32))
 
 
 @dataclasses.dataclass
@@ -319,14 +321,24 @@ class CoverageEngine:
         if not pend or (len(pend) < b and not pad):
             return
         k = len(pend)
+        esc = int(np.iinfo(dtype).max)
         codes = np.zeros((b, 2, self.enc_cap), dtype)
         excs = np.zeros((b, 2, self.enc_exc), np.int64)
+        # escape SLOT indices per row (device decode applies escapes
+        # as a tiny scatter instead of a per-element gather); unused
+        # entries point at CAP = the decode's discard column
+        slots = np.full((b, 2, self.enc_exc), self.enc_cap, np.int32)
         for i, (dd, ll, excd, excl) in enumerate(pend):
             codes[i, 0] = dd
             codes[i, 1] = ll
             excs[i, 0] = excd
             excs[i, 1] = excl
-        group.append((jax.device_put(codes), jax.device_put(excs)))
+            fd = np.flatnonzero(dd == esc)
+            fl = np.flatnonzero(ll == esc)
+            slots[i, 0, : fd.shape[0]] = fd
+            slots[i, 1, : fl.shape[0]] = fl
+        group.append((jax.device_put(codes), jax.device_put(excs),
+                      jax.device_put(slots)))
         gbases.extend(pbases + [0] * (b - k))
         pend.clear()
         pbases.clear()
@@ -340,7 +352,7 @@ class CoverageEngine:
                  self._pend8_bases),
                 (self._enc16, self._enc16_bases, self._pend16,
                  self._pend16_bases)):
-            for bi, (codes, excs) in enumerate(group):
+            for bi, (codes, excs, _slots) in enumerate(group):
                 codes = np.asarray(codes)
                 excs = np.asarray(excs)
                 for row in range(codes.shape[0]):
@@ -370,7 +382,15 @@ class CoverageEngine:
 
     def _enc_group_args(self, group, bases_list, dtype):
         k = len(group)
-        kp = pad_pow2(max(k, 1), floor=1)
+        if k == 0:
+            # an unused code-width group contributes a TINY depth-
+            # neutral block, not a full-capacity zero block: the zero
+            # codes still ride the finalize sort, and a (B, 2, CAP)
+            # zero block would double it (measured 269 -> 148 ms on
+            # the 8.4M-event bench finalize)
+            zc, ze, zs = _zero_enc_block(1, 1, 1, dtype)
+            return (zc,), (ze,), (zs,), jnp.zeros(1, self.pos_dtype)
+        kp = pad_pow2(k, floor=1)
         z = _zero_enc_block(self.enc_block, self.enc_cap,
                             self.enc_exc, dtype)
         blocks = list(group) + [z] * (kp - k)
@@ -380,6 +400,7 @@ class CoverageEngine:
         bases[:len(bases_list)] = bases_list
         return (tuple(w[0] for w in blocks),
                 tuple(w[1] for w in blocks),
+                tuple(w[2] for w in blocks),
                 jnp.asarray(bases))
 
     def _enc_args(self):
