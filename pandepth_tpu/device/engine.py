@@ -418,7 +418,11 @@ class CoverageEngine:
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
         """Append depth +1 over 0-based half-open [start0, end0) intervals
-        (PAF path). Clamped into each contig's padded range."""
+        (PAF / CRAM batch path). Clamped into each contig's padded
+        range. Rides the staging path: per-batch padded chunks (one
+        per CRAM slice, ~200 on a 2M-read file) would each become a
+        separate finalize operand — a fresh jit signature per batch
+        count and a 200-array concat."""
         if tid.shape[0] == 0:
             return
         lay = self.layout
@@ -427,11 +431,7 @@ class CoverageEngine:
         s = np.clip(floor + start0, floor, limit)
         e = np.clip(floor + end0, floor, limit)
         live = e > s
-        pos = np.concatenate([np.where(live, s, self.pos_sentinel),
-                              np.where(live, e, self.pos_sentinel)])
-        delta = np.concatenate([live.astype(np.int32),
-                                -live.astype(np.int32)])
-        self.add_events(pos, delta)
+        self.add_start_end(s[live], e[live])
 
     def add_events(self, pos: np.ndarray, delta: np.ndarray) -> None:
         """Directly append pre-built events (PAF path, tests).
