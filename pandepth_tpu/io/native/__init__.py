@@ -227,6 +227,21 @@ def load_library() -> Optional[ctypes.CDLL]:
             i64p, i64p, ctypes.c_char_p, ctypes.c_int]
         lib.pancov_sam_load.restype = ctypes.c_void_p
         lib.pancov_sam_load.argtypes = lib.pancov_paf_load.argtypes
+        lib.pancov_paf_contigs.restype = ctypes.c_void_p
+        lib.pancov_paf_contigs.argtypes = [ctypes.c_char_p,
+                                           ctypes.c_char_p,
+                                           ctypes.c_int]
+        lib.pancov_paf_contigs_count.restype = ctypes.c_int64
+        lib.pancov_paf_contigs_count.argtypes = [ctypes.c_void_p]
+        lib.pancov_paf_contigs_blob_len.restype = ctypes.c_int64
+        lib.pancov_paf_contigs_blob_len.argtypes = [ctypes.c_void_p]
+        lib.pancov_paf_contigs_blob.restype = None
+        lib.pancov_paf_contigs_blob.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_char_p]
+        lib.pancov_paf_contigs_lens.restype = None
+        lib.pancov_paf_contigs_lens.argtypes = [ctypes.c_void_p, i64p]
+        lib.pancov_paf_contigs_free.restype = None
+        lib.pancov_paf_contigs_free.argtypes = [ctypes.c_void_p]
         lib.pancov_targets_load.restype = ctypes.c_void_p
         lib.pancov_targets_load.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,

@@ -33,6 +33,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_set>
 #include <vector>
 
 #include <zlib.h>
@@ -2216,6 +2217,88 @@ void pancov_paf_events64(void* h, int64_t* starts, int64_t* ends) {
 }
 
 void pancov_paf_close(void* h) { delete (PafLoad*)h; }
+
+// ---------------------------------------------------------------------
+// PAF contig table (reference src/PanDepth.cpp:919-943): first-seen
+// order of columns 6-7. The Python line scan runs ~300k lines/s; this
+// memchr tokenizer does the 8M-line / 560 MB bench file in ~1.5 s.
+// Matches io/paf.py:paf_contig_table exactly: lines with < 7
+// whitespace-separated tokens are skipped.
+
+namespace {
+struct PafContigs {
+  std::string names_blob;  // NUL-separated, first-seen order
+  std::vector<int64_t> lens;
+};
+}  // namespace
+
+void* pancov_paf_contigs(const char* path, char* err, int err_len) {
+  std::vector<uint8_t> text;
+  if (!read_text_maybe_gz(path, text)) {
+    if (err && err_len > 0)
+      std::snprintf(err, err_len, "cannot read PAF: %s", path);
+    return nullptr;
+  }
+  auto* pc = new PafContigs();
+  std::unordered_set<std::string> seen;
+  const char* p = (const char*)text.data();
+  const char* end = p + text.size();
+  std::string name;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* le = nl ? nl : end;
+    if (le > p && le[-1] == '\r') le--;  // iter_text_lines strips \r
+    const char* f[8];
+    size_t fl[8];
+    int nf = 0;
+    const char* q = p;
+    while (q < le && nf < 8) {
+      const char* t = q;
+      while (q < le && *q != '\t' && *q != ' ') q++;
+      if (q > t) {
+        f[nf] = t;
+        fl[nf] = q - t;
+        nf++;
+      }
+      if (q < le) q++;
+    }
+    p = nl ? nl + 1 : end;
+    if (nf < 7) continue;
+    name.assign(f[5], fl[5]);
+    if (seen.insert(name).second) {
+      pc->names_blob.append(name);
+      pc->names_blob.push_back('\0');
+      int64_t ln = 0;
+      bool neg = false;
+      const char* d = f[6];
+      const char* de = f[6] + fl[6];
+      if (d < de && (*d == '-' || *d == '+')) neg = (*d++ == '-');
+      while (d < de && *d >= '0' && *d <= '9') ln = ln * 10 + (*d++ - '0');
+      pc->lens.push_back(neg ? -ln : ln);
+    }
+  }
+  return pc;
+}
+
+int64_t pancov_paf_contigs_count(void* h) {
+  return (int64_t)((PafContigs*)h)->lens.size();
+}
+
+int64_t pancov_paf_contigs_blob_len(void* h) {
+  return (int64_t)((PafContigs*)h)->names_blob.size();
+}
+
+void pancov_paf_contigs_blob(void* h, char* dst) {
+  const auto& b = ((PafContigs*)h)->names_blob;
+  std::memcpy(dst, b.data(), b.size());
+}
+
+void pancov_paf_contigs_lens(void* h, int64_t* dst) {
+  const auto& l = ((PafContigs*)h)->lens;
+  std::memcpy(dst, l.data(), l.size() * sizeof(int64_t));
+}
+
+void pancov_paf_contigs_free(void* h) { delete (PafContigs*)h; }
 
 // ---------------------------------------------------------------------
 // GFF/GTF feature-row tokenizer (the reference's target parsing,

@@ -30,11 +30,46 @@ _CG_RE = re.compile(r"(\d+)([A-Za-z=])")
 
 
 def paf_contig_table(paths: List[str]) -> Tuple[List[str], np.ndarray]:
-    """Scan PAF cols 6-7 for the contig table (first-seen order)."""
+    """Scan PAF cols 6-7 for the contig table (first-seen order).
+
+    Native memchr scan when the library is available (the Python line
+    loop runs ~300k lines/s — ~30 s of the 8M-line bench file's wall
+    was this table pass alone)."""
     names: List[str] = []
     lengths: List[int] = []
     seen: Dict[str, int] = {}
+    try:
+        import ctypes
+
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+    except Exception:
+        lib = None
     for path in paths:
+        if lib is not None:
+            err = ctypes.create_string_buffer(256)
+            h = lib.pancov_paf_contigs(path.encode(), err, 256)
+            if not h:
+                raise OSError(f"open PAF file error: {path}")
+            try:
+                n = lib.pancov_paf_contigs_count(h)
+                bl = lib.pancov_paf_contigs_blob_len(h)
+                blob = ctypes.create_string_buffer(max(int(bl), 1))
+                lib.pancov_paf_contigs_blob(h, blob)
+                lens = np.empty(n, np.int64)
+                if n:
+                    lib.pancov_paf_contigs_lens(h, lens)
+                file_names = blob.raw[:bl].split(b"\x00")[:-1]
+            finally:
+                lib.pancov_paf_contigs_free(h)
+            for nm, ln in zip(file_names, lens):
+                chrom = nm.decode()
+                if chrom not in seen:
+                    seen[chrom] = len(names)
+                    names.append(chrom)
+                    lengths.append(int(ln))
+            continue
         for line in iter_text_lines(path):
             if not line:
                 continue

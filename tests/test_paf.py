@@ -148,3 +148,24 @@ def test_paf_multi_file_list(tmp_path, oracle_bin):
     rc = cli_main(["pandepth", "-i", lst, "-o", os.path.join(tmp, "ours")])
     assert rc == 0
     _compare(tmp)
+
+
+def test_paf_contig_table_native_matches_python(tmp_path, monkeypatch):
+    """The native memchr contig scan must match the Python line scan
+    exactly: first-seen order, <7-token lines skipped, CRLF stripped,
+    duplicate names keep the first length, space-separated columns."""
+    from pandepth_tpu.io.paf import paf_contig_table
+
+    p = str(tmp_path / "c.paf")
+    with open(p, "wb") as fh:
+        fh.write(b"r1\t100\t0\t100\t+\tctgA\t5000\t10\t110\t100\t100\t60\n")
+        fh.write(b"r2\t100\t0\t100\t+\tctgB\t900\t1\t90\t100\t100\t60\r\n")
+        fh.write(b"short\tline\n")                  # <7 tokens: skipped
+        fh.write(b"\n")
+        fh.write(b"r3 100 0 100 + ctgA 7777 5 80 100 100 60\n")  # dup
+        fh.write(b"r4\t5\t0\t5\t+\tctgC\t42\t0\t5\t5\t5\t0")  # no NL
+    native = paf_contig_table([p])
+    monkeypatch.setenv("PANDEPTH_NO_NATIVE", "1")
+    py = paf_contig_table([p])
+    assert native[0] == py[0] == ["ctgA", "ctgB", "ctgC"]
+    assert native[1].tolist() == py[1].tolist() == [5000, 900, 42]
