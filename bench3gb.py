@@ -378,9 +378,20 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_3GB.json" if results["platform"] == "device"
         else "BENCH_3GB_cpu.json")
-    with open(os.environ.get("PANDEPTH_BENCH3GB_OUT", default_out),
-              "w") as fh:
-        json.dump(results, fh, indent=1)
+    path = os.environ.get("PANDEPTH_BENCH3GB_OUT", default_out)
+    # merge-update: sections are opt-in, so a partial rerun (e.g. one
+    # section after a tunnel wobble) must not drop the others' keys;
+    # same-platform artifacts accumulate, cross-platform ones replace
+    merged = results
+    try:
+        with open(path) as fh:
+            old = json.load(fh)
+        if old.get("platform") == results["platform"]:
+            merged = {**old, **results}
+    except (OSError, ValueError):
+        pass
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1)
         fh.write("\n")
 
 
