@@ -152,6 +152,23 @@ def configure_jax():
         return jax
 
 
+def _init_and_touch() -> None:
+    configure_jax()
+    # the first device op of a process pays the PJRT client/handshake
+    # setup (1-2 s through the TPU tunnel); force it here so it
+    # overlaps the host-side decode instead of landing on the feed's
+    # first device_put. After _ready is set, so configure_jax()
+    # consumers never wait on the round-trip.
+    try:
+        import numpy as _np
+
+        import jax as _jax
+
+        _np.asarray(_jax.numpy.arange(8).sum())
+    except Exception:
+        pass  # device probe trouble surfaces at the real first op
+
+
 def background() -> None:
     """Start jax initialization on a daemon thread (idempotent). The
     first jax consumer (``configure_jax``) blocks until it finishes."""
@@ -159,7 +176,7 @@ def background() -> None:
     with _lock:
         if _bg is not None or _configured:
             return
-        _bg = threading.Thread(target=configure_jax,
+        _bg = threading.Thread(target=_init_and_touch,
                                name="pandepth-jax-init", daemon=True)
         _bg.start()
 

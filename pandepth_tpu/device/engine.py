@@ -76,6 +76,51 @@ def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
     return starts, starts + lens
 
 
+def _warm_sig_path() -> Optional[str]:
+    d = os.environ.get("PANDEPTH_JAX_CACHE",
+                       os.path.expanduser("~/.cache/pandepth_jax"))
+    if not d or d == "0":
+        return None
+    return os.path.join(d, "finalize_signatures.json")
+
+
+def _load_warm_sigs() -> set:
+    path = _warm_sig_path()
+    if path is None:
+        return set()
+    try:
+        import json
+
+        with open(path) as fh:
+            return {tuple(s) for s in json.load(fh)}
+    except Exception:
+        return set()
+
+
+def _record_warm_sig(sig: tuple) -> None:
+    """Append a finalize signature that REALLY compiled+ran, so later
+    processes may warm it (load-only: the persistent compile cache has
+    the executable). Best-effort — concurrent writers may drop each
+    other's entry; it re-records next run."""
+    path = _warm_sig_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        sigs = _load_warm_sigs()
+        if sig in sigs:
+            return
+        sigs.add(sig)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(sigs)[-64:], fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 @functools.lru_cache(maxsize=8)
 def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
     """A (B, 2, CAP) all-zero code block (codes[:, 0] = deltas,
@@ -181,6 +226,17 @@ class CoverageEngine:
         self._pend16: List[tuple] = []
         self._pend16_bases: List[int] = []
         self._max_enc = 64 * 8  # windows; beyond this, decode on host
+        # finalize-program warm-up plan (see plan_finalize_warmup):
+        # the fused finalize's first dispatch pays ~2 s of executable
+        # load through the tunnel; with the query shape known up front
+        # and the encoded-block shapes predictable mid-feed, a
+        # background thread runs the same jit call on depth-neutral
+        # zero blocks so the real call hits a resident program
+        self._warm_plan: Optional[Tuple[int, bool]] = None
+        self._warm_shapes: Optional[Tuple[int, int]] = None
+        self._n_win8 = 0
+        self._n_win16 = 0
+        self._n_pairs_enc = 0
         # single-query runs (no -a, no later stats pass) skip returning
         # the full sweep state from the fused finalize: through a
         # tunneled TPU that state is hundreds of MB of output handles
@@ -293,6 +349,11 @@ class CoverageEngine:
         overlap later windows' decode — by finalize time the events
         are already resident."""
         assert dd.shape[0] == self.enc_cap
+        if dd.dtype == np.uint8:
+            self._n_win8 += 1
+        else:
+            self._n_win16 += 1
+        self._n_pairs_enc += int(n)
         pend, bases = (self._pend8, self._pend8_bases) \
             if dd.dtype == np.uint8 else (self._pend16,
                                           self._pend16_bases)
@@ -415,6 +476,120 @@ class CoverageEngine:
                 self._enc_group_args(self._enc16, self._enc16_bases,
                                      np.uint16))
 
+    def plan_finalize_warmup(self, n_segments: int,
+                             want_state: bool) -> None:
+        """Arm the finalize-program warm-up for this run.
+
+        The fused finalize compiles per shape signature; through the
+        tunneled TPU its FIRST dispatch pays ~2 s of executable
+        load/warm-up on top of steady-state execution (measured: first
+        exec 2.1 s vs 0.41 s after). The query-side shape (padded
+        segment count) is known right after target parsing; the
+        encoded-block shapes become predictable mid-feed from the
+        producer's compressed-byte progress. maybe_warm_finalize()
+        then runs the SAME jit call on depth-neutral zero blocks in a
+        background thread, overlapped with the rest of the feed, so
+        the real dispatch finds a resident program."""
+        if self._is_cpu_backend or n_segments > (1 << 20) \
+                or os.environ.get("PANDEPTH_WARM") == "0":
+            return  # host-grid / chunked paths don't take the fused
+            # finalize (run.py routes >1M synthesized windows to
+            # window_stats_host; >1M real segments chunk the eval)
+        self._warm_plan = (pad_pow2(int(n_segments), floor=256),
+                           bool(want_state))
+
+    def maybe_warm_finalize(self, frac: float,
+                            pairs_produced: int) -> None:
+        """Predict the finalize's encoded-block shapes from PRODUCER
+        progress — ``frac`` compressed bytes consumed / total and the
+        event pairs produced so far, a consistent ratio even while the
+        producer runs ahead of the consumer — and warm-compile ONCE.
+        A misprediction wastes one background dispatch; it never
+        changes results (the zero blocks are depth-neutral and the
+        real call compiles its own shapes as before)."""
+        if self._warm_plan is None or self._warm_shapes is not None \
+                or not (0.25 <= frac <= 0.98) or pairs_produced <= 0:
+            return
+        est_total = pairs_produced / frac
+        # remaining CONSUMER windows: total pairs minus those already
+        # packed into windows, at the current code tier (the tier only
+        # upgrades u8 -> u16, run._EncPuller)
+        est_rem = max(est_total - self._n_pairs_enc, 0.0)
+        rem_wins = int(np.ceil(est_rem / self.enc_cap))
+        win8, win16 = self._n_win8, self._n_win16
+        if win16 > 0:
+            win16 += rem_wins
+        else:
+            win8 += rem_wins
+        b = self.enc_block
+
+        def kp(wins: int) -> int:
+            if wins <= 0:
+                return 0
+            return pad_pow2((wins + b - 1) // b, floor=1)
+
+        self._warm_shapes = (kp(win8), kp(win16))
+        # only warm signatures that ALREADY compiled+ran on this host
+        # (recorded by segment_stats): a warm-up must only ever
+        # pre-load a persistent-cache executable. A mispredicted FRESH
+        # signature would start a full server-side compile (tens of
+        # seconds on the tunneled TPU) that the real dispatch then
+        # queues behind — worse than no warm-up at all.
+        known = self._finalize_sig(*self._warm_shapes) in \
+            _load_warm_sigs()
+        if os.environ.get("PANDEPTH_WARM_DEBUG"):
+            import sys
+            print(f"[warm] frac={frac:.3f} pairs={pairs_produced} "
+                  f"est_total={est_total:.0f} k8p={self._warm_shapes[0]} "
+                  f"k16p={self._warm_shapes[1]} bp={self._warm_plan[0]} "
+                  f"known={known}", file=sys.stderr)
+        if not known:
+            return
+        import threading
+
+        t = threading.Thread(target=self._warm_finalize,
+                             args=self._warm_shapes, daemon=True)
+        self._warm_thread_obj = t
+        t.start()
+
+    def _finalize_sig(self, k8p: int, k16p: int) -> tuple:
+        bp, want_state = self._warm_plan
+        method = "scan_unrolled" if bp <= 4096 \
+            or not self._eval_sort_ok else "sort"
+        return (jax.devices()[0].platform, k8p, k16p, bp, method,
+                bool(want_state), self.min_dep, bool(self.wrap18),
+                np.dtype(self.pos_dtype).name, self.enc_cap,
+                self.enc_exc, self.enc_block)
+
+    def _warm_finalize(self, k8p: int, k16p: int) -> None:
+        try:
+            bp, want_state = self._warm_plan
+            method = "scan_unrolled" if bp <= 4096 \
+                or not self._eval_sort_ok else "sort"
+
+            def group(k: int, dtype):
+                if k <= 0:
+                    zc, ze, zs = _zero_enc_block(1, 1, 1, dtype)
+                    return ((zc,), (ze,), (zs,),
+                            jnp.zeros(1, self.pos_dtype))
+                z = _zero_enc_block(self.enc_block, self.enc_cap,
+                                    self.enc_exc, dtype)
+                return ((z[0],) * k, (z[1],) * k, (z[2],) * k,
+                        jnp.zeros(k * self.enc_block, self.pos_dtype))
+
+            g8 = group(k8p, np.uint8)
+            g16 = group(k16p, np.uint16)
+            cp = (jnp.full((1,), self.pos_sentinel, self.pos_dtype),)
+            cd = (jnp.zeros((1,), jnp.int32),)
+            lo = jnp.zeros(bp, self.pos_dtype)
+            hi = jnp.zeros(bp, self.pos_dtype)
+            sweep_mod.finalize_encoded(
+                g8, g16, cp, cd, lo, hi, min_dep=self.min_dep,
+                wrap18=self.wrap18, method=method,
+                want_state=want_state)
+        except Exception:
+            pass  # best-effort: the real dispatch compiles as before
+
     def add_intervals(self, tid: np.ndarray, start0: np.ndarray,
                       end0: np.ndarray) -> None:
         """Append depth +1 over 0-based half-open [start0, end0) intervals
@@ -533,6 +708,19 @@ class CoverageEngine:
                     jnp.asarray(lo_c), jnp.asarray(hi_c),
                     min_dep=self.min_dep, wrap18=self.wrap18,
                     method=method, want_state=keep)
+                if not self._chunks:
+                    # remember this signature so later processes may
+                    # warm-load it during their feed (maybe_warm_...)
+                    k8 = len(self._enc)
+                    k16 = len(self._enc16)
+                    _record_warm_sig((
+                        jax.devices()[0].platform,
+                        pad_pow2(k8, floor=1) if k8 else 0,
+                        pad_pow2(k16, floor=1) if k16 else 0,
+                        bp, method, bool(keep), self.min_dep,
+                        bool(self.wrap18),
+                        np.dtype(self.pos_dtype).name,
+                        self.enc_cap, self.enc_exc, self.enc_block))
                 if keep:
                     self._clear_enc()
             else:

@@ -139,6 +139,10 @@ def load_library() -> Optional[ctypes.CDLL]:
              [ctypes.c_void_p]),
             ("pancov_stream_n_records", ctypes.c_int64,
              [ctypes.c_void_p]),
+            ("pancov_stream_progress", None,
+             [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+              ctypes.POINTER(ctypes.c_int64),
+              ctypes.POINTER(ctypes.c_int64)]),
             ("pancov_stream_error", None,
              [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]),
             ("pancov_stream_n_targets", ctypes.c_int64,
@@ -713,6 +717,23 @@ class NativeBamStream:
     @property
     def n_records(self) -> int:
         return int(self._lib.pancov_stream_n_records(self._h))
+
+    def progress(self):
+        """(fraction consumed, event pairs produced) of the PRODUCER
+        walk — both producer-side so their ratio projects the final
+        pair total consistently (consumer-side window counts lag the
+        read-ahead and under-project). The fraction is an estimate:
+        ranged walks over-count the denominator by per-range read
+        slack. Fraction is 0.0 when the total is unknown."""
+        done = ctypes.c_int64(0)
+        total = ctypes.c_int64(0)
+        pairs = ctypes.c_int64(0)
+        self._lib.pancov_stream_progress(self._h, ctypes.byref(done),
+                                         ctypes.byref(total),
+                                         ctypes.byref(pairs))
+        frac = min(done.value / total.value, 1.0) \
+            if total.value > 0 else 0.0
+        return frac, int(pairs.value)
 
     def close(self) -> None:
         if self._h:

@@ -1155,6 +1155,12 @@ struct StreamBam {
   StreamWin cur;
   bool have_cur = false;
   int64_t take_pos = 0;  // encoder cursor into cur (take_enc)
+  // feed-progress estimate for the consumer (drives the device-side
+  // finalize-program warm-up): compressed bytes consumed / total to
+  // consume (whole file, or the ranged walk's selected spans)
+  std::atomic<long long> comp_consumed{0};
+  long long comp_total = 0;
+  std::atomic<long long> pairs_produced{0};  // event pairs handed off
 
   ~StreamBam() {
     {
@@ -1416,6 +1422,8 @@ struct StreamBam {
                      raw_len - consumed);
       raw_len -= consumed;
       raw_abs += (int64_t)consumed;
+      comp_consumed.fetch_add((long long)consumed,
+                              std::memory_order_relaxed);
       bool range_done = src_eof && raw_len == 0;
       bool last = ctx.stream_done ||
                   (range_done && (!ranged || ri >= vr_v0.size()));
@@ -1448,6 +1456,8 @@ struct StreamBam {
         w.ee.swap(sink.ee);
         w.n_rec = sink.n_rec;
         total_records += w.n_rec;
+        pairs_produced.fetch_add((long long)w.es.size(),
+                                 std::memory_order_relaxed);
         q.push_back(std::move(w));
         cv.notify_all();
       }
@@ -1555,6 +1565,8 @@ void* pancov_stream_open(const char* path, int n_threads,
       if (rc == 1) {
         sb->carry_rec.assign(dec.begin() + hdr_end, dec.end());
         sb->carry_comp.assign(raw.begin() + comp_done, raw.end());
+        sb->comp_consumed.store((long long)comp_done,
+                                std::memory_order_relaxed);
         break;
       }
       if (sb->file_eof) return fail0("truncated BAM header");
@@ -1610,6 +1622,22 @@ void* pancov_stream_open(const char* path, int n_threads,
     }
   }
 
+  // total compressed bytes the walk will consume: the selected ranged
+  // spans (each range's read budget over-reaches ~66 KB, matched in
+  // produce()), or the whole file
+  if (!sb->vr_v0.empty()) {
+    long long tot = (long long)sb->comp_consumed.load();
+    for (size_t i = 0; i < sb->vr_v0.size(); i++)
+      tot += ((sb->vr_v1[i] >> 16) + 66000) - (sb->vr_v0[i] >> 16);
+    sb->comp_total = tot;
+  } else {
+    off_t cur = ftello(sb->f);
+    if (cur >= 0 && fseeko(sb->f, 0, SEEK_END) == 0) {
+      sb->comp_total = (long long)ftello(sb->f);
+      fseeko(sb->f, cur, SEEK_SET);
+    }
+  }
+
   sb->producer = std::thread([sb] { sb->produce(); });
   return sb;
 }
@@ -1633,6 +1661,18 @@ int64_t pancov_stream_win_records(void* h) {
   auto* sb = (StreamBam*)h;
   std::lock_guard<std::mutex> lk(sb->mu);
   return sb->have_cur ? sb->cur.n_rec : 0;
+}
+
+// compressed-byte progress of the producer walk: an ESTIMATE for
+// consumer-side planning (finalize-program warm-up), not an exact
+// accounting — `total` over-counts ranged walks by the per-range read
+// budget slack and `done` trails the records actually handed over
+void pancov_stream_progress(void* h, int64_t* done, int64_t* total,
+                            int64_t* pairs) {
+  auto* sb = (StreamBam*)h;
+  *done = (int64_t)sb->comp_consumed.load(std::memory_order_relaxed);
+  *total = (int64_t)sb->comp_total;
+  *pairs = (int64_t)sb->pairs_produced.load(std::memory_order_relaxed);
 }
 
 namespace {

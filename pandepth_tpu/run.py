@@ -366,10 +366,14 @@ def _feed_stream(engine, r, puller: Optional[_EncPuller] = None,
             engine.add_encoded_window(*win)
         p = puller if puller is not None else \
             _EncPuller(r, engine.enc_cap, engine.enc_exc)
+        can_warm = hasattr(engine, "maybe_warm_finalize") and \
+            hasattr(r, "progress")
         while not p.eof:
             win = p.next()
             if win is not None:
                 engine.add_encoded_window(*win)
+                if can_warm:
+                    engine.maybe_warm_finalize(*r.progress())
         engine.n_reads_seen += r.n_records
         r.close()
         return
@@ -662,6 +666,23 @@ def run_alignment(config: RunConfig) -> int:
                          flags_mask=config.flags,
                          min_mapq=config.min_mapq,
                          min_dep=config.min_depth, wrap18=wrap18)
+
+    # arm the finalize-program warm-up: the fused finalize's shape
+    # signature is (query pad, encoded-block counts); the query side
+    # is already known here and the block side becomes predictable
+    # from feed progress (engine.maybe_warm_finalize below), letting
+    # the ~2 s first-dispatch program load overlap the feed. Single
+    # input only: multi-file feeds accumulate across files so one
+    # file's progress predicts nothing. Skip the synthesized-grid
+    # genome-scale case _finalize_and_write routes to the host eval.
+    if len(config.inputs) == 1 and \
+            hasattr(engine, "plan_finalize_warmup") and \
+            not (targets.gene_id is None
+                 and targets.n_segments > (1 << 20)):
+        engine.plan_finalize_warmup(
+            targets.n_segments,
+            want_state=bool(config.site_output)
+            or mode == MODE_WIN_SMALL)
 
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
