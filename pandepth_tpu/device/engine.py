@@ -84,38 +84,54 @@ def _warm_sig_path() -> Optional[str]:
     return os.path.join(d, "finalize_signatures.json")
 
 
-def _load_warm_sigs() -> set:
+# Bump whenever sweep.finalize_encoded's traced computation or the
+# encoded wire format changes: the version rides inside every recorded
+# signature, so stale sidecar entries (whose persistent-compile-cache
+# executables no longer match) stop gating warm dispatches — a warm-up
+# on a vanished cache entry triggers the full server-side compile the
+# warm-up exists to avoid.
+WARM_SIG_VERSION = 2
+
+
+def _load_warm_sig_list() -> list:
     path = _warm_sig_path()
     if path is None:
-        return set()
+        return []
     try:
         import json
 
         with open(path) as fh:
-            return {tuple(s) for s in json.load(fh)}
+            return [tuple(s) for s in json.load(fh)]
     except Exception:
-        return set()
+        return []
+
+
+def _load_warm_sigs() -> set:
+    return set(_load_warm_sig_list())
 
 
 def _record_warm_sig(sig: tuple) -> None:
     """Append a finalize signature that REALLY compiled+ran, so later
     processes may warm it (load-only: the persistent compile cache has
     the executable). Best-effort — concurrent writers may drop each
-    other's entry; it re-records next run."""
+    other's entry; it re-records next run. Eviction is
+    insertion-ordered (oldest recorded drops first), never sorted:
+    sorting is lexicographic, not recency, and raises on mixed-schema
+    tuples."""
     path = _warm_sig_path()
     if path is None:
         return
     try:
         import json
 
-        sigs = _load_warm_sigs()
+        sigs = _load_warm_sig_list()
         if sig in sigs:
             return
-        sigs.add(sig)
+        sigs.append(sig)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
-            json.dump(sorted(sigs)[-64:], fh)
+            json.dump(sigs[-64:], fh)
         os.replace(tmp, path)
     except Exception:
         pass
@@ -552,14 +568,21 @@ class CoverageEngine:
         self._warm_thread_obj = t
         t.start()
 
+    def _sig_tuple(self, k8p: int, k16p: int, bp: int, method: str,
+                   want_state: bool) -> tuple:
+        """The ONE constructor for finalize signatures — predictor,
+        recorder and warm dispatch all go through it so they can never
+        drift apart."""
+        return (WARM_SIG_VERSION, jax.devices()[0].platform, k8p, k16p,
+                bp, method, bool(want_state), self.min_dep,
+                bool(self.wrap18), np.dtype(self.pos_dtype).name,
+                self.enc_cap, self.enc_exc, self.enc_block)
+
     def _finalize_sig(self, k8p: int, k16p: int) -> tuple:
         bp, want_state = self._warm_plan
         method = "scan_unrolled" if bp <= 4096 \
             or not self._eval_sort_ok else "sort"
-        return (jax.devices()[0].platform, k8p, k16p, bp, method,
-                bool(want_state), self.min_dep, bool(self.wrap18),
-                np.dtype(self.pos_dtype).name, self.enc_cap,
-                self.enc_exc, self.enc_block)
+        return self._sig_tuple(k8p, k16p, bp, method, want_state)
 
     def _warm_finalize(self, k8p: int, k16p: int) -> None:
         try:
@@ -713,14 +736,10 @@ class CoverageEngine:
                     # warm-load it during their feed (maybe_warm_...)
                     k8 = len(self._enc)
                     k16 = len(self._enc16)
-                    _record_warm_sig((
-                        jax.devices()[0].platform,
+                    _record_warm_sig(self._sig_tuple(
                         pad_pow2(k8, floor=1) if k8 else 0,
                         pad_pow2(k16, floor=1) if k16 else 0,
-                        bp, method, bool(keep), self.min_dep,
-                        bool(self.wrap18),
-                        np.dtype(self.pos_dtype).name,
-                        self.enc_cap, self.enc_exc, self.enc_block))
+                        bp, method, keep))
                 if keep:
                     self._clear_enc()
             else:

@@ -1265,6 +1265,13 @@ struct StreamBam {
       }
       if (raw_len == 0 && dec_carry == 0 && src_eof) {
         if (ranged) {
+          // budget bytes never read (end-block truncation / EOF) are
+          // still in comp_total: settle them so frac converges
+          if (budget > 0) {
+            comp_consumed.fetch_add((long long)budget,
+                                    std::memory_order_relaxed);
+            budget = 0;
+          }
           range_open = false;
           continue;
         }
@@ -1302,6 +1309,10 @@ struct StreamBam {
             consumed = blocks[keepb].src_off;
             total_out = blocks[keepb].out_off;
             blocks.resize(keepb);
+            // the discarded over-read tail still counts toward the
+            // progress estimate: comp_total budgets it (+66000/range)
+            comp_consumed.fetch_add((long long)(raw_len - consumed),
+                                    std::memory_order_relaxed);
             raw_len = consumed;  // discard the over-read tail
             src_eof = true;
           }
@@ -1322,6 +1333,8 @@ struct StreamBam {
           if (!ranged) return fail("truncated BGZF block");
           // ranged read budgets over-reach into the block after the
           // range's last: a partial trailing block there is expected
+          comp_consumed.fetch_add((long long)raw_len,
+                                  std::memory_order_relaxed);
           raw_len = 0;
           consumed = 0;
         }
@@ -1433,6 +1446,11 @@ struct StreamBam {
         // a record split across the range end lies past the last
         // relevant record (index chunks bound complete records): drop
         dec_carry = 0;
+        if (budget > 0) {
+          comp_consumed.fetch_add((long long)budget,
+                                  std::memory_order_relaxed);
+          budget = 0;
+        }
         range_open = false;
       } else {
         dec_carry = off < grand_total ? grand_total - off : 0;
