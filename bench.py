@@ -130,15 +130,26 @@ def main() -> None:
     bam = ensure_fixture()
     # the TPU tunnel in this environment has high run-to-run variance
     # and degrades under concurrent CPU load: measure ours first (warm
-    # + best-of-4), reference after, best-of-3 each
+    # run, then 5 timed), reference after (3 timed). MEDIANS, not
+    # minima — the headline must survive host-load noise — and the
+    # spread rides the artifact so drift between rounds is visible.
+    import statistics
+
     time_ours(bam)  # warm jit compiles
-    our_wall = min(time_ours(bam) for _ in range(6))
-    ref_wall = min(w for w in (time_reference(bam) for _ in range(3))
-                   if w is not None) if ensure_reference() else None
+    ours = sorted(time_ours(bam) for _ in range(5))
+    our_wall = statistics.median(ours)
+    ref_wall = spread_ref = None
+    if ensure_reference():
+        refs = sorted(w for w in (time_reference(bam)
+                                  for _ in range(3)) if w is not None)
+        if refs:
+            ref_wall = statistics.median(refs)
+            spread_ref = refs[-1] - refs[0]
     reads_per_s = N_READS / our_wall
     vs = (ref_wall / our_wall) if ref_wall else None
     sys.stderr.write(
-        f"bench: ours {our_wall:.2f}s, reference "
+        f"bench: ours {our_wall:.2f}s (spread {ours[-1] - ours[0]:.2f}), "
+        f"reference "
         f"{ref_wall if ref_wall else float('nan'):.2f}s\n")
     print(json.dumps({
         "metric": "aligned_reads_per_s",
@@ -146,6 +157,12 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs else None,
         "platform": platform,
+        "estimator": "median5-vs-median3",
+        "spread": {
+            "ours_s": round(ours[-1] - ours[0], 3),
+            "ref_s": round(spread_ref, 3)
+            if spread_ref is not None else None,
+        },
     }))
 
 

@@ -209,9 +209,19 @@ def main(argv=None) -> int:
         from pandepth_tpu.serve import stop_daemon
 
         return stop_daemon()
-    if os.environ.get("PANDEPTH_DAEMON") == "1":
-        # no background() here: the daemon must fork before any jax
-        # thread exists, and the client itself never needs jax
+    # Serve mode is the DEFAULT: a cold Python+jax process pays ~2 s
+    # of import plus ~2 s of trace/executable-load per invocation that
+    # the reference binary never pays; routing through the resident
+    # daemon (spawned on first use, idle-exit after
+    # PANDEPTH_DAEMON_IDLE_S) removes that fixed tax from every run
+    # after the first. Results are identical — serve.py ships argv,
+    # cwd, PANDEPTH_* env and the caller's stdio fds, and a staleness
+    # token (code mtimes + platform env) guarantees an edited tree or
+    # a different backend never reuses an old daemon. PANDEPTH_DAEMON=0
+    # opts out (benchmarks pin it to measure the cold path honestly).
+    # No background() on this path: the daemon must fork before any
+    # jax thread exists, and the client itself never needs jax.
+    if os.environ.get("PANDEPTH_DAEMON", "auto") not in ("0", ""):
         from pandepth_tpu.serve import client_main
 
         return client_main(args)

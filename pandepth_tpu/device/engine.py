@@ -250,6 +250,7 @@ class CoverageEngine:
         # zero blocks so the real call hits a resident program
         self._warm_plan: Optional[Tuple[int, bool]] = None
         self._warm_shapes: Optional[Tuple[int, int]] = None
+        self._warmed_sigs: set = set()
         self._n_win8 = 0
         self._n_win16 = 0
         self._n_pairs_enc = 0
@@ -513,6 +514,27 @@ class CoverageEngine:
             # window_stats_host; >1M real segments chunk the eval)
         self._warm_plan = (pad_pow2(int(n_segments), floor=256),
                            bool(want_state))
+        # EARLY WARM. The cold dispatch pays ~0.8 s of Python tracing
+        # plus ~1.3 s of server-side executable load through the
+        # tunnel, while a fast feed lasts only tenths of a second —
+        # waiting for the 25%-progress predictor leaves most of that
+        # serial. Encoded-block shapes repeat across runs on the same
+        # workload, so warm the most recent sidecar signature whose
+        # run-shape half (bp/method/filters/caps) matches this plan
+        # RIGHT NOW, before the feed starts. A stale guess wastes one
+        # background dispatch of an already-compiled program; the
+        # predictor can still fire a corrective warm mid-feed.
+        want = self._finalize_sig(0, 0)
+        for sig in reversed(_load_warm_sig_list()):
+            if len(sig) == len(want) and sig[:2] == want[:2] \
+                    and sig[4:] == want[4:]:
+                if os.environ.get("PANDEPTH_WARM_DEBUG"):
+                    import sys
+
+                    print(f"[warm] early k8p={sig[2]} k16p={sig[3]} "
+                          f"bp={want[4]}", file=sys.stderr)
+                self._spawn_warm(int(sig[2]), int(sig[3]))
+                break
 
     def maybe_warm_finalize(self, frac: float,
                             pairs_produced: int) -> None:
@@ -561,10 +583,21 @@ class CoverageEngine:
                   f"known={known}", file=sys.stderr)
         if not known:
             return
+        self._spawn_warm(*self._warm_shapes)
+
+    def _spawn_warm(self, k8p: int, k16p: int) -> None:
+        """Background-dispatch the (k8p, k16p) finalize program once
+        per signature per run (the early warm and the mid-feed
+        predictor may disagree; each distinct known signature warms
+        at most once)."""
+        sig = self._finalize_sig(k8p, k16p)
+        if sig in self._warmed_sigs:
+            return
+        self._warmed_sigs.add(sig)
         import threading
 
         t = threading.Thread(target=self._warm_finalize,
-                             args=self._warm_shapes, daemon=True)
+                             args=(k8p, k16p), daemon=True)
         self._warm_thread_obj = t
         t.start()
 
@@ -707,6 +740,11 @@ class CoverageEngine:
         hi = np.maximum(hi, lo)
 
         b = lo.shape[0]
+        dbg = os.environ.get("PANDEPTH_SEG_DEBUG")
+        if dbg:
+            import time as _time
+
+            _t0 = _time.perf_counter()
         if self._state is None and b <= chunk:
             # one fused dispatch: concat + sort + scan + eval; cache
             # the state
@@ -717,6 +755,8 @@ class CoverageEngine:
             hi_c[:b] = hi
             method = "scan_unrolled" if bp <= 4096 or not self._eval_sort_ok else "sort"
             self._flush_stage()
+            if dbg:
+                _t1 = _time.perf_counter()
             if self._chunks:
                 cp = tuple(c[0] for c in self._chunks)
                 cd = tuple(c[1] for c in self._chunks)
@@ -751,6 +791,32 @@ class CoverageEngine:
             if keep:
                 self._state = out[2:6]
                 self._chunks = [(out[2], out[6])]
+            if dbg:
+                import sys as _sys
+
+                _t2 = _time.perf_counter()
+                c_np = np.asarray(cover)[:b]
+                d_np = np.asarray(dsum)[:b]
+                _t3 = _time.perf_counter()
+                print(f"[seg] b={b} bp={bp} method={method} "
+                      f"k8={len(self._enc)} k16={len(self._enc16)} "
+                      f"flush={_t1 - _t0:.3f}s "
+                      f"dispatch={_t2 - _t1:.3f}s "
+                      f"fetch={_t3 - _t2:.3f}s", file=_sys.stderr)
+                if dbg == "2" and not keep and self._has_enc:
+                    # steady state: same signature, no retrace
+                    _r0 = _time.perf_counter()
+                    out2 = sweep_mod.finalize_encoded(
+                        g8, g16, cp, cd, jnp.asarray(lo_c),
+                        jnp.asarray(hi_c), min_dep=self.min_dep,
+                        wrap18=self.wrap18, method=method,
+                        want_state=keep)
+                    _r1 = _time.perf_counter()
+                    np.asarray(out2[0])
+                    _r2 = _time.perf_counter()
+                    print(f"[seg2] dispatch={_r1 - _r0:.3f}s "
+                          f"fetch={_r2 - _r1:.3f}s", file=_sys.stderr)
+                return SegmentStats(cover=c_np, depth_sum=d_np)
             return SegmentStats(cover=np.asarray(cover)[:b],
                                 depth_sum=np.asarray(dsum)[:b])
 

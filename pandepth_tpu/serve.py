@@ -51,7 +51,12 @@ def sock_path() -> str:
 def code_token() -> str:
     """Cheap package-version fingerprint: newest mtime among the
     package's top-level sources (covers the compiled-in native lib
-    too, whose rebuild touches its directory)."""
+    too, whose rebuild touches its directory) plus the
+    platform-determining env. jax's backend/cache config is applied
+    once per process at daemon start, so a client whose platform env
+    differs (e.g. a CPU-forced test vs a TPU bench) must NOT reuse a
+    running daemon — the env rides the token, the daemon answers
+    ``stale`` and exits, and the client respawns under its own env."""
     pkg = os.path.dirname(os.path.abspath(__file__))
     newest = 0.0
     for root, dirs, files in os.walk(pkg):
@@ -65,7 +70,10 @@ def code_token() -> str:
                     continue
                 if m > newest:
                     newest = m
-    return f"{newest:.6f}"
+    env = "|".join(os.environ.get(k, "") for k in
+                   ("PANDEPTH_FORCE_PLATFORM", "JAX_PLATFORMS",
+                    "PANDEPTH_JAX_CACHE", "XLA_FLAGS"))
+    return f"{newest:.6f}|{env}"
 
 
 def _recv_request(conn):

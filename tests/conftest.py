@@ -6,6 +6,10 @@ import shutil
 import subprocess
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the launcher routes through the resident daemon by default; tests
+# must stay in-process and deterministic (test_serve opts back in with
+# its own socket per subprocess)
+os.environ["PANDEPTH_DAEMON"] = "0"
 # small encoded-window buffers: test fixtures are hundreds of reads,
 # and the production 2^19-pair windows make every CPU run sort ~99.9%
 # padding (~5 s per CLI run, ~0.15 s with these). The encoding logic
