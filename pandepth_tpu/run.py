@@ -219,13 +219,21 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                                           config.win_size, stats_fn,
                                           gc_fn)
 
+    if config.site_output and hasattr(engine, "write_site_depth"):
+        # multihost site dump: range-sharded collective write — every
+        # rank participates (ends in a barrier), so it runs before the
+        # writer-rank gate
+        with phase(stats, "write"):
+            engine.write_site_depth(prefix + ".SiteDepth.gz", names,
+                                    lengths, targets.tids_with_regions())
     if not _is_writer_rank():
         return
     with phase(stats, "write"):
         write_tables(table_path(prefix, mode), mode, gc_cols, names,
                      targets, gene_cover, gene_dsum, win6_rows)
 
-        if config.site_output:
+        if config.site_output and not hasattr(engine,
+                                              "write_site_depth"):
             write_site_depth(prefix + ".SiteDepth.gz", names, lengths,
                              targets.tids_with_regions(),
                              engine.dense_depth)

@@ -50,10 +50,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     config = parse_args(rest)   # rest[0] is the program name
     if config is None:
         return 1
-    if config.site_output:
-        print("Error: -a (site depth) is not supported under "
-              "multihost execution", file=sys.stderr)
-        return 1
     config.inputs = process_read_shard(config.inputs)
     return run(config)
 

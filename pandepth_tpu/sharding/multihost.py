@@ -17,6 +17,8 @@ depth sums over files regardless of which host decoded which file.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pandepth_tpu import boot as _boot
@@ -41,8 +43,9 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
     agreed row size, places rows on local devices, and runs the
     bucketed-exchange step. Results are replicated — every rank can
     evaluate follow-up segment batches against its cached replicated
-    state without further collectives (mode-6 re-tiling, site dumps
-    excluded — the launcher rejects ``-a`` under multihost)."""
+    state without further collectives. Site dumps (``-a``) write
+    range-sharded: every rank emits its ranges' rows and rank 0
+    assembles (write_site_depth)."""
 
     def __init__(self, layout: GenomeLayout, flags_mask: int = 1796,
                  min_mapq: int = -1, min_dep: int = 1,
@@ -166,7 +169,61 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
 
         return SegmentStats(cover=cover, depth_sum=dsum)
 
-    def dense_depth(self, tid: int, start0: int = 0, end0=None):
-        raise NotImplementedError(
-            "site dumps (-a) are not supported under multihost "
-            "execution; run single-host for SiteDepth output")
+    # ------------------------------------------------------- site dump
+    def write_site_depth(self, path: str, names, lengths,
+                         tids_with_regions) -> None:
+        """Multihost ``-a``: every rank writes the SiteDepth rows of
+        the genome ranges its local devices own (one part file per
+        device row; the per-row sweep state is already absolute-depth
+        thanks to the carried-in synthetic event), then rank 0
+        concatenates the parts in range order — gzip members
+        concatenate, and ascending flat ranges are ascending output
+        lines, so the result is byte-identical content to the
+        single-host writer (reference src/PanDepth.cpp:4264-4284).
+
+        MUST be called on every rank (it ends in a global barrier);
+        the parts ride the job's shared filesystem."""
+        from pandepth_tpu.device.engine import dense_from_state
+        from pandepth_tpu.stats.tables import write_site_depth_range
+        from pandepth_tpu.io.text import GzTextWriter
+
+        if self._state is None:
+            # collective finalize on all ranks with a trivial query
+            self.segment_stats(np.zeros(1, np.int64),
+                               np.ones(1, np.int64),
+                               np.ones(1, np.int64))
+        lay = self.layout
+        pos2, dep2 = self._state[0], self._state[1]
+        for sp, sd in zip(pos2.addressable_shards,
+                          dep2.addressable_shards):
+            r = sp.index[0].start or 0
+            lo, hi = int(self.bounds[r]), int(self.bounds[r + 1])
+            if hi <= lo:
+                continue
+            pos_row = np.asarray(sp.data)[0]
+            dep_row = np.asarray(sd.data)[0]
+            write_site_depth_range(
+                f"{path}.part{r:05d}", names, lengths, lay.offsets,
+                tids_with_regions, lo, hi,
+                lambda a, b: dense_from_state(pos_row, dep_row, a, b))
+
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pandepth_site_depth")
+        if jax.process_index() != 0:
+            return
+        wrote = False
+        with open(path, "wb") as out:
+            import shutil
+
+            for r in range(self.n_dev):
+                part = f"{path}.part{r:05d}"
+                if not os.path.exists(part):
+                    continue
+                with open(part, "rb") as fh:
+                    shutil.copyfileobj(fh, out, 1 << 20)
+                os.remove(part)
+                wrote = True
+        if not wrote:  # keep an (empty) gzip file for parity
+            with GzTextWriter(path):
+                pass

@@ -457,6 +457,58 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
                     for k, v in enumerate(block.tolist())))
 
 
+def write_site_depth_range(path: str, names: Sequence[str],
+                           lengths: np.ndarray, offsets: np.ndarray,
+                           tids_with_regions: np.ndarray,
+                           lo: int, hi: int, dense_fn) -> bool:
+    """One shard of a range-partitioned ``.SiteDepth.gz``: the rows for
+    flat genome positions ``[lo, hi)`` restricted to chromosomes that
+    have regions, written to ``path`` as concatenated gzip members.
+
+    Because contig offsets ascend with tid and the site dump is
+    ordered (tid, pos), a contiguous flat range maps to a contiguous
+    run of output lines — per-range part files concatenated in range
+    order reproduce the single-writer file exactly (multihost ``-a``,
+    reference writer src/PanDepth.cpp:4264-4284). ``dense_fn(a, b)``
+    returns int32 per-base depth for flat ``[a, b)``. Returns True if
+    any row was written (no file is created otherwise)."""
+    native_write = None
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+        if lib is not None:
+            native_write = lib.pancov_site_depth_write
+    except Exception:
+        pass
+
+    region_set = set(int(t) for t in tids_with_regions)
+    wrote = False
+    for tid in range(len(names)):
+        if tid not in region_set:
+            continue
+        off = int(offsets[tid])
+        a = max(lo, off)
+        b = min(hi, off + int(lengths[tid]))
+        if b <= a:
+            continue
+        d = np.ascontiguousarray(dense_fn(a, b), np.int32)
+        if native_write is not None:
+            rc = native_write(path.encode(), names[tid].encode(),
+                              a - off, d, b - a, 1 if wrote else 0)
+            if rc != 0:
+                raise OSError(f"site depth range write failed ({rc}):"
+                              f" {path}")
+        else:
+            with _gzip.open(path, "at" if wrote else "wt",
+                            compresslevel=1) as out:
+                name = names[tid]
+                for k, v in enumerate(d.tolist()):
+                    out.write(f"{name}\t{a - off + k}\t{v}\n")
+        wrote = True
+    return wrote
+
+
 def mode6_window_rows(names: Sequence[str], lengths: np.ndarray,
                       tids_with_regions: np.ndarray, win_size: int,
                       stats_fn, gc_counts_fn=None):

@@ -131,7 +131,7 @@ jax.config.update("jax_num_cpu_devices", 2)
 from pandepth_tpu.sharding.launch import main
 rc = main(["launch", "--coordinator", "localhost:%PORT%",
            "--nprocs", "2", "--rank", sys.argv[1],
-           "-i", sys.argv[2], "-o", sys.argv[3]])
+           "-i", sys.argv[2], "-o", sys.argv[3]] + sys.argv[4:])
 print("RC", rc, flush=True)
 sys.exit(rc)
 """
@@ -187,3 +187,61 @@ def test_multihost_cli_matches_single(tmp_path):
     with gzip.open(str(tmp_path / "single.chr.stat.gz"), "rb") as fh:
         b = fh.read()
     assert a == b
+
+
+def test_multihost_site_depth_matches_single(tmp_path):
+    """Multihost ``-a``: 2 processes x 2 devices write the SiteDepth
+    dump range-sharded (each rank emits its genome ranges' rows, rank
+    0 assembles); content must be byte-identical to the single-process
+    writer (VERDICT r2 item 4; reference src/PanDepth.cpp:4264-4284)."""
+    import gzip
+
+    from tests.fixtures import make_bam
+
+    bam_a = str(tmp_path / "a.bam")
+    bam_b = str(tmp_path / "b.bam")
+    make_bam(bam_a, n=400, seed=61)
+    make_bam(bam_b, n=300, seed=62)
+    lst = str(tmp_path / "in.list")
+    with open(lst, "w") as fh:
+        fh.write(bam_a + "\n" + bam_b + "\n")
+
+    sp = str(tmp_path / "cli_worker.py")
+    with open(sp, "w") as fh:
+        fh.write(_CLI_WORKER.replace("%PORT%", "18511"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    # every rank gets the SAME -o (the real deployment shape: one
+    # command on a shared filesystem); parts are per-device-row so
+    # ranks never collide
+    procs = [subprocess.Popen(
+        [sys.executable, sp, str(i), lst,
+         str(tmp_path / "mh"), "-a"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        text=True) for i in range(2)]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost -a workers timed out")
+        assert p.returncode == 0, f"worker failed: {err[-2000:]}"
+
+    site = str(tmp_path / "mh.SiteDepth.gz")
+    assert os.path.exists(site)
+    # no leftover part files
+    leftovers = [f for f in os.listdir(str(tmp_path))
+                 if ".SiteDepth.gz.part" in f]
+    assert leftovers == [], leftovers
+
+    from pandepth_tpu.cli import main as cli_main
+
+    rc = cli_main(["pandepth", "-i", lst, "-a",
+                   "-o", str(tmp_path / "single")])
+    assert rc == 0
+    with gzip.open(site, "rb") as fh:
+        a = fh.read()
+    with gzip.open(str(tmp_path / "single.SiteDepth.gz"), "rb") as fh:
+        b = fh.read()
+    assert a and a == b
