@@ -14,7 +14,10 @@ This module implements the container/slice/record layer of the CRAM
   4x8 (order 0 and 1) codecs,
 - compression-header preservation map + data-series encodings,
 - codecs: EXTERNAL, canonical HUFFMAN (incl. the 0-bit constant case),
-  BETA, GAMMA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP,
+  BETA, GAMMA, GOLOMB, SUBEXPONENTIAL, GOLOMB_RICE, BYTE_ARRAY_LEN,
+  BYTE_ARRAY_STOP — every integer codec id of the CRAM 3.0 spec
+  (htslib 1.11 itself cannot decode GOLOMB/GOLOMB_RICE: libhts.a
+  ships no cram_golomb_decode),
 - record decode with CIGAR reconstruction from read features,
 - a conforming writer (everything EXTERNAL + gzip, one slice per
   container) used for fixtures and as a general BAM->CRAM exporter;
@@ -364,6 +367,50 @@ class GammaCodec(Codec):
         return v - self.offset
 
 
+class GolombCodec(Codec):
+    """GOLOMB (codec id 2) and GOLOMB_RICE (id 8): unary quotient
+    (1-bits terminated by a 0) then a truncated-binary remainder mod M
+    (plain ceil(log2 M) bits when M is a power of two, which is the
+    Rice case). CRAM 3.0 spec §13; interop proven against the
+    reference binary's htslib decoder in tests/test_cram.py."""
+
+    def __init__(self, offset: int, m: int):
+        if m < 1:
+            raise ValueError(f"bad golomb parameter m={m}")
+        self.offset = offset
+        self.m = m
+        self.b = max((m - 1).bit_length(), 1)  # ceil(log2 m), min 1
+        self.t = (1 << self.b) - m             # truncation threshold
+
+    def read_int(self, core: BitReader, ext):
+        q = core.read_unary()
+        if self.m == 1:
+            return q - self.offset
+        r = core.read_bits(self.b - 1)
+        if r >= self.t:
+            r = ((r << 1) | core.read_bits(1)) - self.t
+        return q * self.m + r - self.offset
+
+
+class SubexpCodec(Codec):
+    """SUBEXPONENTIAL (codec id 7): unary-selected bucket u, then
+    either k plain bits (u == 0) or u+k-1 bits with an implicit
+    leading 1 (CRAM 3.0 spec §13)."""
+
+    def __init__(self, offset: int, k: int):
+        self.offset = offset
+        self.k = k
+
+    def read_int(self, core: BitReader, ext):
+        u = core.read_unary()
+        if u == 0:
+            n = core.read_bits(self.k)
+        else:
+            b = u + self.k - 1
+            n = (1 << b) | core.read_bits(b)
+        return n - self.offset
+
+
 class ByteArrayLenCodec(Codec):
     def __init__(self, len_codec: Codec, val_codec: Codec):
         self.len_codec = len_codec
@@ -424,6 +471,16 @@ def parse_encoding(buf: bytes, off: int) -> Tuple[Optional[Codec], int]:
     if codec_id == 9:  # GAMMA
         offset, _ = itf8_read(params, 0)
         return GammaCodec(offset), off
+    if codec_id in (2, 8):  # GOLOMB / GOLOMB_RICE (power-of-two M)
+        p = 0
+        offset, p = itf8_read(params, p)
+        m, p = itf8_read(params, p)
+        return GolombCodec(offset, m), off
+    if codec_id == 7:  # SUBEXPONENTIAL
+        p = 0
+        offset, p = itf8_read(params, p)
+        k, p = itf8_read(params, p)
+        return SubexpCodec(offset, k), off
     raise ValueError(f"unsupported CRAM codec id {codec_id}")
 
 

@@ -44,12 +44,87 @@ def _enc_external(cid: int) -> bytes:
     return itf8_write(1) + itf8_write(len(params)) + params
 
 
+# core bit codecs: (kind, offset, param) -> spec encoding id
+_CORE_IDS = {"golomb": 2, "subexp": 7, "golomb_rice": 8}
+# series the writer emits in decode order directly on the record loop
+# (feature payload series go through a per-record sub-stream whose
+# core bits would land out of order, so they stay EXTERNAL)
+_CORE_OK = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
+            "TL", "FN", "MQ"}
+
+
+def _enc_core(spec: Tuple[str, int, int]) -> bytes:
+    kind, offset, param = spec
+    params = itf8_write(offset) + itf8_write(param)
+    return itf8_write(_CORE_IDS[kind]) + itf8_write(len(params)) + params
+
+
+class _BitWriter:
+    """MSB-first core bit stream (CRAM 3.0 spec §2.1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write_bits(1, 1)
+        self.write_bits(0, 1)
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            return bytes(self.out) + bytes([self.cur <<
+                                            (8 - self.nbits)])
+        return bytes(self.out)
+
+
+def _core_put(bw: _BitWriter, spec: Tuple[str, int, int],
+              v: int) -> None:
+    """Encode one value with a core bit codec (the encoder twins of
+    io/cram.py GolombCodec/SubexpCodec; htslib's decoder is the
+    interop oracle)."""
+    kind, offset, param = spec
+    x = v + offset
+    if x < 0:
+        raise ValueError(f"{kind} cannot encode {v} at offset {offset}")
+    if kind in ("golomb", "golomb_rice"):
+        m = param
+        q, r = divmod(x, m)
+        bw.write_unary(q)
+        if m > 1:
+            b = max((m - 1).bit_length(), 1)
+            t = (1 << b) - m
+            if r < t:
+                bw.write_bits(r, b - 1)
+            else:
+                bw.write_bits(r + t, b)
+    else:  # subexp
+        k = param
+        if x < (1 << k):
+            bw.write_unary(0)
+            bw.write_bits(x, k)
+        else:
+            b = x.bit_length() - 1
+            bw.write_unary(b - k + 1)
+            bw.write_bits(x & ((1 << b) - 1), b)
+
+
 def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
     params = bytes([stop]) + itf8_write(cid)
     return itf8_write(5) + itf8_write(len(params)) + params
 
 
-def _compression_header() -> bytes:
+def _compression_header(core_codecs=None) -> bytes:
     # preservation map: RN=1, AP=0 (absolute), RR=0, SM, TD
     pmap = bytearray()
     entries = 0
@@ -66,8 +141,12 @@ def _compression_header() -> bytes:
 
     emap = bytearray()
     n = 0
+    core_codecs = core_codecs or {}
     for s in _SERIES:
-        emap += s.encode() + _enc_external(_CID[s])
+        if s in core_codecs:
+            emap += s.encode() + _enc_core(core_codecs[s])
+        else:
+            emap += s.encode() + _enc_external(_CID[s])
         n += 1
     emap += b"RN" + _enc_byte_array_stop(0x09, _CID["RN"])
     emap += b"IN" + _enc_byte_array_stop(0x00, _CID["IN"])
@@ -98,12 +177,18 @@ def _container(ref_id: int, start: int, span: int, n_rec: int,
 
 
 class _Streams:
-    def __init__(self):
+    def __init__(self, core_codecs=None):
         self.d: Dict[int, bytearray] = {cid: bytearray()
                                         for cid in _CID.values()}
+        self.core_codecs = core_codecs or {}
+        self.core = _BitWriter()
 
     def put_int(self, series: str, v: int) -> None:
-        self.d[_CID[series]] += itf8_write(v)
+        spec = self.core_codecs.get(series)
+        if spec is not None:
+            _core_put(self.core, spec, v)
+        else:
+            self.d[_CID[series]] += itf8_write(v)
 
     def put_bytes(self, series: str, b: bytes, stop: int) -> None:
         self.d[_CID[series]] += b + bytes([stop])
@@ -165,8 +250,19 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
                records: Sequence[Tuple],
                header_text: Optional[str] = None,
                records_per_container: int = 10000,
-               index: bool = False) -> None:
+               index: bool = False,
+               core_codecs: Optional[Dict[str, Tuple[str, int, int]]]
+               = None) -> None:
     """records: (tid, pos0, flag, mapq, cigar_str[, qname]) tuples.
+
+    ``core_codecs`` routes chosen integer data series through the CORE
+    bit stream instead of EXTERNAL blocks: a dict like
+    ``{"MQ": ("subexp", 0, 2), "RL": ("golomb", 0, 37),
+    "FN": ("golomb_rice", 0, 4)}`` (kind, offset, parameter). Only
+    series emitted directly on the record loop are eligible
+    (``_CORE_OK``) — feature payload series buffer per record and
+    would interleave out of decode order. Used by the codec-coverage
+    fixtures (io/cram.py GolombCodec/SubexpCodec).
 
     ``index=True`` also writes ``path + ".crai"`` (CRAM spec §12: gzip
     TSV of seq_id, 1-based start, span, container byte offset, slice
@@ -175,6 +271,10 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
     htslib's cram_index_build emits and sam_index_load consumes
     (the layer under the reference's indexed fetch,
     /root/reference/src/PanDepth.cpp:4120-4124)."""
+    if core_codecs:
+        bad = set(core_codecs) - _CORE_OK
+        if bad:
+            raise ValueError(f"series not core-codable: {sorted(bad)}")
     if header_text is None:
         header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in zip(names, lengths))
@@ -195,7 +295,7 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
     for c0 in range(0, len(records), records_per_container):
         chunk = records[c0: c0 + records_per_container]
         container_off = len(out)
-        streams = _Streams()
+        streams = _Streams(core_codecs)
         n_bases = 0
         for ri, rec in enumerate(chunk):
             tid, pos, flag, mapq, cigar = rec[:5]
@@ -232,8 +332,9 @@ def write_cram(path: str, names: Sequence[str], lengths: Sequence[int],
             n_bases += read_len
         ext_blocks, cids = streams.blocks()
         comp_block = block_write(BLOCK_GZIP, CT_COMPRESSION_HEADER, 0,
-                                 _compression_header())
-        core_block = block_write(BLOCK_RAW, CT_CORE, 0, b"")
+                                 _compression_header(core_codecs))
+        core_block = block_write(BLOCK_RAW, CT_CORE, 0,
+                                 streams.core.getvalue())
         slice_hdr = itf8_write(-2) + itf8_write(0) + itf8_write(0) + \
             itf8_write(len(chunk)) + ltf8_write(counter) + \
             itf8_write(1 + len(ext_blocks)) + \
