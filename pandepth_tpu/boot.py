@@ -225,7 +225,15 @@ def main(argv=None) -> int:
         from pandepth_tpu.serve import client_main
 
         return client_main(args)
-    background()
+    # host-engine runs (run._want_host_finalize: one-shot cold process
+    # against a remote-tunneled device) never touch jax — starting the
+    # background init would burn ~2.6 s of GIL-bound import CPU the
+    # run doesn't need, and its in-flight device probe aborts process
+    # teardown if the run finishes first
+    from pandepth_tpu.run import _want_host_finalize
+
+    if not _want_host_finalize():
+        background()
     from pandepth_tpu.cli import main as cli_main
 
     # cli.main's argv convention is the reference binary's: a full

@@ -147,10 +147,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg is None:
         return 0
     # overlap jax + accelerator-plugin init with the file IO below
-    # (no-op cost when jax is already imported — see boot.py)
+    # (no-op cost when jax is already imported — see boot.py); host-
+    # engine runs skip it: they never need jax, and an in-flight
+    # background device probe aborts teardown if the run wins the race
     from pandepth_tpu import boot
-    boot.background()
-    from pandepth_tpu.run import run
+    from pandepth_tpu.run import _want_host_finalize, run
+
+    if not _want_host_finalize():
+        boot.background()
     try:
         return run(cfg)
     except OSError as e:

@@ -29,22 +29,16 @@ import numpy as np
 
 from pandepth_tpu.device.events import extract_events, pad_pow2, SENTINEL
 from pandepth_tpu.device.layout import GenomeLayout
+from pandepth_tpu.device import hosteval as he
+# host-side numpy twins shared with the jax-free HostCoverageEngine
+# (single implementations live in device/hosteval.py; re-exported here
+# for the existing import surface)
+from pandepth_tpu.device.hosteval import (SegmentStats,  # noqa: F401
+                                          decode_enc_host,
+                                          dense_from_state,
+                                          pos_dtype_for)
 from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch
-
-
-def pos_dtype_for(total: int):
-    """Device position dtype for a padded-genome span of ``total``.
-
-    int32 under 2 Gb; uint32 up to 4 Gb (covers the reference's own
-    3 Gb benchmark genome, reference/README.md:128, at half the int64
-    sort width — and sidesteps an axon AOT-compiler crash on the fused
-    int64 finalize program); int64 beyond that."""
-    if total < (1 << 31) - 2:
-        return np.int32
-    if total < (1 << 32) - 2:
-        return np.uint32
-    return np.int64
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))
@@ -54,26 +48,6 @@ def _pack_events(starts, ends, sentinel: int):
         (starts < sentinel).astype(jnp.int32),
         -(ends < sentinel).astype(jnp.int32)])
     return pos, delta
-
-
-def decode_enc_host(d8: np.ndarray, l8: np.ndarray, excd: np.ndarray,
-                    excl: np.ndarray, base: int,
-                    n: Optional[int] = None):
-    """Numpy twin of the device decode in sweep.finalize_encoded
-    (spill path + differential tests). Works for both code widths
-    (uint8 / uint16): the escape value is the dtype max."""
-    if n is None:
-        n = d8.shape[0]
-    esc = int(np.iinfo(d8.dtype).max)
-    zz = d8[:n].astype(np.int64)
-    is_d = zz == esc
-    delta = (zz >> 1) ^ -(zz & 1)
-    delta[is_d] = excd[: int(is_d.sum())]
-    starts = base + np.cumsum(delta, dtype=np.int64)
-    lens = l8[:n].astype(np.int64)
-    is_l = lens == esc
-    lens[is_l] = excl[: int(is_l.sum())]
-    return starts, starts + lens
 
 
 def _warm_sig_path() -> Optional[str]:
@@ -147,35 +121,6 @@ def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
     return (jnp.zeros((b, 2, cap), dtype),
             jnp.zeros((b, 2, ce), jnp.int64),
             jnp.full((b, 2, ce), cap, jnp.int32))
-
-
-@dataclasses.dataclass
-class SegmentStats:
-    cover: np.ndarray      # int64 per segment
-    depth_sum: np.ndarray  # int64 per segment
-
-
-def dense_from_state(pos_np: np.ndarray, depth_np: np.ndarray,
-                     lo: int, hi: int) -> np.ndarray:
-    """Per-base depth over global [lo, hi) from sorted breakpoints.
-
-    Depth is piecewise constant between sorted events, so the dense
-    array is a run-length expansion (np.repeat) — O(range), not a
-    per-base binary search."""
-    if hi <= lo:
-        return np.zeros(0, np.int32)
-    a = int(np.searchsorted(pos_np, lo, side="right"))
-    b = int(np.searchsorted(pos_np, hi, side="left"))
-    # runs: [lo, p_a), [p_a, p_{a+1}), ..., [p_{b-1}, hi)
-    bounds = np.empty(b - a + 2, np.int64)
-    bounds[0] = lo
-    bounds[1:-1] = pos_np[a:b]
-    bounds[-1] = hi
-    vals = np.empty(b - a + 1, np.int32)
-    vals[0] = depth_np[a - 1] if a > 0 else 0
-    vals[1:] = depth_np[a:b]
-    return np.repeat(vals, np.diff(bounds)).astype(np.int32,
-                                                   copy=False)
 
 
 class CoverageEngine:
@@ -846,204 +791,40 @@ class CoverageEngine:
                                   ) -> Optional[SegmentStats]:
         """segment_stats for a batch whose GLOBAL boundaries arrive
         sorted non-decreasing (returns None otherwise — the caller
-        falls back to the generic device eval)
-        (mode-6 window tilings: tid-major,
-        start-minor — src/PanDepth.cpp:4313-4317 always emits them so).
-
-        Evaluates on the host straight from the sweep state: ranking B
-        sorted queries against E sorted events is one
-        searchsorted(queries, events) + bincount-cumsum — O(E log B +
-        B), no device round-trip per chunk. A 3 Gb genome at ``-w 100``
-        is ~30 M windows; the chunked device path pays ~30 padded
-        sort dispatches (and, through a tunneled TPU, ~0.5 GB of
-        boundary uploads) where this pays one state fetch that mode 6
-        already needs for its second stats pass."""
-        lay = self.layout
-        lo = lay.offsets[seg_tid] + np.maximum(seg_start - 1, 0)
-        hi = lay.offsets[seg_tid] + np.asarray(seg_end, np.int64)
-        lo = np.minimum(lo, lay.limits[seg_tid])
-        hi = np.minimum(hi, lay.limits[seg_tid])
-        hi = np.maximum(hi, lo)
-
-        if np.any(np.diff(lo) < 0) or np.any(np.diff(hi) < 0):
-            return None  # rank_sorted requires sorted queries
-
-        sweep = self._host_sweep()
-        pos_s = sweep[0]
-
-        def rank_sorted(x: np.ndarray) -> np.ndarray:
-            # r[j] = #{events < x[j]} for sorted x: each event lands at
-            # its first strictly-greater query index; prefix-count
-            j0 = np.searchsorted(x, pos_s, side="right")
-            return np.cumsum(np.bincount(j0, minlength=x.shape[0] + 1)
-                             )[: x.shape[0]].astype(np.int64)
-
-        qc_lo, qs_lo = self._host_q_eval(sweep, lo, rank_sorted(lo))
-        qc_hi, qs_hi = self._host_q_eval(sweep, hi, rank_sorted(hi))
-        return SegmentStats(cover=qc_hi - qc_lo,
-                            depth_sum=qs_hi - qs_lo)
+        falls back to the generic device eval); delegates to the
+        shared host eval (hosteval.eval_sorted_host). A 3 Gb genome at
+        ``-w 100`` is ~30 M windows; the chunked device path pays ~30
+        padded sort dispatches (and, through a tunneled TPU, ~0.5 GB
+        of boundary uploads) where this pays one state fetch that
+        mode 6 already needs for its second stats pass."""
+        return he.eval_sorted_host(self.layout, self.min_dep,
+                                   self._host_sweep(), seg_tid,
+                                   seg_start, seg_end)
 
     def _host_sweep(self):
         """(pos_s int64, depth, c_cov, c_sum) as host numpy arrays.
 
-        Prefix integrals are re-derived on host: fetching c_cov/c_sum
-        from the device would double the device->host bytes for no
-        work saved."""
+        Prefix integrals are re-derived on host (hosteval): fetching
+        c_cov/c_sum from the device would double the device->host
+        bytes for no work saved."""
         st = self.sweep_state()
         pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
         depth = np.asarray(st[1])
-        covered = depth >= self.min_dep
-        nxt = np.empty_like(pos_s)
-        nxt[:-1] = pos_s[1:]
-        nxt[-1] = np.iinfo(np.int64).max
-        plen = np.where(covered, nxt - pos_s, 0)
-        c_cov = np.cumsum(plen)
-        c_sum = np.cumsum(plen * depth.astype(np.int64))
-        return pos_s, depth, c_cov, c_sum
+        return he.derive_integrals(pos_s, depth, self.min_dep)
 
     def _host_q_eval(self, sweep, x: np.ndarray, r: np.ndarray):
-        """Q_cov(x), Q_sum(x) given each query's event rank r[j] =
-        #{events < x[j]} (numpy twin of sweep.eval_boundaries)."""
-        pos_s, depth, c_cov, c_sum = sweep
-        e = pos_s.shape[0]
-        i_full = np.clip(r - 2, 0, e - 1)
-        i_part = np.clip(r - 1, 0, e - 1)
-        full_cov = np.where(r >= 2, c_cov[i_full], 0)
-        full_sum = np.where(r >= 2, c_sum[i_full], 0)
-        ind = (depth[i_part] >= self.min_dep).astype(np.int64)
-        diff = x - pos_s[i_part]
-        part_len = np.where(r >= 1, diff * ind, 0)
-        return (full_cov + part_len,
-                full_sum + part_len * depth[i_part].astype(np.int64))
+        return he.host_q_eval(sweep, self.min_dep, x, r)
 
     def window_stats_host(self, seg_tid: np.ndarray,
                           seg_start: np.ndarray, seg_end: np.ndarray,
                           win: int) -> Optional[SegmentStats]:
-        """Window stats for the mode-6 regular tiling, or None when the
-        batch isn't one (caller falls back to the generic eval).
-
-        The tiling (small_window_tiling) is an arithmetic grid per
-        contig — window j of contig t spans global
-        [off_t + j*win, off_t + (j+1)*win) with only the LAST window
-        clipped — so instead of evaluating 2 boundaries per window
-        (30 M random gathers at ``-w 100`` on a 3 Gb genome; this
-        host's large-gather latency is erratic under khugepaged), each
-        covered depth PIECE scatters its overlap into the grid:
-        bincount point-adds for the edge windows, a diff-array +
-        cumsum for the full interior windows — O(E) scatter + O(W)
-        sequential cumsum, nothing random-access.
-
-        Weights ride float64 bincounts: every addend is bounded by
-        win * 2^18 < 2^26 and running sums stay far below 2^53, so
-        the integer results are exact. (The piece->contig assignment
-        relies on min_dep >= 1 — covered pieces then lie inside read
-        intervals, which never span contigs — and __init__ clamps
-        min_dep to >= 1.)"""
-        lay = self.layout
-        w = int(win)
-        counts = np.bincount(seg_tid, minlength=lay.n_targets)
-        # the regular tiling is fully determined by (contig length,
-        # win): ceil((L-1)/win) windows, last end = min(K*win, L)
-        exp_counts = np.where(lay.lengths > 1,
-                              -(-(lay.lengths - 1) // w), 0)
-        used = counts > 0
-        if not np.array_equal(counts[used], exp_counts[used]):
-            return None
-        if seg_start.shape[0] == 0:
-            z = np.zeros(0, np.int64)
-            return SegmentStats(cover=z, depth_sum=z)
-        woff = np.zeros(lay.n_targets + 1, np.int64)
-        np.cumsum(counts, out=woff[1:])
-        # cheap structural spot-checks (full interior follows from the
-        # count + grid construction)
-        first = woff[:-1][used]
-        last = woff[1:][used] - 1
-        if not (np.all(seg_start[first] == 1)
-                and np.all(seg_end[last] ==
-                           np.minimum(counts[used] * w,
-                                      lay.lengths[used]))
-                and np.all(seg_end[first] ==
-                           np.minimum(w, lay.lengths[used]))):
-            return None
-
-        W = int(seg_start.shape[0])
-        sweep = self._host_sweep()
-        pos_s, depth = sweep[0], sweep[1]
-        nxt = np.empty_like(pos_s)
-        nxt[:-1] = pos_s[1:]
-        nxt[-1] = np.iinfo(np.int64).max
-        covered = depth >= self.min_dep
-        sel = covered & (nxt > pos_s)
-        a = pos_s[sel]
-        b = nxt[sel]
-        d = depth[sel].astype(np.int64)
-
-        # piece -> contig (pieces with depth>=1 never span contigs:
-        # they lie inside read intervals, which are clamped per contig)
-        t = np.searchsorted(lay.offsets, a, side="right") - 1
-        g0 = lay.offsets[t]
-        ge = g0 + counts[t].astype(np.int64) * w
-        b = np.minimum(b, ge)
-        ok = b > a
-        a, b, d, t, g0 = a[ok], b[ok], d[ok], t[ok], g0[ok]
-
-        jal = (a - g0) // w          # window index local to the contig
-        jbl = (b - 1 - g0) // w
-        ja = jal + woff[t]
-        jb = jbl + woff[t]
-        multi = (jb > ja).astype(np.float64)
-        # uniform per-piece decomposition (no class masks): the head
-        # cell clips to the piece end for single-window pieces, the
-        # tail and interior weights are zeroed by `multi`, and
-        # zero-weight bincount entries are free. float64 accumulation
-        # is exact here (addends < 2^26 with 18-bit depths, running
-        # sums far below 2^53); np.bincount would also silently return
-        # int64 if a weights array were empty.
-        head = np.minimum(b, g0 + (jal + 1) * w) - a
-        tail = (b - (g0 + jbl * w)) * multi
-        pt_idx = np.concatenate([ja, jb])
-        cover_pt = np.bincount(pt_idx,
-                               weights=np.concatenate([head, tail]),
-                               minlength=W + 1).astype(np.float64,
-                                                       copy=False)
-        dsum_pt = np.bincount(pt_idx,
-                              weights=np.concatenate([head * d,
-                                                      tail * d]),
-                              minlength=W + 1)
-        # full interior windows (ja+1 .. jb-1): diff array + cumsum
-        wm = w * multi
-        edges = np.concatenate([ja + 1, jb])
-        cover_in = np.cumsum(np.bincount(
-            edges, weights=np.concatenate([wm, -wm]),
-            minlength=W + 2))
-        dsum_in = np.cumsum(np.bincount(
-            edges, weights=np.concatenate([wm * d, -wm * d]),
-            minlength=W + 2))
-        cover = (cover_pt[:W] + cover_in[:W]).astype(np.int64)
-        dsum = (dsum_pt[:W] + dsum_in[:W]).astype(np.int64)
-
-        # clipped final windows: the grid over-counts [L, K*win)
-        clip_t = np.nonzero(used & (exp_counts * w > lay.lengths))[0]
-        if clip_t.shape[0]:
-            def q(x):
-                r = np.searchsorted(pos_s, x, side="left")
-                return self._host_q_eval(sweep, x, r)
-
-            xlo = lay.offsets[clip_t] + lay.lengths[clip_t]
-            # the grid tail [L, K*w) can extend past the contig's slack
-            # (K*w - L up to w-1 > pad for large -w) into the NEXT
-            # contig's range (limits[t] == offsets[t+1]). The grid only
-            # ever counted pieces clipped to this contig (events clamp
-            # to the limit), so the over-count to subtract is the
-            # integral over [L, K*w) INTERSECTED with the contig range
-            xhi = np.minimum(lay.offsets[clip_t] + exp_counts[clip_t] * w,
-                             lay.limits[clip_t])
-            qc0, qs0 = q(xlo)
-            qc1, qs1 = q(xhi)
-            last_w = woff[clip_t + 1] - 1
-            cover[last_w] -= qc1 - qc0
-            dsum[last_w] -= qs1 - qs0
-        return SegmentStats(cover=cover, depth_sum=dsum)
+        """Window stats for a regular tiling, or None when the batch
+        isn't one (caller falls back to the generic eval); the O(E)
+        piece-scatter grid eval is shared with the host engine
+        (hosteval.window_grid_host)."""
+        return he.window_grid_host(self.layout, self.min_dep,
+                                   self._host_sweep(), seg_tid,
+                                   seg_start, seg_end, win)
 
     def dense_depth(self, tid: int, start0: int = 0,
                     end0: Optional[int] = None) -> np.ndarray:
@@ -1051,8 +832,8 @@ class CoverageEngine:
         lay = self.layout
         if end0 is None:
             end0 = int(lay.lengths[tid])
-        pos_s, depth, _, _ = self.sweep_state()
         lo = int(lay.offsets[tid]) + start0
         hi = int(lay.offsets[tid]) + end0
+        pos_s, depth, _, _ = self.sweep_state()
         return dense_from_state(np.asarray(pos_s), np.asarray(depth),
                                 lo, hi)

@@ -29,14 +29,12 @@ _boot.configure_jax()  # x64 + cache config must precede jax use
 import jax
 import jax.numpy as jnp
 
-# bit i set <=> CIGAR op i consumes reference (M D N = X)
-REF_CONSUME_MASK = 0b110001101
-# bit i set <=> CIGAR op i adds depth (M = X)
-DEPTH_MASK = 0b110000001
-
-# plain Python int: a device scalar here would initialize the backend
-# at import time and force a device sync at every host-side use
-SENTINEL = 1 << 62
+# shared with the jax-free host path (single source of truth there;
+# SENTINEL stays a plain Python int: a device scalar here would
+# initialize the backend at import time and force a device sync at
+# every host-side use)
+from pandepth_tpu.device.hosteval import (DEPTH_MASK,  # noqa: F401
+                                          REF_CONSUME_MASK, SENTINEL)
 
 
 @functools.partial(jax.jit, static_argnames=("flags_mask", "min_mapq"))
@@ -92,9 +90,4 @@ def extract_events(tid, pos, flag, mapq, op_code, op_len, op_read,
     return ev_pos, ev_delta
 
 
-def pad_pow2(n: int, floor: int = 1024) -> int:
-    """Round up to a power of two (bounded jit-cache growth)."""
-    p = floor
-    while p < n:
-        p <<= 1
-    return p
+from pandepth_tpu.device.hosteval import pad_pow2  # noqa: F401,E402

@@ -187,6 +187,16 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.pancov_site_depth_write.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, i32p,
             ctypes.c_int64, ctypes.c_int]
+        lib.pancov_host_finalize.restype = ctypes.c_int64
+        lib.pancov_host_finalize.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), i64p, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            i64p, i64p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int,
+            i64p, i64p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int]
         lib.pancov_win_rows_write.restype = ctypes.c_int
         lib.pancov_win_rows_write.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, i64p, i64p,
@@ -302,6 +312,66 @@ def itf8_decode_all(buf: bytes):
     k = lib.pancov_itf8_decode_all(arr, n, cap, vals, offs,
                                    ctypes.byref(used))
     return vals[:k], offs[:k]
+
+
+def host_finalize(chunks, sentinel32: int, extra_pos, extra_delta,
+                  qlo, qhi, min_dep: int, wrap18: bool,
+                  keep_state: bool, nthreads: Optional[int] = None):
+    """Native host event-sweep finalize (C++ twin of the device
+    sort+sweep+eval; see pancov_io.cpp pancov_host_finalize).
+
+    ``chunks``: list of equal-length (starts, ends) uint32-viewable
+    arrays (sentinel-slot padded); ``extra_pos/extra_delta``: optional
+    pre-built (u32 pos, int32 delta) events. Returns (cover int64,
+    dsum int64, state) where state is (pos_s int64, depth int32) when
+    ``keep_state`` else None; or None when the native library is
+    unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n_c = len(chunks)
+    sv = (ctypes.c_void_p * max(n_c, 1))()
+    ev_ = (ctypes.c_void_p * max(n_c, 1))()
+    pn = np.zeros(max(n_c, 1), np.int64)
+    total_pairs = 0
+    for i, (s, e) in enumerate(chunks):
+        s = np.ascontiguousarray(s).view(np.uint32)
+        e = np.ascontiguousarray(e).view(np.uint32)
+        chunks[i] = (s, e)  # keep the views alive through the call
+        assert s.shape[0] == e.shape[0]
+        sv[i] = s.ctypes.data
+        ev_[i] = e.ctypes.data
+        pn[i] = s.shape[0]
+        total_pairs += s.shape[0]
+    if extra_pos is None:
+        extra_pos = np.zeros(0, np.uint32)
+        extra_delta = np.zeros(0, np.int32)
+    xp = np.ascontiguousarray(extra_pos).view(np.uint32)
+    xd = np.ascontiguousarray(extra_delta, np.int32)
+    qlo = np.ascontiguousarray(qlo, np.int64)
+    qhi = np.ascontiguousarray(qhi, np.int64)
+    nq = qlo.shape[0]
+    cover = np.empty(max(nq, 1), np.int64)
+    dsum = np.empty(max(nq, 1), np.int64)
+    cap = 2 * total_pairs + xp.shape[0]
+    if keep_state:
+        out_pos = np.empty(max(cap, 1), np.int64)
+        out_depth = np.empty(max(cap, 1), np.int32)
+        op, od = out_pos.ctypes.data, out_depth.ctypes.data
+    else:
+        out_pos = out_depth = None
+        op = od = None
+    if nthreads is None:
+        nthreads = min(os.cpu_count() or 1, 8)
+    rc = lib.pancov_host_finalize(
+        n_c, sv, ev_, pn, ctypes.c_uint32(sentinel32 & 0xFFFFFFFF),
+        xp.ctypes.data, xd.ctypes.data, xp.shape[0],
+        qlo, qhi, nq, min_dep, 1 if wrap18 else 0,
+        cover, dsum, 1 if keep_state else 0, op, od, nthreads)
+    if rc < 0:
+        raise ValueError(f"pancov_host_finalize failed ({rc})")
+    state = (out_pos[:rc], out_depth[:rc]) if keep_state else None
+    return cover[:nq], dsum[:nq], state
 
 
 def rans_decode_native(data: bytes, out_size: int) -> Optional[bytes]:

@@ -24,6 +24,7 @@
 #include <chrono>
 #include <condition_variable>
 #include <deque>
+#include <functional>
 #include <limits>
 #include <mutex>
 #include <cstdint>
@@ -3284,5 +3285,197 @@ void pancov_fasta_gc_copy(void* h, int64_t i, uint8_t* out) {
 }
 
 void pancov_fasta_gc_free(void* h) { delete (FastaGC*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Host event-sweep finalize: sort + depth sweep + boundary eval on the
+// host CPU (the C++ twin of device/sweep.py sort_events + eval_pair).
+//
+// Why it exists: a one-shot CLI process feeding a REMOTE-tunneled TPU
+// pays ~2 s of server-side executable load for the fused finalize
+// program that a sub-second feed cannot hide (the resident daemon
+// keeps warm programs; this path keeps the COLD run honest). At
+// PanDepth-bench scale (16M events, 340k boundaries) the parallel
+// radix sort + single sweep answers in ~0.2 s. Semantics mirror the
+// device sweep exactly: depth piecewise-constant between sorted
+// events, CoveredSite / TotalDepth integrate pieces with
+// depth >= min_dep (reference src/PanDepth.cpp:319-324), Q(x) =
+// integral over [0, x), segment = Q(hi) - Q(lo); wrap18 masks the
+// running depth to 18 bits (DataClass.h:84-87, quirk Q1).
+
+namespace {
+
+struct HostEv {
+  uint32_t pos;
+  int32_t delta;
+};
+
+void run_tp(int T, const std::function<void(int)>& fn) {
+  std::vector<std::thread> ts;
+  for (int t = 1; t < T; t++) ts.emplace_back(fn, t);
+  fn(0);
+  for (auto& t : ts) t.join();
+}
+
+// parallel LSD radix sort by pos: two 16-bit passes (ping-pong ends
+// back in `a`)
+void radix_sort_events(std::vector<HostEv>& a, int nthreads) {
+  const int64_t n = (int64_t)a.size();
+  if (n <= 1) return;
+  constexpr int R = 1 << 16;
+  int T = (int)std::min<int64_t>(std::max(nthreads, 1),
+                                 (n + R - 1) / R);
+  if (T < 1) T = 1;
+  std::vector<HostEv> tmp(n);
+  HostEv* src = a.data();
+  HostEv* dst = tmp.data();
+  std::vector<int64_t> hist((size_t)T * R);
+  for (int pass = 0; pass < 2; pass++) {
+    const int shift = pass * 16;
+    std::fill(hist.begin(), hist.end(), 0);
+    run_tp(T, [&](int t) {
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      int64_t* h = &hist[(size_t)t * R];
+      for (int64_t i = lo; i < hi; i++)
+        h[(src[i].pos >> shift) & 0xFFFF]++;
+    });
+    int64_t sum = 0;  // bucket-major, thread-minor exclusive scan
+    for (int b = 0; b < R; b++)
+      for (int t = 0; t < T; t++) {
+        int64_t c = hist[(size_t)t * R + b];
+        hist[(size_t)t * R + b] = sum;
+        sum += c;
+      }
+    run_tp(T, [&](int t) {
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      int64_t* h = &hist[(size_t)t * R];
+      for (int64_t i = lo; i < hi; i++)
+        dst[h[(src[i].pos >> shift) & 0xFFFF]++] = src[i];
+    });
+    std::swap(src, dst);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Events arrive as the engine's staged chunks: n_chunks pairs of
+// equal-length (starts, ends) arrays (u32 global positions,
+// sentinel-slot padded; a start is delta +1, an end −1) plus one
+// optional pre-built (pos, delta) chunk for generic feeds. Boundaries
+// qlo/qhi are int64 clamped global positions. Writes per-segment
+// cover/dsum; with keep_state != 0 also writes the sorted breakpoint
+// state (pos int64 + running depth int32, the dense_from_state /
+// _host_sweep input) into out_pos/out_depth (caller allocates the
+// 2*sum(pair_n)+n_extra upper bound) and returns its length.
+// Returns the (non-negative) state length, or -1 on bad arguments.
+int64_t pancov_host_finalize(
+    int n_chunks, const uint32_t** starts_v, const uint32_t** ends_v,
+    const int64_t* pair_n, uint32_t sentinel,
+    const uint32_t* xpos, const int32_t* xdelta, int64_t n_extra,
+    const int64_t* qlo, const int64_t* qhi, int64_t nq,
+    int32_t min_dep, int wrap18,
+    int64_t* out_cover, int64_t* out_dsum,
+    int keep_state, int64_t* out_pos, int32_t* out_depth,
+    int nthreads) {
+  if (n_chunks < 0 || nq < 0 || n_extra < 0) return -1;
+  if (nthreads < 1) nthreads = 1;
+
+  // count live events per chunk (parallel over chunks)
+  std::vector<int64_t> live_s(n_chunks), live_e(n_chunks);
+  {
+    std::atomic<int> next(0);
+    run_tp(std::min(nthreads, std::max(n_chunks, 1)), [&](int) {
+      for (;;) {
+        int c = next.fetch_add(1);
+        if (c >= n_chunks) break;
+        int64_t ns = 0, ne = 0;
+        for (int64_t i = 0; i < pair_n[c]; i++) {
+          ns += starts_v[c][i] != sentinel;
+          ne += ends_v[c][i] != sentinel;
+        }
+        live_s[c] = ns;
+        live_e[c] = ne;
+      }
+    });
+  }
+  int64_t n_ev = n_extra;
+  std::vector<int64_t> off(n_chunks + 1);
+  for (int c = 0; c < n_chunks; c++) {
+    off[c] = n_ev - n_extra;
+    n_ev += live_s[c] + live_e[c];
+  }
+  off[n_chunks] = n_ev - n_extra;
+
+  std::vector<HostEv> ev((size_t)n_ev);
+  {
+    std::atomic<int> next(0);
+    run_tp(std::min(nthreads, std::max(n_chunks, 1)), [&](int t) {
+      if (t == 0) {  // extras fill alongside the chunk workers
+        int64_t k = off[n_chunks];
+        for (int64_t i = 0; i < n_extra; i++)
+          ev[k++] = {xpos[i], xpos[i] == sentinel ? 0 : xdelta[i]};
+      }
+      for (;;) {
+        int c = next.fetch_add(1);
+        if (c >= n_chunks) break;
+        int64_t k = off[c];
+        for (int64_t i = 0; i < pair_n[c]; i++)
+          if (starts_v[c][i] != sentinel) ev[k++] = {starts_v[c][i], 1};
+        for (int64_t i = 0; i < pair_n[c]; i++)
+          if (ends_v[c][i] != sentinel) ev[k++] = {ends_v[c][i], -1};
+      }
+    });
+  }
+
+  radix_sort_events(ev, nthreads);
+
+  // boundaries sorted by value (stable order irrelevant: Q(x) only
+  // depends on x)
+  std::vector<std::pair<int64_t, int64_t>> qb((size_t)2 * nq);
+  for (int64_t j = 0; j < nq; j++) {
+    qb[j] = {qlo[j], j};
+    qb[nq + j] = {qhi[j], nq + j};
+  }
+  std::sort(qb.begin(), qb.end());
+
+  std::vector<int64_t> q_cov((size_t)2 * nq), q_sum((size_t)2 * nq);
+  int64_t depth = 0, acc_cov = 0, acc_sum = 0;
+  int64_t prev = 0;
+  size_t ie = 0;
+  const int64_t mask = wrap18 ? 0x3FFFF : -1;  // -1 = all bits
+  for (auto& [x, j] : qb) {
+    while (ie < ev.size() && (int64_t)ev[ie].pos < x) {
+      int64_t d_eff = depth & mask;
+      if (d_eff >= min_dep) {
+        int64_t len = (int64_t)ev[ie].pos - prev;
+        acc_cov += len;
+        acc_sum += len * d_eff;
+      }
+      depth += ev[ie].delta;
+      prev = (int64_t)ev[ie].pos;
+      ie++;
+    }
+    int64_t d_eff = depth & mask;
+    int64_t part = (d_eff >= min_dep) ? (x - prev) : 0;
+    q_cov[(size_t)j] = acc_cov + part;
+    q_sum[(size_t)j] = acc_sum + part * d_eff;
+  }
+  for (int64_t j = 0; j < nq; j++) {
+    out_cover[j] = q_cov[(size_t)(nq + j)] - q_cov[(size_t)j];
+    out_dsum[j] = q_sum[(size_t)(nq + j)] - q_sum[(size_t)j];
+  }
+
+  if (!keep_state) return 0;
+  int64_t d2 = 0;
+  for (size_t i = 0; i < ev.size(); i++) {
+    d2 += ev[i].delta;
+    out_pos[i] = (int64_t)ev[i].pos;
+    out_depth[i] = (int32_t)(d2 & mask);
+  }
+  return (int64_t)ev.size();
+}
 
 }  // extern "C"

@@ -81,13 +81,57 @@ def index_present(path: str) -> bool:
                for suf in (".bai", ".csi", ".crai"))
 
 
+def _want_host_finalize() -> bool:
+    """Host-engine election for one-shot single-device runs.
+
+    A COLD process feeding a remote-tunneled device pays, on its
+    critical path, ~2.6 s of sitecustomize/jax import CPU, ~1.5 s of
+    PJRT handshake and ~2 s of server-side executable load for the
+    fused finalize program — none of which a sub-second feed can hide
+    (measured: first finalize dispatch 2.6 s vs 0.51 s steady-state on
+    the 3 Gb gene bench). The jax-free HostCoverageEngine answers the
+    same finalize in ~0.2-0.5 s via libpancov_io. The resident daemon
+    keeps warm device programs and stays on the device path, as do
+    local backends (CPU tests, locally attached TPUs), forced-sharded
+    runs and jax.distributed jobs. Decided from env ONLY — touching
+    jax here would pay the very costs this path exists to avoid.
+    ``PANDEPTH_HOST_FINALIZE=0/1`` forces."""
+    if os.environ.get("PANDEPTH_SHARDED") not in (None, "0"):
+        return False
+    if os.environ.get("PANDEPTH_MULTIHOST") == "1":
+        return False  # set by sharding/launch.py before run()
+    serve_mod = sys.modules.get("pandepth_tpu.serve")
+    if serve_mod is not None and getattr(serve_mod,
+                                         "IN_PROCESS_DAEMON", False):
+        return False
+    env = os.environ.get("PANDEPTH_HOST_FINALIZE")
+    if env is not None:
+        return env == "1"
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return False  # the remote-tunnel marker on this stack
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        return load_library() is not None
+    except Exception:
+        return False
+
+
 def make_engine(layout, **kw):
     """Production engine selection: the multihost exchange engine in a
     jax.distributed job, the genome-range-sharded engine whenever the
     process sees more than one device (the TPU analog of the
     reference's chromosome-group thread scheduler,
-    src/PanDepth.cpp:4151-4260), the single-chip engine otherwise.
+    src/PanDepth.cpp:4151-4260), the single-chip engine otherwise
+    (with the native host finalize for one-shot cold runs against a
+    remote-tunneled device, see _want_host_finalize).
     ``PANDEPTH_SHARDED=0/1`` forces the single/sharded choice."""
+    if _want_host_finalize():
+        from pandepth_tpu.device.host_engine import HostCoverageEngine
+
+        eng = HostCoverageEngine(layout, **kw)
+        if eng.pos_bits32:  # 32-bit tier only (genomes <= 4 Gb)
+            return eng
     force = os.environ.get("PANDEPTH_SHARDED")
     if force != "0":
         from pandepth_tpu import boot
@@ -145,7 +189,12 @@ def _prepare_targets(config: RunConfig, names: List[str],
 
 def _is_writer_rank() -> bool:
     """Multihost runs compute identical replicated tables on every
-    process (the collectives require all ranks); only rank 0 writes."""
+    process (the collectives require all ranks); only rank 0 writes.
+    Single-process runs that never imported jax (host engine) are
+    trivially the writer — asking jax would force the import."""
+    if os.environ.get("PANDEPTH_MULTIHOST") != "1" and \
+            "jax" not in sys.modules:
+        return True
     try:
         from pandepth_tpu import boot
 
@@ -390,7 +439,7 @@ def _feed_stream(engine, r, puller: Optional[_EncPuller] = None,
         # engine has no encoded-window path (e.g. the sharded engine):
         # host-decode them — mixing take_enc_acc with take32 on one
         # stream would lose the encoder's accumulated pairs
-        from pandepth_tpu.device.engine import decode_enc_host
+        from pandepth_tpu.device.hosteval import decode_enc_host
 
         p = puller if puller is not None else _EncPuller(r, *_enc_caps())
         for win in stash:

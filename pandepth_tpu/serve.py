@@ -39,6 +39,10 @@ import socket
 import sys
 import threading
 
+# True inside the resident daemon process (set by _Server.serve);
+# run._want_host_finalize keeps the daemon on the warm device path
+IN_PROCESS_DAEMON = False
+
 _REQ_LIMIT = 1 << 20
 
 
@@ -189,6 +193,11 @@ class _Server:
         return {"rc": rc, "rss_mb": round(rss, 1)}
 
     def serve(self, idle_s: float, ready_fd: int = -1) -> int:
+        # the resident daemon always keeps the warm DEVICE finalize
+        # path (run._want_host_finalize consults this module flag —
+        # env markers can't work here: requests swap PANDEPTH_* env)
+        global IN_PROCESS_DAEMON
+        IN_PROCESS_DAEMON = True
         try:
             os.unlink(self.path)
         except OSError:

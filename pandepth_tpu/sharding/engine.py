@@ -48,43 +48,9 @@ from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch
 
 
-def host_extract_events(batch: ReadBatch, offsets: np.ndarray,
-                        limits: np.ndarray, flags_mask: int,
-                        min_mapq: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Numpy twin of device/events.extract_events for host-side feeds:
-    (starts, ends) int64 global clamped M/=/X segments of kept reads."""
-    tid, pos = batch.tid, batch.pos
-    keep = (batch.flag & flags_mask) == 0
-    keep &= tid >= 0
-    if min_mapq >= 1:
-        keep &= batch.mapq >= min_mapq
-
-    opc, opl, opr = batch.op_code, batch.op_len, batch.op_read
-    m = opc.shape[0]
-    if m == 0:
-        z = np.zeros(0, np.int64)
-        return z, z
-    consumes = (REF_CONSUME_MASK >> opc) & 1
-    clen = (opl * consumes).astype(np.int64)
-    excl = np.cumsum(clen) - clen
-    # rebase the running ref-consumed length at each read's first op
-    new = np.empty(m, bool)
-    new[0] = True
-    new[1:] = opr[1:] != opr[:-1]
-    group = np.cumsum(new) - 1
-    off = excl - excl[new][group]
-
-    tid_safe = np.maximum(tid, 0)
-    floor = offsets[tid_safe]
-    base = floor + pos.astype(np.int64)
-    limit = limits[tid_safe]
-
-    start = base[opr] + off
-    end = start + opl
-    np.clip(start, floor[opr], limit[opr], out=start)
-    np.clip(end, floor[opr], limit[opr], out=end)
-    live = (((DEPTH_MASK >> opc) & 1) == 1) & keep[opr] & (end > start)
-    return start[live], end[live]
+# numpy twin of device/events.extract_events for host-side feeds —
+# the one implementation lives in the jax-free hosteval module
+from pandepth_tpu.device.hosteval import host_extract_events  # noqa: F401,E402
 
 
 @functools.lru_cache(maxsize=None)

@@ -41,6 +41,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     from pandepth_tpu.sharding.distributed import (init_multihost,
                                                    process_read_shard)
 
+    # run.make_engine must pick the multihost engine, never the
+    # host-finalize fast path (election is env-only, pre-jax)
+    import os
+
+    os.environ["PANDEPTH_MULTIHOST"] = "1"
     init_multihost(coordinator=coordinator, num_processes=nprocs,
                    process_id=rank)
 
