@@ -806,11 +806,19 @@ class CoverageEngine:
 
         Prefix integrals are re-derived on host (hosteval): fetching
         c_cov/c_sum from the device would double the device->host
-        bytes for no work saved."""
+        bytes for no work saved. Cached keyed on the device state
+        object — the per-contig mode-6 streaming writer calls this
+        once per contig and must not re-fetch ~130 MB of breakpoints
+        through the tunnel each time."""
         st = self.sweep_state()
+        cached = getattr(self, "_hsweep_cache", None)
+        if cached is not None and cached[0] is st[0]:
+            return cached[1]
         pos_s = np.asarray(st[0]).astype(np.int64, copy=False)
         depth = np.asarray(st[1])
-        return he.derive_integrals(pos_s, depth, self.min_dep)
+        sweep = he.derive_integrals(pos_s, depth, self.min_dep)
+        self._hsweep_cache = (st[0], sweep)
+        return sweep
 
     def _host_q_eval(self, sweep, x: np.ndarray, r: np.ndarray):
         return he.host_q_eval(sweep, self.min_dep, x, r)

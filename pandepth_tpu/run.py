@@ -241,6 +241,7 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                                                 seg.depth_sum)
 
     win6_rows = None
+    win6_done = False
     if mode == MODE_WIN_SMALL:
         def stats_fn(seg_tid, s, e):
             # the regular tiling evaluates as piece-scatter + cumsum
@@ -263,10 +264,20 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
                 seq = (ref_bases or {}).get(int(tid), b"")
                 return gc_count_ranges(seq, s, e)
         with phase(stats, "win6"):
-            win6_rows = mode6_window_rows(names, lengths,
-                                          targets.tids_with_regions(),
-                                          config.win_size, stats_fn,
-                                          gc_fn)
+            # per-contig streaming writer: never holds the whole
+            # genome tiling (~30 M rows at -w 100 on 3 Gb was the
+            # config's dominant RSS); falls back to the one-shot rows
+            # when the native formatter is unavailable
+            from pandepth_tpu.stats.tables import write_win6_streaming
+
+            win6_done = write_win6_streaming(
+                table_path(prefix, mode), gc_cols, names, lengths,
+                targets.tids_with_regions(), config.win_size,
+                stats_fn, gc_fn, is_writer=_is_writer_rank())
+            if not win6_done:
+                win6_rows = mode6_window_rows(
+                    names, lengths, targets.tids_with_regions(),
+                    config.win_size, stats_fn, gc_fn)
 
     if config.site_output and hasattr(engine, "write_site_depth"):
         # multihost site dump: range-sharded collective write — every
@@ -278,8 +289,10 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
     if not _is_writer_rank():
         return
     with phase(stats, "write"):
-        write_tables(table_path(prefix, mode), mode, gc_cols, names,
-                     targets, gene_cover, gene_dsum, win6_rows)
+        if not win6_done:
+            write_tables(table_path(prefix, mode), mode, gc_cols,
+                         names, targets, gene_cover, gene_dsum,
+                         win6_rows)
 
         if config.site_output and not hasattr(engine,
                                               "write_site_depth"):

@@ -395,6 +395,87 @@ def _write_win6_native(path: str, gc: bool, names: Sequence[str],
     return True
 
 
+def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
+                         lengths: np.ndarray,
+                         tids_with_regions: np.ndarray, win: int,
+                         stats_fn, gc_counts_fn=None,
+                         is_writer: bool = True) -> bool:
+    """Mode-6 table without materializing the whole-genome tiling.
+
+    The one-shot path (mode6_window_rows + _write_win6_native) holds
+    every window row of the genome at once — ~30 M rows x 44 B at
+    ``-w 100`` on 3 Gb, the dominant RSS of that config. Here windows
+    are built, evaluated and written PER CONTIG (~2.5 M rows a pop —
+    the reference's own 10 Mb-bin discipline writ large,
+    src/PanDepth.cpp:676-679), with contig i+1's eval overlapping
+    contig i's gzip write on a one-slot writer thread (the C row
+    formatter releases the GIL). Byte-identical to the one-shot
+    writer: same header, one member per contig in tid order, same
+    footer.
+
+    ``stats_fn``/``gc_counts_fn`` run on EVERY rank in the same order
+    (multihost engines issue collectives from them); only the writer
+    rank touches the file. Returns False (caller falls back to the
+    one-shot path) when the native formatter is unavailable."""
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+    except Exception:
+        lib = None
+    if lib is None:
+        return False
+    import concurrent.futures
+    import gzip as _gzip
+
+    region_set = set(int(t) for t in tids_with_regions)
+    use = [tid for tid in range(len(names))
+           if tid in region_set and int(lengths[tid]) > 1]
+    if is_writer:
+        with _gzip.open(path, "wt", compresslevel=1) as fh:
+            fh.write(table_header(MODE_WIN_SMALL, gc))
+    ss_len = ss_cov = ss_total = ss_gc = 0
+    w = int(win)
+    with concurrent.futures.ThreadPoolExecutor(1) as ex:
+        pending = None
+        for tid in use:
+            tiling = small_window_tiling(int(lengths[tid]), w)
+            seg_tid = np.full(tiling.shape[0], tid, np.int32)
+            starts = np.ascontiguousarray(tiling[:, 0])
+            ends = np.ascontiguousarray(tiling[:, 1])
+            cover, dsum = stats_fn(seg_tid, starts, ends)
+            cover = np.ascontiguousarray(cover, np.int64)
+            dsum = np.ascontiguousarray(dsum, np.int64)
+            if gc_counts_fn is not None:
+                gcc = np.ascontiguousarray(
+                    gc_counts_fn(tid, starts, ends), np.int64)
+            else:
+                gcc = np.zeros(tiling.shape[0], np.int64)
+            length = ends - starts + 1
+            ss_len += int(length.sum())
+            ss_cov += int(cover.sum())
+            ss_total += int(dsum.sum())
+            ss_gc += int(gcc.sum())
+            if pending is not None:
+                rc = pending.result()
+                if rc != 0:
+                    raise OSError(f"win6 row write failed ({rc}):"
+                                  f" {path}")
+            if is_writer:
+                pending = ex.submit(
+                    lib.pancov_win_rows_write, path.encode(), 1,
+                    names[tid].encode(), starts, ends, length, cover,
+                    dsum, gcc, tiling.shape[0], 1 if gc else 0)
+        if pending is not None:
+            rc = pending.result()
+            if rc != 0:
+                raise OSError(f"win6 row write failed ({rc}): {path}")
+    if is_writer:
+        with _gzip.open(path, "at", compresslevel=1) as fh:
+            fh.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
+    return True
+
+
 def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
                      tids_with_regions: np.ndarray, dense_depth_fn) -> None:
     """``.SiteDepth.gz``: chr, 0-based pos, depth for every base of every
