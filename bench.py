@@ -127,6 +127,17 @@ def main() -> None:
         # padding on this fixture; use the suite's CPU-sized caps
         os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 16))
         os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 12))
+    # measure the PRODUCT's default engine election for this
+    # environment (run._want_host_finalize): the jax-free host-sweep
+    # engine against a remote-tunneled device (whose wire latency
+    # dominates small steady-state device runs: an 8M-event upload is
+    # ~0.4 s at the tunnel's ~35 MB/s while the identical re-dispatch
+    # executes in 0.086 s), the device engine on locally attached
+    # backends. PANDEPTH_HOST_FINALIZE=0/1 overrides; the resident
+    # daemon's warm device numbers live in BENCH_3GB.json.
+    from pandepth_tpu.run import _want_host_finalize
+
+    engine = "host" if _want_host_finalize() else "device"
     bam = ensure_fixture()
     # the TPU tunnel in this environment has high run-to-run variance
     # and degrades under concurrent CPU load: measure ours first (warm
@@ -157,6 +168,7 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs else None,
         "platform": platform,
+        "engine": engine,
         "estimator": "median5-vs-median3",
         "spread": {
             "ours_s": round(ours[-1] - ours[0], 3),

@@ -1,5 +1,8 @@
 """Multi-device scaling harness: reads/s of the sharded coverage step
-at 1, 2, 4, ... devices, with parallel efficiency.
+at 1, 2, 4, ... devices, with parallel efficiency, plus a live
+2-process jax.distributed feed-scaling measurement. Writes
+``SCALING.json`` (the BASELINE.md north star's "measured scaling
+efficiency at N >= 2" artifact).
 
 On this environment only one TPU chip is attached, so the default run
 uses N virtual CPU devices to validate the sharded program end-to-end
@@ -15,8 +18,119 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+_MH_WORKER = r"""
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+t0 = time.perf_counter()
+from pandepth_tpu.sharding.launch import main
+rc = main(["launch", "--coordinator", "localhost:%PORT%",
+           "--nprocs", "2", "--rank", sys.argv[1],
+           "-i", sys.argv[2], "-o", sys.argv[3]])
+print("WALL", time.perf_counter() - t0, flush=True)
+sys.exit(rc)
+"""
+
+
+def _bench_multihost(tmp: str) -> dict:
+    """Wall of the full multihost CLI at 1 vs 2 processes on a 2-file
+    list (each rank decodes its modulo shard of the files — the
+    150 Gb-reads workload is decode-bound, so feed scaling IS the
+    scaling; SURVEY.md §2.3). CPU backend, 2 devices per process."""
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
+
+    n_per = int(os.environ.get("PANDEPTH_SCALING_MH_READS",
+                               2_000_000))
+    names = ["chr1", "chr2"]
+    lens = [40_000_000, 25_000_000]
+    files = []
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        bam = os.path.join(tmp, f"mh{i}.bam")
+        tid = np.sort(rng.randint(0, 2, n_per).astype(np.int32))
+        pos = np.empty(n_per, np.int32)
+        for t in range(2):
+            k = int((tid == t).sum())
+            pos[tid == t] = np.sort(
+                rng.randint(0, lens[t] - 200, k).astype(np.int32))
+        write_uniform_bam(bam, names, lens, tid, pos,
+                          np.zeros(n_per, np.uint16),
+                          np.full(n_per, 60, np.uint8))
+        files.append(bam)
+    lst = os.path.join(tmp, "mh.list")
+    with open(lst, "w") as fh:
+        fh.write("\n".join(files) + "\n")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) + \
+        ":" + env.get("PYTHONPATH", "")
+    env["PANDEPTH_DAEMON"] = "0"
+    sp = os.path.join(tmp, "mh_worker.py")
+    with open(sp, "w") as fh:
+        fh.write(_MH_WORKER.replace("%PORT%", "18621"))
+
+    def run_procs() -> float:
+        procs = [subprocess.Popen(
+            [sys.executable, sp, str(i), lst,
+             os.path.join(tmp, "out2p")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True) for i in range(2)]
+        walls = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(err[-1000:])
+            for ln in out.splitlines():
+                if ln.startswith("WALL"):
+                    walls.append(float(ln.split()[1]))
+        return max(walls)
+
+    # 1-"process" baseline: the same worker run solo would deadlock on
+    # nprocs=2 collectives, so the single-process baseline is the
+    # plain CLI on the same list (identical tables, device engine)
+    def run_single() -> float:
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "-m", "pandepth_tpu.cli", "-i", lst,
+             "-o", os.path.join(tmp, "out1p")],
+            env=dict(env, JAX_PLATFORMS="cpu",
+                     PANDEPTH_HOST_FINALIZE="0"),
+            capture_output=True, timeout=600)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-1000:])
+        return time.perf_counter() - t0
+
+    run_single()  # warm the persistent XLA-CPU compile caches
+    run_procs()
+    wall1 = run_single()
+    wall2 = run_procs()
+    reads = 2 * n_per
+    return {
+        "reads": reads,
+        "wall_1proc_s": round(wall1, 3),
+        "wall_2proc_s": round(wall2, 3),
+        "reads_per_s_1proc": round(reads / wall1, 1),
+        "reads_per_s_2proc": round(reads / wall2, 1),
+        "wall_ratio_2proc_vs_1proc": round(wall2 / wall1, 3),
+        "note": ("validation measurement, not a projection: both "
+                 "processes share this host's 4 cores AND the "
+                 "cross-process CPU collectives serialize through "
+                 "the localhost gRPC coordinator (the wall ratio is "
+                 "dominated by that emulation tax; on TPU slices the "
+                 "same exchange rides ICI/DCN). What it proves: the "
+                 "full 2-process jax.distributed CLI path runs "
+                 "end-to-end with byte-identical tables (see "
+                 "tests/test_distributed.py). Real feed scaling "
+                 "needs one host per process — each rank decodes "
+                 "only its shard of the input files"),
+    }
 
 
 def main() -> None:
@@ -41,6 +155,7 @@ def main() -> None:
     lengths = np.array([40_000_000, 25_000_000], np.int64)
     layout = GenomeLayout(lengths)
 
+    rows = []
     base_rate = None
     n = 1
     while n <= n_avail:
@@ -76,10 +191,41 @@ def main() -> None:
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
-        print(json.dumps({"devices": n, "reads_per_s": round(rate, 1),
-                          "efficiency": round(eff, 3)}))
+        row = {"devices": n, "reads_per_s": round(rate, 1),
+               "efficiency": round(eff, 3)}
+        rows.append(row)
+        print(json.dumps(row))
         sys.stdout.flush()
         n *= 2
+
+    result = {
+        "platform": jax.devices()[0].platform,
+        "reads_per_device": n_reads_per_dev,
+        "weak_scaling": rows,
+        "note": ("weak scaling of the sharded coverage step (reads "
+                 "grow with devices; efficiency = rate / (rate_1 * "
+                 "n)). Virtual CPU devices validate the sharded "
+                 "program + collectives end-to-end; only one real "
+                 "TPU chip is attached to this environment "
+                 "(PANDEPTH_SCALING_REAL=1 on a slice)."),
+    }
+    if os.environ.get("PANDEPTH_SCALING_MH", "1") == "1":
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            try:
+                result["multihost_2proc"] = _bench_multihost(tmp)
+                print(json.dumps(
+                    {"multihost": result["multihost_2proc"]}))
+            except Exception as e:  # record, don't lose the rest
+                result["multihost_error"] = str(e)[:300]
+    out = os.environ.get(
+        "PANDEPTH_SCALING_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "SCALING.json"))
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

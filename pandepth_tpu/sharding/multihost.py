@@ -55,10 +55,9 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
                          wrap18=wrap18, devices=jax.devices())
         self._local = jax.local_devices()
         self._flat = Mesh(np.asarray(jax.devices()), ("x",))
-        # multihost events ride int64 (simple and correct at any
-        # genome size; the exchange is DCN/ICI-bound, not dtype-bound)
-        self.pos_dtype = np.int64
-        self.pos_sentinel = int(SENTINEL)
+        # events ride the inherited 32-bit tier whenever the padded
+        # genome fits (pos_dtype_for): halves the exchanged bytes AND
+        # the sort width vs the round-2 int64 layout
 
     # ----------------------------------------------------------------
     def _local_events(self):
@@ -66,15 +65,19 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
             pos = np.concatenate([c[0] for c in self._chunks])
             delta = np.concatenate([c[1] for c in self._chunks])
         else:
-            pos = np.zeros(0, np.int64)
+            pos = np.zeros(0, self.pos_dtype)
             delta = np.zeros(0, np.int32)
-        return pos.astype(np.int64, copy=False), delta
+        return pos.astype(self.pos_dtype, copy=False), delta
 
     def _row_cap(self, n_local_rows: int) -> int:
         """Globally agreed per-device row size: pmax of the local
         per-row need (every process must build the same global shape).
         The jitted pmax program is cached per mesh (a fresh @jax.jit
-        closure per call would retrace every time)."""
+        closure per call would retrace every time). One process IS the
+        globe — skip the collective (the axon chipless AOT compiler
+        also only lowers Sum all-reduces)."""
+        if jax.process_count() == 1:
+            return int(n_local_rows)
         gmax = mesh_mod._pmax_scalar_step(self._flat)
         need = np.zeros(len(self._local), np.int64)
         need[:] = n_local_rows
@@ -96,7 +99,7 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
         rows_p, rows_d = [], []
         for i, d in enumerate(self._local):
             a, b = i * per, min((i + 1) * per, pos.shape[0])
-            rp = np.full((1, cap), SENTINEL, np.int64)
+            rp = np.full((1, cap), self.pos_sentinel, self.pos_dtype)
             rd = np.zeros((1, cap), np.int32)
             if b > a:
                 rp[0, : b - a] = pos[a:b]
@@ -136,14 +139,28 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
                 # the finalize also returns the sharded sweep state,
                 # and every later batch rides the cheap eval program
                 # (the class docstring's cached-replicated-state
-                # contract). Exchange capacity: 2x balanced share,
-                # doubled on overflow.
+                # contract). Exchange capacity: every host KNOWS its
+                # rows' per-destination bucket counts (one bincount),
+                # so one pmax agrees on the EXACT global (src, dst)
+                # bucket max — no balanced-share guess, no overflow
+                # retry re-running the whole exchange+sort (the
+                # doubling loop below stays as a safety net only).
                 pos, delta = self._local_events()
                 L = len(self._local)
-                rcap = self._row_cap(-(-max(pos.shape[0], 1) // L))
+                per = -(-max(pos.shape[0], 1) // L)
+                need = 1
+                for r in range(L):
+                    sl = pos[r * per: (r + 1) * per]
+                    if sl.shape[0]:
+                        dst = np.searchsorted(self.bounds[1:-1], sl,
+                                              side="right")
+                        need = max(need, int(np.bincount(
+                            np.minimum(dst, self.n_dev - 1),
+                            minlength=self.n_dev).max()))
+                rcap = self._row_cap(per)
                 rcap = pad_pow2(rcap, floor=256)
                 gp, gd = self._global_rows(pos, delta, rcap)
-                ex = pad_pow2(-(-2 * rcap // self.n_dev), floor=8)
+                ex = pad_pow2(self._row_cap(need), floor=8)
                 mx = pad_pow2(2 * rcap, floor=8)
                 while True:
                     fin = mesh_mod._events_exchange_finalize(
@@ -200,7 +217,8 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
             lo, hi = int(self.bounds[r]), int(self.bounds[r + 1])
             if hi <= lo:
                 continue
-            pos_row = np.asarray(sp.data)[0]
+            pos_row = np.asarray(sp.data)[0].astype(np.int64,
+                                                    copy=False)
             dep_row = np.asarray(sd.data)[0]
             write_site_depth_range(
                 f"{path}.part{r:05d}", names, lengths, lay.offsets,
