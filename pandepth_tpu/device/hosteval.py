@@ -148,6 +148,9 @@ def derive_integrals(pos_s: np.ndarray, depth: np.ndarray,
                      min_dep: int):
     """(pos_s, depth, c_cov, c_sum) sweep tuple from sorted
     breakpoints (inclusive prefix integrals per piece)."""
+    if pos_s.shape[0] == 0:  # no events (e.g. every read filtered)
+        z = np.zeros(0, np.int64)
+        return pos_s, depth, z, z
     covered = depth >= min_dep
     nxt = np.empty_like(pos_s)
     nxt[:-1] = pos_s[1:]
@@ -163,6 +166,10 @@ def host_q_eval(sweep, min_dep: int, x: np.ndarray, r: np.ndarray):
     #{events < x[j]} (numpy twin of sweep.eval_boundaries)."""
     pos_s, depth, c_cov, c_sum = sweep
     e = pos_s.shape[0]
+    if e == 0:  # no events at all (e.g. every read filtered): the
+        # device twin's clamped gathers return 0 here implicitly
+        z = np.zeros(x.shape[0], np.int64)
+        return z, z
     i_full = np.clip(r - 2, 0, e - 1)
     i_part = np.clip(r - 1, 0, e - 1)
     full_cov = np.where(r >= 2, c_cov[i_full], 0)
@@ -268,6 +275,9 @@ def window_grid_host(layout, min_dep: int, sweep,
 
     W = int(seg_start.shape[0])
     pos_s, depth = sweep[0], sweep[1]
+    if pos_s.shape[0] == 0:  # no events: every window is zero
+        z = np.zeros(W, np.int64)
+        return SegmentStats(cover=z, depth_sum=z)
     nxt = np.empty_like(pos_s)
     nxt[:-1] = pos_s[1:]
     nxt[-1] = np.iinfo(np.int64).max

@@ -210,6 +210,37 @@ def test_cli_parity_forced_host(tmp_path, oracle_bin):
         os.environ.pop("PANDEPTH_HOST_FINALIZE", None)
 
 
+def test_empty_event_set(tmp_path, oracle_bin):
+    """Every read filtered (-q 255) still produces parity tables —
+    the numpy host evals must handle a zero-event sweep (found by the
+    host-engine fuzz burst: seed 20532, CRAM + -w 7 + -q 255)."""
+    from pandepth_tpu.cli import main as cli_main
+
+    bam = str(tmp_path / "t.bam")
+    make_bam(bam, n=100, seed=55)
+    os.environ["PANDEPTH_HOST_FINALIZE"] = "1"
+    try:
+        for extra in (["-q", "255"], ["-q", "255", "-w", "7"],
+                      ["-q", "255", "-a"]):
+            rc = cli_main(["pandepth", "-i", bam,
+                           "-o", str(tmp_path / "ours")] + extra)
+            assert rc == 0
+            subprocess.run([oracle_bin, "-i", bam,
+                            "-o", str(tmp_path / "ref")] + extra,
+                           check=True, capture_output=True)
+            import glob
+
+            for rf in sorted(glob.glob(str(tmp_path / "ref*.gz"))):
+                of = os.path.join(os.path.dirname(rf),
+                                  os.path.basename(rf).replace(
+                                      "ref", "ours", 1))
+                assert gunzip_bytes(of) == gunzip_bytes(rf), \
+                    (extra, os.path.basename(rf))
+                os.remove(rf)
+    finally:
+        os.environ.pop("PANDEPTH_HOST_FINALIZE", None)
+
+
 def test_election_rules(monkeypatch):
     from pandepth_tpu.run import _want_host_finalize
 
