@@ -209,29 +209,43 @@ def main(argv=None) -> int:
         from pandepth_tpu.serve import stop_daemon
 
         return stop_daemon()
-    # Serve mode is the DEFAULT: a cold Python+jax process pays ~2 s
-    # of import plus ~2 s of trace/executable-load per invocation that
-    # the reference binary never pays; routing through the resident
-    # daemon (spawned on first use, idle-exit after
-    # PANDEPTH_DAEMON_IDLE_S) removes that fixed tax from every run
-    # after the first. Results are identical — serve.py ships argv,
-    # cwd, PANDEPTH_* env and the caller's stdio fds, and a staleness
-    # token (code mtimes + platform env) guarantees an edited tree or
-    # a different backend never reuses an old daemon. PANDEPTH_DAEMON=0
-    # opts out (benchmarks pin it to measure the cold path honestly).
-    # No background() on this path: the daemon must fork before any
-    # jax thread exists, and the client itself never needs jax.
-    if os.environ.get("PANDEPTH_DAEMON", "auto") not in ("0", ""):
+    # Engine-aware routing. Host-engine runs (run._want_host_finalize:
+    # a one-shot process against a remote-tunneled device, or a forced
+    # PANDEPTH_HOST_FINALIZE=1) execute IN-PROCESS and never touch
+    # jax: they are faster than a daemon round-trip (no wire, no
+    # request serialization behind another sample's run), a forced
+    # host engine must not be silently overridden by daemon routing,
+    # and starting the background jax init would burn ~2.6 s of
+    # GIL-bound import CPU the run doesn't need (its in-flight device
+    # probe also aborts process teardown if the run finishes first).
+    from pandepth_tpu.run import _want_host_finalize
+
+    daemon_env = os.environ.get("PANDEPTH_DAEMON", "auto")
+    if daemon_env == "auto" and _want_host_finalize():
+        from pandepth_tpu.cli import main as cli_main
+
+        return cli_main(["pandepth"] + args)
+    # Device-path runs default to serve mode: a cold Python+jax
+    # process pays ~2 s of import plus ~2 s of trace/executable-load
+    # per invocation that the reference binary never pays; routing
+    # through the resident daemon (spawned on first use, idle-exit
+    # after PANDEPTH_DAEMON_IDLE_S) removes that fixed tax from every
+    # run after the first. Results are identical — serve.py ships
+    # argv, cwd, PANDEPTH_* env and the caller's stdio fds, and a
+    # staleness token (code mtimes + platform env) guarantees an
+    # edited tree or a different backend never reuses an old daemon.
+    # PANDEPTH_DAEMON=0 opts out (benchmarks pin it to measure the
+    # cold path honestly). The daemon serializes concurrent requests;
+    # parallel per-sample pipelines should use PANDEPTH_DAEMON=0 or
+    # the multihost launcher. No background() on the daemon path: it
+    # must fork before any jax thread exists. An EXPLICIT
+    # PANDEPTH_DAEMON=1 wins over the host election above (benchmarks
+    # and service deployments pin it to measure/keep the warm device
+    # path).
+    if daemon_env not in ("0", ""):
         from pandepth_tpu.serve import client_main
 
         return client_main(args)
-    # host-engine runs (run._want_host_finalize: one-shot cold process
-    # against a remote-tunneled device) never touch jax — starting the
-    # background init would burn ~2.6 s of GIL-bound import CPU the
-    # run doesn't need, and its in-flight device probe aborts process
-    # teardown if the run finishes first
-    from pandepth_tpu.run import _want_host_finalize
-
     if not _want_host_finalize():
         background()
     from pandepth_tpu.cli import main as cli_main

@@ -99,8 +99,14 @@ def _record_warm_sig(sig: tuple) -> None:
         import json
 
         sigs = _load_warm_sig_list()
-        if sig in sigs:
+        if sigs and sigs[-1] == sig:
             return
+        if sig in sigs:
+            # refresh recency: the early warm targets the LAST entry
+            # and eviction drops the front, so a re-seen signature
+            # must move to the end or daily-use shapes lose their
+            # warm-up to one-off runs
+            sigs.remove(sig)
         sigs.append(sig)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.{os.getpid()}.tmp"

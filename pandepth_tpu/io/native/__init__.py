@@ -329,6 +329,16 @@ def host_finalize(chunks, sentinel32: int, extra_pos, extra_delta,
     lib = load_library()
     if lib is None:
         return None
+    # 32-bit position tier only: viewing an int64 array as uint32
+    # would split every position into two bogus events and corrupt
+    # results silently — callers on the int64 tier (> 4 Gb padded
+    # genomes) get None and fall back to the numpy sweep
+    for s, e in chunks:
+        if s.dtype.itemsize != 4 or e.dtype.itemsize != 4:
+            return None
+    if extra_pos is not None and \
+            np.asarray(extra_pos).dtype.itemsize != 4:
+        return None
     n_c = len(chunks)
     sv = (ctypes.c_void_p * max(n_c, 1))()
     ev_ = (ctypes.c_void_p * max(n_c, 1))()

@@ -190,14 +190,18 @@ def _prepare_targets(config: RunConfig, names: List[str],
 def _is_writer_rank() -> bool:
     """Multihost runs compute identical replicated tables on every
     process (the collectives require all ranks); only rank 0 writes.
-    Single-process runs that never imported jax (host engine) are
-    trivially the writer — asking jax would force the import."""
+    Runs whose engine never initialized jax (host engine) are
+    trivially the writer — asking jax.process_index() would force a
+    backend init (~1.5 s PJRT handshake through the tunnel, or a hang
+    when the tunnel is down) at WRITE time. boot.init_started() tracks
+    our own init, immune to the site hook pre-importing the jax
+    module."""
+    from pandepth_tpu import boot
+
     if os.environ.get("PANDEPTH_MULTIHOST") != "1" and \
-            "jax" not in sys.modules:
+            not boot.init_started():
         return True
     try:
-        from pandepth_tpu import boot
-
         jax = boot.configure_jax()
         return jax.process_index() == 0
     except Exception:

@@ -214,6 +214,13 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
         for sp, sd in zip(pos2.addressable_shards,
                           dep2.addressable_shards):
             r = sp.index[0].start or 0
+            part = f"{path}.part{r:05d}"
+            try:  # a crashed previous run may have left a stale part;
+                # ranges that write nothing this run must not let it
+                # survive into rank 0's concatenation
+                os.remove(part)
+            except OSError:
+                pass
             lo, hi = int(self.bounds[r]), int(self.bounds[r + 1])
             if hi <= lo:
                 continue
@@ -221,7 +228,7 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
                                                     copy=False)
             dep_row = np.asarray(sd.data)[0]
             write_site_depth_range(
-                f"{path}.part{r:05d}", names, lengths, lay.offsets,
+                part, names, lengths, lay.offsets,
                 tids_with_regions, lo, hi,
                 lambda a, b: dense_from_state(pos_row, dep_row, a, b))
 
@@ -242,6 +249,14 @@ class MultihostCoverageEngine(ShardedCoverageEngine):
                     shutil.copyfileobj(fh, out, 1 << 20)
                 os.remove(part)
                 wrote = True
+        import glob
+
+        for stale in glob.glob(f"{path}.part*"):
+            # e.g. a previous run at a larger device count crashed
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         if not wrote:  # keep an (empty) gzip file for parity
             with GzTextWriter(path):
                 pass

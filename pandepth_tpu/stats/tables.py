@@ -395,6 +395,17 @@ def _write_win6_native(path: str, gc: bool, names: Sequence[str],
     return True
 
 
+def _win6_use(names: Sequence[str], lengths: np.ndarray,
+              tids_with_regions: np.ndarray):
+    """Contigs that get mode-6 windows, in output order: regioned and
+    longer than 1 bp (src/PanDepth.cpp:4313-4317). The ONE definition
+    both the streaming and the one-shot writers share — they must
+    agree byte-for-byte."""
+    region_set = set(int(t) for t in tids_with_regions)
+    return [tid for tid in range(len(names))
+            if tid in region_set and int(lengths[tid]) > 1]
+
+
 def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
                          lengths: np.ndarray,
                          tids_with_regions: np.ndarray, win: int,
@@ -428,9 +439,7 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
     import concurrent.futures
     import gzip as _gzip
 
-    region_set = set(int(t) for t in tids_with_regions)
-    use = [tid for tid in range(len(names))
-           if tid in region_set and int(lengths[tid]) > 1]
+    use = _win6_use(names, lengths, tids_with_regions)
     if is_writer:
         with _gzip.open(path, "wt", compresslevel=1) as fh:
             fh.write(table_header(MODE_WIN_SMALL, gc))
@@ -604,12 +613,10 @@ def mode6_window_rows(names: Sequence[str], lengths: np.ndarray,
     Returns (tid, start1, end1, cover, dsum, gcc) arrays in output
     order.
     """
-    region_set = set(int(t) for t in tids_with_regions)
     # preallocate and fill per contig: a 3 Gb genome at -w 100 is ~30M
     # windows, and this host's page faults are slow enough that the
     # list-then-concatenate shape would double the fresh-page bill
-    use = [tid for tid in range(len(names))
-           if tid in region_set and int(lengths[tid]) > 1]
+    use = _win6_use(names, lengths, tids_with_regions)
     counts = [(int(lengths[t]) - 2) // win_size + 1 for t in use]
     total = sum(counts)
     if total == 0:
