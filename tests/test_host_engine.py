@@ -210,6 +210,32 @@ def test_cli_parity_forced_host(tmp_path, oracle_bin):
         os.environ.pop("PANDEPTH_HOST_FINALIZE", None)
 
 
+def test_int64_tier_falls_back_correctly():
+    """>4 Gb padded genomes ride int64 positions; the native kernel is
+    u32-only and must be REFUSED (viewing int64 as u32 silently split
+    positions into bogus events — review finding r3), with the numpy
+    sweep producing correct stats."""
+    from pandepth_tpu.io.native import host_finalize, load_library
+
+    lengths = np.array([3_000_000_000, 2_000_000_000], np.int64)
+    eng = HostCoverageEngine(GenomeLayout(lengths))
+    assert eng.pos_dtype is np.int64
+    eng.add_intervals(np.array([1], np.int32),
+                      np.array([1_500_000_000], np.int64),
+                      np.array([1_500_000_100], np.int64))
+    st = eng.segment_stats(np.array([0, 1], np.int32),
+                           np.ones(2, np.int64), lengths)
+    assert st.cover.tolist() == [0, 100]
+    assert st.depth_sum.tolist() == [0, 100]
+    if load_library() is not None:
+        s = np.array([1_500_000_000], np.int64)
+        e = np.array([1_500_000_100], np.int64)
+        assert host_finalize([(s, e)], np.iinfo(np.int64).max, None,
+                             None, np.zeros(1, np.int64),
+                             np.ones(1, np.int64), 1, False,
+                             False) is None
+
+
 def test_empty_event_set(tmp_path, oracle_bin):
     """Every read filtered (-q 255) still produces parity tables —
     the numpy host evals must handle a zero-event sweep (found by the
