@@ -112,15 +112,20 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
     ``win6_rows``: for mode 6 only — (tid, start1, end1, cover, dsum,
     gc_count) arrays already in output order (mode6_window_rows).
     """
-    if mode == MODE_WIN_BIG and targets.n_genes > 50_000 and \
+    # native row formatters engage beyond a trivial row count: the
+    # Python loop runs ~135k rows/s (0.25 s of a 1.4 s cold gene run
+    # at the reference's own 33k-gene scale), the C formatter ~30x
+    # that; below the threshold the member/temp-file framing overhead
+    # isn't worth it
+    if mode == MODE_WIN_BIG and targets.n_genes > 2048 and \
             _write_win_big_native(path, gc, names, targets, gene_cover,
                                   gene_dsum):
         return
-    if mode == MODE_WIN_SMALL and win6_rows[0].shape[0] > 50_000 and \
+    if mode == MODE_WIN_SMALL and win6_rows[0].shape[0] > 2048 and \
             _write_win6_native(path, gc, names, win6_rows):
         return
     if mode in (MODE_GFF, MODE_GTF, MODE_BED3, MODE_BED4) and \
-            targets.n_genes > 50_000 and \
+            targets.n_genes > 2048 and \
             _write_id_rows_native(path, mode, gc, names, targets,
                                   gene_cover, gene_dsum):
         return
