@@ -14,7 +14,6 @@ feeding batches from more files before finalizing.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 from typing import List, Optional, Tuple

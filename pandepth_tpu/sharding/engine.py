@@ -41,8 +41,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pandepth_tpu.device.engine import (SegmentStats, dense_from_state,
                                         pos_dtype_for)
-from pandepth_tpu.device.events import (REF_CONSUME_MASK, DEPTH_MASK,
-                                        SENTINEL, pad_pow2)
+from pandepth_tpu.device.events import SENTINEL, pad_pow2
 from pandepth_tpu.device.layout import GenomeLayout
 from pandepth_tpu.device import sweep as sweep_mod
 from pandepth_tpu.io.bam import ReadBatch

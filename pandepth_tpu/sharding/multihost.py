@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pandepth_tpu.device.events import SENTINEL, pad_pow2
+from pandepth_tpu.device.events import pad_pow2
 from pandepth_tpu.device.layout import GenomeLayout
 from pandepth_tpu.sharding.engine import ShardedCoverageEngine
 from pandepth_tpu.sharding import mesh as mesh_mod
