@@ -256,6 +256,12 @@ def main():
                 results["ref_w100_wall_s"] = round(w2, 3)
                 results["ref_w100_rss_mb"] = round(r2, 1)
                 results["vs_baseline_w100"] = round(w2 / w, 3)
+                import gzip as _g
+                with _g.open(out + "ow100.win.stat.gz", "rb") as fh:
+                    a = fh.read()
+                with _g.open(out + "rw100.win.stat.gz", "rb") as fh:
+                    b = fh.read()
+                results["parity_w100"] = a == b
             except RuntimeError:
                 results["ref_w100_wall_s"] = None  # timed out (2400s)
                 results["vs_baseline_w100"] = round(2400.0 / w, 3)
