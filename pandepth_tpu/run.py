@@ -95,7 +95,12 @@ def _want_host_finalize() -> bool:
     local backends (CPU tests, locally attached TPUs), forced-sharded
     runs and jax.distributed jobs. Decided from env ONLY — touching
     jax here would pay the very costs this path exists to avoid.
-    ``PANDEPTH_HOST_FINALIZE=0/1`` forces."""
+    ``PANDEPTH_HOST_FINALIZE=0/1`` forces — except inside the resident
+    daemon, whose whole point is the warm device path (a forced host
+    run simply doesn't route to the daemon: boot.main executes it
+    in-process; only the contradictory combination
+    ``PANDEPTH_DAEMON=1 PANDEPTH_HOST_FINALIZE=1`` resolves in the
+    daemon's favor)."""
     if os.environ.get("PANDEPTH_SHARDED") not in (None, "0"):
         return False
     if os.environ.get("PANDEPTH_MULTIHOST") == "1":
