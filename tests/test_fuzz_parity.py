@@ -227,6 +227,18 @@ def test_fuzz_case_pure_python(tmp_path, oracle_bin, seed,
 
 
 @pytest.mark.parametrize("seed", range(16))
+def test_fuzz_case_host_engine(tmp_path, oracle_bin, seed,
+                               monkeypatch):
+    """PANDEPTH_HOST_FINALIZE=1 runs the jax-free host engine
+    (device/host_engine.py) — same differential contract; mixes BAM
+    and the other containers so the host sweep sees every decode
+    path in the default suite (the extended bursts run thousands)."""
+    monkeypatch.setenv("PANDEPTH_HOST_FINALIZE", "1")
+    fmt = ("bam", "bam", "sam.gz", "cram")[seed % 4]
+    _run_case(str(tmp_path), oracle_bin, 1300 + seed, fmt=fmt)
+
+
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_case_formats(tmp_path, oracle_bin, seed):
     """The same generated records spun through the other container
     formats (SAM text, gzipped SAM, CRAM, indexed CRAM) — exercises
