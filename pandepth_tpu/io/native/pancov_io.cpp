@@ -37,6 +37,10 @@
 #include <unordered_set>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include <zlib.h>
 
 #ifdef USE_LIBDEFLATE
@@ -3176,6 +3180,34 @@ void* pancov_fasta_gc_load(const char* path, char* err, int err_len) {
           if (end > i) last_ch = buf[end - 1];
           line_len += end - i;
           while ((n & 7) && i < end) append_base(buf[i++]);
+#if defined(__AVX2__)
+          // SIMD G/C test + movemask packs 32 bases into 4 bitmap
+          // bytes per iteration (the 1-bit-per-base layout IS the
+          // movemask layout). Uppercasing via & 0xDF maps exactly
+          // {G,g}->0x47 and {C,c}->0x43 with no aliases, so the
+          // equality test matches the scalar table bit-for-bit.
+          if (end - i >= 32) {
+            const __m256i df = _mm256_set1_epi8((char)0xDF);
+            const __m256i gg = _mm256_set1_epi8('G');
+            const __m256i cc = _mm256_set1_epi8('C');
+            size_t base = bits.size();
+            bits.resize(base + (size_t)((end - i) / 32) * 4);
+            uint8_t* out = bits.data() + base;
+            while (end - i >= 32) {
+              __m256i v = _mm256_loadu_si256(
+                  (const __m256i*)(buf.data() + i));
+              __m256i up = _mm256_and_si256(v, df);
+              __m256i m = _mm256_or_si256(
+                  _mm256_cmpeq_epi8(up, gg),
+                  _mm256_cmpeq_epi8(up, cc));
+              uint32_t bits32 = (uint32_t)_mm256_movemask_epi8(m);
+              std::memcpy(out, &bits32, 4);
+              out += 4;
+              n += 32;
+              i += 32;
+            }
+          }
+#endif
           while (end - i >= 8) {   // bulk: 8 bases -> 1 packed byte
             const uint8_t* p = buf.data() + i;
             bits.push_back((uint8_t)(
