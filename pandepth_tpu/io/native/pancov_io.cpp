@@ -3350,43 +3350,48 @@ void run_tp(int T, const std::function<void(int)>& fn) {
   for (auto& t : ts) t.join();
 }
 
-// parallel LSD radix sort by pos: two 16-bit passes (ping-pong ends
-// back in `a`)
-void radix_sort_events(std::vector<HostEv>& a, int nthreads) {
-  const int64_t n = (int64_t)a.size();
-  if (n <= 1) return;
+// Per-region LSD finisher for the hybrid radix: the fused gather
+// already scattered events into 65536 contiguous high-16-bit regions
+// (~n/65536 events each, cache-resident at any realistic size); each
+// region finishes with a local 2x8-bit LSD through a small scratch —
+// the classic 2x16 LSD\'s full-array random-write passes never happen
+// (measured: 2.57 s 2x16-LSD -> 1.84 s MSD+LSD -> this fused form
+// also drops the 1.3 GB ping-pong buffer at 160M events). Regions
+// ride an atomic cursor (sizes skew when positions cluster).
+void regions_lsd(HostEv* ev, const std::vector<int64_t>& region,
+                 int nthreads) {
   constexpr int R = 1 << 16;
-  int T = (int)std::min<int64_t>(std::max(nthreads, 1),
-                                 (n + R - 1) / R);
-  if (T < 1) T = 1;
-  std::vector<HostEv> tmp(n);
-  HostEv* src = a.data();
-  HostEv* dst = tmp.data();
-  std::vector<int64_t> hist((size_t)T * R);
-  for (int pass = 0; pass < 2; pass++) {
-    const int shift = pass * 16;
-    std::fill(hist.begin(), hist.end(), 0);
-    run_tp(T, [&](int t) {
-      int64_t lo = n * t / T, hi = n * (t + 1) / T;
-      int64_t* h = &hist[(size_t)t * R];
-      for (int64_t i = lo; i < hi; i++)
-        h[(src[i].pos >> shift) & 0xFFFF]++;
-    });
-    int64_t sum = 0;  // bucket-major, thread-minor exclusive scan
-    for (int b = 0; b < R; b++)
-      for (int t = 0; t < T; t++) {
-        int64_t c = hist[(size_t)t * R + b];
-        hist[(size_t)t * R + b] = sum;
-        sum += c;
+  std::atomic<int> next(0);
+  run_tp(std::max(nthreads, 1), [&](int) {
+    std::vector<HostEv> scratch;
+    int64_t h8[2][256];
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= R) break;
+      int64_t lo = region[b], m = region[b + 1] - lo;
+      if (m <= 1) continue;
+      HostEv* d = ev + lo;
+      std::memset(h8, 0, sizeof(h8));
+      for (int64_t i = 0; i < m; i++) {
+        h8[0][d[i].pos & 0xFF]++;
+        h8[1][(d[i].pos >> 8) & 0xFF]++;
       }
-    run_tp(T, [&](int t) {
-      int64_t lo = n * t / T, hi = n * (t + 1) / T;
-      int64_t* h = &hist[(size_t)t * R];
-      for (int64_t i = lo; i < hi; i++)
-        dst[h[(src[i].pos >> shift) & 0xFFFF]++] = src[i];
-    });
-    std::swap(src, dst);
-  }
+      int64_t s0 = 0, s1 = 0;
+      for (int v = 0; v < 256; v++) {
+        int64_t c0 = h8[0][v], c1 = h8[1][v];
+        h8[0][v] = s0;
+        h8[1][v] = s1;
+        s0 += c0;
+        s1 += c1;
+      }
+      scratch.resize((size_t)m);
+      for (int64_t i = 0; i < m; i++)
+        scratch[(size_t)h8[0][d[i].pos & 0xFF]++] = d[i];
+      for (int64_t i = 0; i < m; i++)
+        d[h8[1][(scratch[(size_t)i].pos >> 8) & 0xFF]++] =
+            scratch[(size_t)i];
+    }
+  });
 }
 
 }  // namespace
@@ -3415,54 +3420,99 @@ int64_t pancov_host_finalize(
   if (n_chunks < 0 || nq < 0 || n_extra < 0) return -1;
   if (nthreads < 1) nthreads = 1;
 
-  // count live events per chunk (parallel over chunks)
-  std::vector<int64_t> live_s(n_chunks), live_e(n_chunks);
-  {
-    std::atomic<int> next(0);
-    run_tp(std::min(nthreads, std::max(n_chunks, 1)), [&](int) {
-      for (;;) {
-        int c = next.fetch_add(1);
-        if (c >= n_chunks) break;
-        int64_t ns = 0, ne = 0;
-        for (int64_t i = 0; i < pair_n[c]; i++) {
-          ns += starts_v[c][i] != sentinel;
-          ne += ends_v[c][i] != sentinel;
-        }
-        live_s[c] = ns;
-        live_e[c] = ne;
-      }
-    });
-  }
-  int64_t n_ev = n_extra;
-  std::vector<int64_t> off(n_chunks + 1);
-  for (int c = 0; c < n_chunks; c++) {
-    off[c] = n_ev - n_extra;
-    n_ev += live_s[c] + live_e[c];
-  }
-  off[n_chunks] = n_ev - n_extra;
+  const bool fin_dbg = std::getenv("PANCOV_FIN_DEBUG") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!fin_dbg) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[fin] %s %.3fs\n", what,
+                 std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
 
-  std::vector<HostEv> ev((size_t)n_ev);
+  // Fused gather + MSD scatter: one histogram pass over the staged
+  // chunks (live events only, high 16 bits of the position), then one
+  // scatter straight into the 65536 contiguous regions of `ev` — the
+  // events array is written exactly once, already MSD-partitioned,
+  // and no separate gather buffer or radix ping-pong ever exists
+  // (first-touch page faults on GB-scale buffers cost more than the
+  // sort itself on this host). Chunks are grouped into <= 16 balanced
+  // work units so the per-unit histograms stay small.
+  constexpr int R = 1 << 16;
+  int64_t total_pairs = 0;
+  for (int c = 0; c < n_chunks; c++) total_pairs += pair_n[c];
+  const int G = (int)std::min<int64_t>(16, std::max(n_chunks, 1));
+  // unit u covers chunks [cut[u], cut[u+1]) balanced by pairs
+  std::vector<int> cut(G + 1, n_chunks);
+  cut[0] = 0;
   {
-    std::atomic<int> next(0);
-    run_tp(std::min(nthreads, std::max(n_chunks, 1)), [&](int t) {
-      if (t == 0) {  // extras fill alongside the chunk workers
-        int64_t k = off[n_chunks];
+    int64_t acc = 0, goal = 0;
+    int u = 1;
+    for (int c = 0; c < n_chunks && u < G; c++) {
+      acc += pair_n[c];
+      goal = total_pairs * u / G;
+      if (acc >= goal) cut[u++] = c + 1;
+    }
+    for (; u < G; u++) cut[u] = n_chunks;
+  }
+  const int NU = G + 1;  // extras ride as the last pseudo-unit
+  std::vector<int64_t> hist((size_t)NU * R, 0);
+  std::atomic<int> next1(0);
+  run_tp(std::min(nthreads, NU), [&](int) {
+    for (;;) {
+      int u = next1.fetch_add(1);
+      if (u >= NU) break;
+      int64_t* h = &hist[(size_t)u * R];
+      if (u == G) {
         for (int64_t i = 0; i < n_extra; i++)
-          ev[k++] = {xpos[i], xpos[i] == sentinel ? 0 : xdelta[i]};
+          if (xpos[i] != sentinel) h[xpos[i] >> 16]++;
+      } else {
+        for (int c = cut[u]; c < cut[u + 1]; c++)
+          for (int64_t i = 0; i < pair_n[c]; i++) {
+            if (starts_v[c][i] != sentinel) h[starts_v[c][i] >> 16]++;
+            if (ends_v[c][i] != sentinel) h[ends_v[c][i] >> 16]++;
+          }
       }
-      for (;;) {
-        int c = next.fetch_add(1);
-        if (c >= n_chunks) break;
-        int64_t k = off[c];
-        for (int64_t i = 0; i < pair_n[c]; i++)
-          if (starts_v[c][i] != sentinel) ev[k++] = {starts_v[c][i], 1};
-        for (int64_t i = 0; i < pair_n[c]; i++)
-          if (ends_v[c][i] != sentinel) ev[k++] = {ends_v[c][i], -1};
-      }
-    });
+    }
+  });
+  std::vector<int64_t> region(R + 1);
+  int64_t n_ev = 0;  // bucket-major, unit-minor exclusive scan
+  for (int b = 0; b < R; b++) {
+    region[b] = n_ev;
+    for (int u = 0; u < NU; u++) {
+      int64_t v = hist[(size_t)u * R + b];
+      hist[(size_t)u * R + b] = n_ev;
+      n_ev += v;
+    }
   }
+  region[R] = n_ev;
+  std::vector<HostEv> ev((size_t)n_ev);
+  std::atomic<int> next2(0);
+  run_tp(std::min(nthreads, NU), [&](int) {
+    for (;;) {
+      int u = next2.fetch_add(1);
+      if (u >= NU) break;
+      int64_t* h = &hist[(size_t)u * R];
+      if (u == G) {
+        for (int64_t i = 0; i < n_extra; i++) {
+          uint32_t p = xpos[i];
+          if (p != sentinel) ev[(size_t)h[p >> 16]++] = {p, xdelta[i]};
+        }
+      } else {
+        for (int c = cut[u]; c < cut[u + 1]; c++)
+          for (int64_t i = 0; i < pair_n[c]; i++) {
+            uint32_t p = starts_v[c][i];
+            if (p != sentinel) ev[(size_t)h[p >> 16]++] = {p, 1};
+            uint32_t q = ends_v[c][i];
+            if (q != sentinel) ev[(size_t)h[q >> 16]++] = {q, -1};
+          }
+      }
+    }
+  });
+  lap("gather+msd");
 
-  radix_sort_events(ev, nthreads);
+  regions_lsd(ev.data(), region, nthreads);
+  lap("regions_lsd");
 
   // boundaries sorted by value (stable order irrelevant: Q(x) only
   // depends on x)
@@ -3499,6 +3549,7 @@ int64_t pancov_host_finalize(
     out_cover[j] = q_cov[(size_t)(nq + j)] - q_cov[(size_t)j];
     out_dsum[j] = q_sum[(size_t)(nq + j)] - q_sum[(size_t)j];
   }
+  lap("sweep+eval");
 
   if (!keep_state) return 0;
   int64_t d2 = 0;
