@@ -95,23 +95,25 @@ def _want_host_finalize() -> bool:
     local backends (CPU tests, locally attached TPUs), forced-sharded
     runs and jax.distributed jobs. Decided from env ONLY — touching
     jax here would pay the very costs this path exists to avoid.
-    ``PANDEPTH_HOST_FINALIZE=0/1`` forces — except inside the resident
-    daemon, whose whole point is the warm device path (a forced host
-    run simply doesn't route to the daemon: boot.main executes it
-    in-process; only the contradictory combination
-    ``PANDEPTH_DAEMON=1 PANDEPTH_HOST_FINALIZE=1`` resolves in the
-    daemon's favor)."""
+    ``PANDEPTH_HOST_FINALIZE=0/1`` forces, everywhere: a forced host
+    run executes in-process by default (boot.main), and
+    ``PANDEPTH_DAEMON=1 PANDEPTH_HOST_FINALIZE=1`` runs the host
+    sweep inside the warm daemon (a legitimate combination — resident
+    process, no device wire)."""
     if os.environ.get("PANDEPTH_SHARDED") not in (None, "0"):
         return False
     if os.environ.get("PANDEPTH_MULTIHOST") == "1":
         return False  # set by sharding/launch.py before run()
+    env = os.environ.get("PANDEPTH_HOST_FINALIZE")
+    if env is not None:
+        # an explicit force wins everywhere, INCLUDING inside the
+        # resident daemon: a warm process + the host sweep is a
+        # legitimate combination (no device wire, no import tax)
+        return env == "1"
     serve_mod = sys.modules.get("pandepth_tpu.serve")
     if serve_mod is not None and getattr(serve_mod,
                                          "IN_PROCESS_DAEMON", False):
         return False
-    env = os.environ.get("PANDEPTH_HOST_FINALIZE")
-    if env is not None:
-        return env == "1"
     if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return False  # the remote-tunnel marker on this stack
     try:
