@@ -507,19 +507,32 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
 
     region_set = set(int(t) for t in tids_with_regions)
     if native_write is not None:
+        # one gzip member per 64 Mb position range: members
+        # concatenate byte-identically to per-contig members, each job
+        # holds only a 256 MB dense slice instead of a whole contig
+        # (a 250 Mb contig is ~1 GB of int32; 4 such jobs in flight
+        # put the 3 Gb -a run at 4.3 GB RSS), and a 3 Gb genome yields
+        # ~48 jobs that load-balance the writer pool far better than
+        # 12 contig-sized ones
+        chunk_bp = 64 << 20
         jobs = []
         for tid in range(len(names)):
             if tid not in region_set:
                 continue
+            ln = int(lengths[tid])
+            for lo in range(0, max(ln, 1), chunk_bp):
+                hi = min(lo + chunk_bp, ln)
 
-            def job(p, tid=tid):
-                # dense expansion inside the job: np.repeat and the C
-                # gzip formatter both release the GIL, so contigs
-                # overlap across the member pool
-                d = np.ascontiguousarray(dense_depth_fn(tid), np.int32)
-                return native_write(p.encode(), names[tid].encode(),
-                                    0, d, d.shape[0], 0)
-            jobs.append(job)
+                def job(p, tid=tid, lo=lo, hi=hi):
+                    # dense expansion inside the job: np.repeat and
+                    # the C gzip formatter both release the GIL, so
+                    # ranges overlap across the member pool
+                    d = np.ascontiguousarray(
+                        dense_depth_fn(tid, lo, hi), np.int32)
+                    return native_write(p.encode(),
+                                        names[tid].encode(),
+                                        lo, d, d.shape[0], 0)
+                jobs.append(job)
         if not jobs:  # keep an (empty) file for parity
             with GzTextWriter(path):
                 pass
@@ -531,9 +544,6 @@ def write_site_depth(path: str, names: Sequence[str], lengths: np.ndarray,
         except TypeError:
             pass
         open(path, "wb").close()
-        # each job holds a whole contig of dense int32 depth (~1 GB
-        # per 250 Mb contig): bound the pool so peak RSS stays a few
-        # contigs, not cpu_count of them
         _run_member_jobs(path, jobs, workers=min(4, os.cpu_count()
                                                  or 1))
         return
