@@ -25,6 +25,16 @@ REF_BIN = "/tmp/refbin/pandepth"
 REF_SRC = "/root/reference/src/PanDepth.cpp"
 
 
+def _make(what: str) -> None:
+    """Generate a fixture in a subprocess. Numpy-heavy generation in
+    THIS process would inflate every later child's inherited RSS
+    watermark (fork snapshots the parent's resident set into the
+    child's ru_maxrss baseline), corrupting the artifact's RSS
+    columns."""
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--make", what], check=True)
+
+
 def ensure_fixture():
     os.makedirs(BENCH_DIR, exist_ok=True)
     bam = os.path.join(BENCH_DIR, f"bench3gb_{N_READS}.bam")
@@ -36,6 +46,11 @@ def ensure_fixture():
         return bam, gff, bed
     sys.stderr.write(f"bench3gb: generating {N_READS}-read / 3 Gb "
                      f"fixture...\n")
+    _make("main")
+    return bam, gff, bed
+
+
+def _gen_main_fixture(bam, gff, bed):
     import numpy as np
 
     from pandepth_tpu.io.bam_writer import write_uniform_bam
@@ -75,7 +90,6 @@ def ensure_fixture():
                 g += 1
     os.replace(gff + ".tmp", gff)
     _write_bed_from_gff(gff, bed)
-    return bam, gff, bed
 
 
 def _write_bed_from_gff(gff: str, bed: str) -> None:
@@ -189,6 +203,21 @@ def ours_argv(bam, out, extra):
             "-o", out] + extra
 
 
+def _gz_eq(a_path, b_path, chunk=1 << 24):
+    """Streamed decompressed-byte equality — SiteDepth dumps are tens
+    of GB decompressed, never load them whole."""
+    import gzip
+
+    with gzip.open(a_path, "rb") as fa, gzip.open(b_path, "rb") as fb:
+        while True:
+            a = fa.read(chunk)
+            b = fb.read(chunk)
+            if a != b:
+                return False
+            if not a:
+                return True
+
+
 def best(fn, n):
     """(median wall, max RSS) over n runs — medians survive the host's
     load noise better than minima (VERDICT r2: the reference wall moved
@@ -270,7 +299,7 @@ def main():
     if os.environ.get("PANDEPTH_BENCH3GB_GC") == "1":
         fa = os.path.join(BENCH_DIR, "bench3gb.fa")
         if not os.path.exists(fa):
-            _write_fasta_fixture(fa)
+            _make("fasta")
         extra = ["-g", gff, "-c", "-r", fa]
         run_child(ours_argv(bam, out + "ogc", extra))  # warm: populate the jit cache
         w, r = run_child(ours_argv(bam, out + "ogc", extra))
@@ -294,10 +323,10 @@ def main():
     if os.environ.get("PANDEPTH_BENCH3GB_CRAM") == "1":
         cram = os.path.join(BENCH_DIR, "bench3gb_2m.cram")
         if not os.path.exists(cram):
-            _write_cram_fixture(cram)
+            _make("cram")
         fa = os.path.join(BENCH_DIR, "bench3gb.fa")
         if not os.path.exists(fa):
-            _write_fasta_fixture(fa)
+            _make("fasta")
         extra = ["-g", gff, "-c", "-r", fa]
         run_child(ours_argv(cram, out + "ocr", extra))  # warm: populate the jit cache
         w, r = run_child(ours_argv(cram, out + "ocr", extra))
@@ -316,12 +345,33 @@ def main():
                 b = fh.read()
             results["parity_cramgc"] = a == b
 
+    # -a site dump at scale (opt-in: writes chr\tpos\tdepth for every
+    # base of the 3 Gb genome — tens of GB decompressed — so single
+    # runs, and the reference gets the same timeout as w100)
+    if os.environ.get("PANDEPTH_BENCH3GB_SITEDUMP") == "1":
+        run_child(ours_argv(bam, out + "oa", ["-a"]))  # warm
+        w, r = run_child(ours_argv(bam, out + "oa", ["-a"]))
+        results["ours_sitedump_wall_s"] = round(w, 3)
+        results["ours_sitedump_rss_mb"] = round(r, 1)
+        if ref:
+            try:
+                w2, r2 = run_child(["timeout", "3600", ref, "-i", bam,
+                                    "-o", out + "ra", "-a"])
+                results["ref_sitedump_wall_s"] = round(w2, 3)
+                results["ref_sitedump_rss_mb"] = round(r2, 1)
+                results["vs_baseline_sitedump"] = round(w2 / w, 3)
+                results["parity_sitedump"] = _gz_eq(
+                    out + "oa.SiteDepth.gz", out + "ra.SiteDepth.gz")
+            except RuntimeError:
+                results["ref_sitedump_wall_s"] = None  # timed out
+                results["vs_baseline_sitedump"] = round(3600.0 / w, 3)
+
     # PAF engine at scale (opt-in: the reference's single-threaded
     # PAF parse + per-base fill needs ~7 min on this fixture)
     if os.environ.get("PANDEPTH_BENCH3GB_PAF") == "1":
         paf = os.path.join(BENCH_DIR, "bench3gb.paf")
         if not os.path.exists(paf):
-            _write_paf_fixture(paf)
+            _make("paf")
         run_child(ours_argv(paf, out + "opaf", []))  # warm: populate the jit cache
         w, r = run_child(ours_argv(paf, out + "opaf", []))
         results["ours_paf_wall_s"] = round(w, 3)
@@ -412,4 +462,22 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--make":
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        what = sys.argv[2]
+        if what == "main":
+            _gen_main_fixture(
+                os.path.join(BENCH_DIR, f"bench3gb_{N_READS}.bam"),
+                os.path.join(BENCH_DIR, "bench3gb_genes.gff"),
+                os.path.join(BENCH_DIR, "bench3gb_regions.bed"))
+        elif what == "fasta":
+            _write_fasta_fixture(os.path.join(BENCH_DIR, "bench3gb.fa"))
+        elif what == "cram":
+            _write_cram_fixture(
+                os.path.join(BENCH_DIR, "bench3gb_2m.cram"))
+        elif what == "paf":
+            _write_paf_fixture(os.path.join(BENCH_DIR, "bench3gb.paf"))
+        else:
+            sys.exit(f"unknown fixture: {what}")
+        sys.exit(0)
     main()

@@ -89,13 +89,30 @@ struct BamFile {
 bool read_file(const char* path, std::vector<uint8_t>& out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
-  std::fseek(f, 0, SEEK_END);
-  long n = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  out.resize((size_t)n);
-  size_t got = n ? std::fread(out.data(), 1, (size_t)n, f) : 0;
+  long n = -1;
+  if (std::fseek(f, 0, SEEK_END) == 0) {
+    n = std::ftell(f);
+    if (n >= 0 && std::fseek(f, 0, SEEK_SET) != 0) n = -1;
+  }
+  if (n >= 0) {
+    out.resize((size_t)n);
+    size_t got = n ? std::fread(out.data(), 1, (size_t)n, f) : 0;
+    std::fclose(f);
+    return got == (size_t)n;
+  }
+  // unseekable input (FIFO / process substitution): stream in chunks
+  out.clear();
+  size_t w = 0;
+  size_t got;
+  do {
+    out.resize(w + (1 << 20));
+    got = std::fread(out.data() + w, 1, 1 << 20, f);
+    w += got;
+  } while (got == (1 << 20));
+  bool ok = std::ferror(f) == 0;
   std::fclose(f);
-  return got == (size_t)n;
+  out.resize(w);
+  return ok;
 }
 
 uint16_t le16(const uint8_t* p) { return (uint16_t)(p[0] | p[1] << 8); }
@@ -2857,6 +2874,75 @@ static void put_u32(std::string& s, uint32_t v) {
   s.append(buf + i, 12 - i);
 }
 
+// Sink that frames table/site output as complete gzip members. With
+// libdeflate each ~4 MB text block is compressed whole as one member
+// (~3x the zlib stream's throughput at the same level — compression
+// is the wall on genome-scale dumps); without it, a zlib stream at
+// level 1. Members concatenate losslessly (zcat reads them as one
+// stream), the framing the member-pool writers and BGZF itself use.
+struct GzMemberSink {
+  static constexpr size_t kMember = 4 << 20;  // text bytes per member
+  FILE* f = nullptr;
+  gzFile gz = nullptr;
+  std::string buf;
+  bool wrote_member = false;
+  int open(const char* path, int append) {
+#ifdef USE_LIBDEFLATE
+    f = std::fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+#else
+    gz = gzopen(path, append ? "ab1" : "wb1");
+    if (!gz) return -1;
+#endif
+    buf.reserve(kMember + 512);
+    return 0;
+  }
+  int flush() {
+    if (buf.empty()) return 0;
+#ifdef USE_LIBDEFLATE
+    thread_local libdeflate_compressor* comp = nullptr;
+    if (!comp) comp = libdeflate_alloc_compressor(1);
+    if (!comp) return -4;
+    size_t bound = libdeflate_gzip_compress_bound(comp, buf.size());
+    thread_local std::vector<char> out;
+    if (out.size() < bound) out.resize(bound);
+    size_t got = libdeflate_gzip_compress(comp, buf.data(), buf.size(),
+                                          out.data(), out.size());
+    if (!got) return -4;
+    if (std::fwrite(out.data(), 1, got, f) != got) return -2;
+#else
+    if (gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) return -2;
+#endif
+    wrote_member = true;
+    buf.clear();
+    return 0;
+  }
+  int maybe_flush(size_t slack) {
+    return buf.size() + slack >= kMember ? flush() : 0;
+  }
+  // always closes the handle; the first nonzero rc wins
+  int close(int rc_in, int append) {
+    int rc = rc_in ? rc_in : flush();
+#ifdef USE_LIBDEFLATE
+    if (!rc && !wrote_member && !append) {
+      // a zero-row fresh file still needs one (empty) gzip member to
+      // be a valid .gz: header(10) + empty fixed block + crc + isize
+      static const unsigned char kEmpty[20] = {
+          0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0, 3,
+          0x03, 0x00, 0, 0, 0, 0, 0, 0, 0, 0};
+      if (std::fwrite(kEmpty, 1, sizeof kEmpty, f) != sizeof kEmpty)
+        rc = -2;
+    }
+    if (f && std::fclose(f) != 0 && !rc) rc = -3;
+    f = nullptr;
+#else
+    if (gz && gzclose(gz) != Z_OK && !rc) rc = -3;
+    gz = nullptr;
+#endif
+    return rc;
+  }
+};
+
 // windowed stat rows: "chr\tstart\tend\tlen\tcov\tdsum[\tgc%]\tcov%\tmean"
 // (win-mode writer format, src/PanDepth.cpp:4333, :5008-5046); appends
 // one gzip member per call
@@ -2865,12 +2951,12 @@ int pancov_win_rows_write(const char* path, int append,
                           const int64_t* end1, const int64_t* length,
                           const int64_t* cov, const int64_t* dsum,
                           const int64_t* gc, int64_t n, int has_gc) {
-  gzFile gz = gzopen(path, append ? "ab1" : "wb1");
-  if (!gz) return -1;
-  std::string buf;
-  buf.reserve(1 << 20);
+  GzMemberSink sink;
+  if (sink.open(path, append)) return -1;
+  std::string& buf = sink.buf;
   size_t name_len = std::strlen(chr_name);
   char tmp[64];
+  int rc = 0;
   for (int64_t i = 0; i < n; i++) {
     buf.append(chr_name, name_len);
     buf.push_back('\t');
@@ -2893,20 +2979,9 @@ int pancov_win_rows_write(const char* path, int append,
     std::snprintf(tmp, sizeof tmp, "\t%.2f\t%.2f\n",
                   (double)cov[i] * 100.0 / L, (double)dsum[i] / L);
     buf.append(tmp);
-    if (buf.size() >= (1 << 20) - 256) {
-      if (gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-        gzclose(gz);
-        return -2;
-      }
-      buf.clear();
-    }
+    if ((rc = sink.maybe_flush(256))) break;
   }
-  if (!buf.empty() &&
-      gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-    gzclose(gz);
-    return -2;
-  }
-  return gzclose(gz) == Z_OK ? 0 : -3;
+  return sink.close(rc, append);
 }
 
 // gene/bed stat rows with the region-ID column:
@@ -2919,12 +2994,12 @@ int pancov_id_rows_write(const char* path, int append,
                          const int64_t* id_offs, const int64_t* length,
                          const int64_t* cov, const int64_t* dsum,
                          const int64_t* gc, int64_t n, int has_gc) {
-  gzFile gz = gzopen(path, append ? "ab1" : "wb1");
-  if (!gz) return -1;
-  std::string buf;
-  buf.reserve(1 << 20);
+  GzMemberSink sink;
+  if (sink.open(path, append)) return -1;
+  std::string& buf = sink.buf;
   size_t name_len = std::strlen(chr_name);
   char tmp[64];
+  int rc = 0;
   for (int64_t i = 0; i < n; i++) {
     buf.append(chr_name, name_len);
     buf.push_back('\t');
@@ -2950,52 +3025,55 @@ int pancov_id_rows_write(const char* path, int append,
     std::snprintf(tmp, sizeof tmp, "\t%.2f\t%.2f\n",
                   (double)cov[i] * 100.0 / L, (double)dsum[i] / L);
     buf.append(tmp);
-    if (buf.size() >= (1 << 20) - 512) {
-      if (gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-        gzclose(gz);
-        return -2;
-      }
-      buf.clear();
-    }
+    if ((rc = sink.maybe_flush(512))) break;
   }
-  if (!buf.empty() &&
-      gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-    gzclose(gz);
-    return -2;
-  }
-  return gzclose(gz) == Z_OK ? 0 : -3;
+  return sink.close(rc, append);
 }
 
-// appends one gzip member containing rows for [pos0, pos0+n) to fh
+// appends gzip members containing rows for [pos0, pos0+n) to path
 int pancov_site_depth_write(const char* path, const char* chr_name,
                             int64_t pos0, const int32_t* depth,
                             int64_t n, int append) {
-  gzFile gz = gzopen(path, append ? "ab1" : "wb1");
-  if (!gz) return -1;
-  std::string buf;
-  buf.reserve(1 << 20);
+  GzMemberSink sink;
+  if (sink.open(path, append)) return -1;
+  std::string& buf = sink.buf;
   size_t name_len = std::strlen(chr_name);
+  // incremental decimal counter for the ascending position column —
+  // far cheaper than re-dividing a fresh integer for each of the
+  // ~3e9 rows of a genome-scale -a dump
+  char pd[16];
+  int pn = 0;
+  {
+    uint64_t p = (uint64_t)pos0;
+    char t[20];
+    int k = 0;
+    do {
+      t[k++] = (char)('0' + p % 10);
+      p /= 10;
+    } while (p);
+    for (int j = 0; j < k; j++) pd[j] = t[k - 1 - j];
+    pn = k;
+  }
+  int rc = 0;
   for (int64_t i = 0; i < n; i++) {
     buf.append(chr_name, name_len);
     buf.push_back('\t');
-    put_u32(buf, (uint32_t)(pos0 + i));
+    buf.append(pd, (size_t)pn);
     buf.push_back('\t');
     put_u32(buf, (uint32_t)depth[i]);
     buf.push_back('\n');
-    if (buf.size() >= (1 << 20) - 64) {
-      if (gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-        gzclose(gz);
-        return -2;
-      }
-      buf.clear();
+    int j = pn - 1;  // ++position in decimal
+    while (j >= 0 && pd[j] == '9') pd[j--] = '0';
+    if (j < 0) {
+      std::memmove(pd + 1, pd, (size_t)pn);
+      pd[0] = '1';
+      pn++;
+    } else {
+      pd[j]++;
     }
+    if ((rc = sink.maybe_flush(64))) break;
   }
-  if (!buf.empty() &&
-      gzwrite(gz, buf.data(), (unsigned)buf.size()) <= 0) {
-    gzclose(gz);
-    return -2;
-  }
-  return gzclose(gz) == Z_OK ? 0 : -3;
+  return sink.close(rc, append);
 }
 
 }  // extern "C"

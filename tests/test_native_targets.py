@@ -199,3 +199,31 @@ def test_random_fuzz_gff(tmp_path):
     acc_p = GeneAccumulator(MODE_GFF)
     _parse_gff(path, "CDS", CHR2TID, acc_p)
     _assert_equal_sets(acc_n.build(), acc_p.build())
+
+
+def test_native_targets_from_fifo(tmp_path):
+    """Unseekable inputs (process substitution: `-b <(...)`) must
+    stream instead of ftell+resize — a FIFO's ftell is -1 and the old
+    path died on vector::resize((size_t)-1)."""
+    import threading
+
+    path = str(tmp_path / "t.gff")
+    _write(path, GFF_LINES)
+    fifo = str(tmp_path / "t.fifo.gff")
+    os.mkfifo(fifo)
+
+    def feed():
+        with open(path, "rb") as src, open(fifo, "wb") as dst:
+            dst.write(src.read())
+
+    t = threading.Thread(target=feed)
+    t.start()
+    try:
+        acc_n = GeneAccumulator(MODE_GFF)
+        assert _try_native_targets(fifo, "CDS", MODE_GFF, CHR2TID,
+                                   acc_n)
+    finally:
+        t.join()
+    acc_p = GeneAccumulator(MODE_GFF)
+    _parse_gff(path, "CDS", CHR2TID, acc_p)
+    _assert_equal_sets(acc_n.build(), acc_p.build())

@@ -109,3 +109,39 @@ def test_id_rows_native_matches_python(tmp_path, monkeypatch):
                      cover, dsum)
         monkeypatch.undo()
         assert _gunzip(p_native) == _gunzip(p_py)
+
+
+def test_site_depth_writer_members(tmp_path):
+    """New-format checks for the libdeflate member sink: the
+    incremental position counter must survive digit-count growth, a
+    zero-row fresh file must still be a valid (empty) gzip, and
+    multi-member output must read back as one stream."""
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    lib = native.load_library()
+    if lib is None:
+        pytest.skip("native unavailable")
+
+    p = str(tmp_path / "s.SiteDepth.gz")
+    # digit growth across 9->10 and 999999999->1000000000
+    d = np.array([5, 0, 3], np.int32)
+    assert lib.pancov_site_depth_write(p.encode(), b"c", 8, d, 3, 0) == 0
+    assert lib.pancov_site_depth_write(
+        p.encode(), b"c", 999_999_998, d, 3, 1) == 0
+    got = _gunzip(p).decode()
+    assert got == ("c\t8\t5\nc\t9\t0\nc\t10\t3\n"
+                   "c\t999999998\t5\nc\t999999999\t0\n"
+                   "c\t1000000000\t3\n")
+
+    # zero rows, fresh file: one empty member, zcat-valid
+    assert lib.pancov_site_depth_write(
+        p.encode(), b"c", 0, d, 0, 0) == 0
+    assert _gunzip(p) == b""
+
+    # >4MB of text crosses the member boundary inside one call
+    big = (np.arange(700_000) % 100).astype(np.int32)
+    assert lib.pancov_site_depth_write(
+        p.encode(), b"chr1", 0, big, len(big), 0) == 0
+    lines = _gunzip(p).decode().splitlines()
+    assert len(lines) == 700_000
+    assert lines[0] == "chr1\t0\t0"
+    assert lines[-1] == f"chr1\t699999\t{699_999 % 100}"
