@@ -432,7 +432,16 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
     ``stats_fn``/``gc_counts_fn`` run on EVERY rank in the same order
     (multihost engines issue collectives from them); only the writer
     rank touches the file. Returns False (caller falls back to the
-    one-shot path) when the native formatter is unavailable."""
+    one-shot path) when the native formatter is unavailable.
+
+    Row formatting + deflate dominate this table at genome scale
+    (~30 M rows / ~1.3 GB of text at ``-w 100`` on 3 Gb, vs a few
+    seconds of eval), so each contig's rows are split into ~1 M-row
+    chunks written as independent gzip members by a small pool (the C
+    formatter releases the GIL); member part files are appended to
+    ``path`` in (contig, chunk) order, so the decompressed bytes are
+    identical to the single-threaded writer's. In-flight parts are
+    capped to bound both RSS and temp-file footprint."""
     try:
         from pandepth_tpu.io.native import load_library
 
@@ -441,8 +450,10 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
         lib = None
     if lib is None:
         return False
+    import collections
     import concurrent.futures
     import gzip as _gzip
+    import shutil
 
     use = _win6_use(names, lengths, tids_with_regions)
     if is_writer:
@@ -450,40 +461,65 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
             fh.write(table_header(MODE_WIN_SMALL, gc))
     ss_len = ss_cov = ss_total = ss_gc = 0
     w = int(win)
-    with concurrent.futures.ThreadPoolExecutor(1) as ex:
-        pending = None
-        for tid in use:
-            tiling = small_window_tiling(int(lengths[tid]), w)
-            seg_tid = np.full(tiling.shape[0], tid, np.int32)
-            starts = np.ascontiguousarray(tiling[:, 0])
-            ends = np.ascontiguousarray(tiling[:, 1])
-            cover, dsum = stats_fn(seg_tid, starts, ends)
-            cover = np.ascontiguousarray(cover, np.int64)
-            dsum = np.ascontiguousarray(dsum, np.int64)
-            if gc_counts_fn is not None:
-                gcc = np.ascontiguousarray(
-                    gc_counts_fn(tid, starts, ends), np.int64)
-            else:
-                gcc = np.zeros(tiling.shape[0], np.int64)
-            length = ends - starts + 1
-            ss_len += int(length.sum())
-            ss_cov += int(cover.sum())
-            ss_total += int(dsum.sum())
-            ss_gc += int(gcc.sum())
-            if pending is not None:
-                rc = pending.result()
-                if rc != 0:
-                    raise OSError(f"win6 row write failed ({rc}):"
-                                  f" {path}")
-            if is_writer:
-                pending = ex.submit(
-                    lib.pancov_win_rows_write, path.encode(), 1,
-                    names[tid].encode(), starts, ends, length, cover,
-                    dsum, gcc, tiling.shape[0], 1 if gc else 0)
-        if pending is not None:
-            rc = pending.result()
-            if rc != 0:
-                raise OSError(f"win6 row write failed ({rc}): {path}")
+    chunk_rows = 1 << 20
+    workers = min(4, os.cpu_count() or 1)
+    out = open(path, "ab") if is_writer else None
+    pending = collections.deque()  # (future, part_path) in file order
+    part_seq = 0
+
+    def drain_one():
+        fut, part = pending.popleft()
+        rc = fut.result()
+        if rc != 0:
+            raise OSError(f"win6 row write failed ({rc}): {path}")
+        with open(part, "rb") as fh:
+            shutil.copyfileobj(fh, out, 1 << 20)
+        os.remove(part)
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+            for tid in use:
+                tiling = small_window_tiling(int(lengths[tid]), w)
+                seg_tid = np.full(tiling.shape[0], tid, np.int32)
+                starts = np.ascontiguousarray(tiling[:, 0])
+                ends = np.ascontiguousarray(tiling[:, 1])
+                cover, dsum = stats_fn(seg_tid, starts, ends)
+                cover = np.ascontiguousarray(cover, np.int64)
+                dsum = np.ascontiguousarray(dsum, np.int64)
+                if gc_counts_fn is not None:
+                    gcc = np.ascontiguousarray(
+                        gc_counts_fn(tid, starts, ends), np.int64)
+                else:
+                    gcc = np.zeros(tiling.shape[0], np.int64)
+                length = ends - starts + 1
+                ss_len += int(length.sum())
+                ss_cov += int(cover.sum())
+                ss_total += int(dsum.sum())
+                ss_gc += int(gcc.sum())
+                if out is None:
+                    continue
+                name_b = names[tid].encode()
+                for lo in range(0, tiling.shape[0], chunk_rows):
+                    hi = min(lo + chunk_rows, tiling.shape[0])
+                    while len(pending) >= 2 * workers:
+                        drain_one()
+                    part = f"{path}.m{part_seq}"
+                    part_seq += 1
+                    pending.append((ex.submit(
+                        lib.pancov_win_rows_write, part.encode(), 0,
+                        name_b, starts[lo:hi], ends[lo:hi],
+                        length[lo:hi], cover[lo:hi], dsum[lo:hi],
+                        gcc[lo:hi], hi - lo, 1 if gc else 0), part))
+            while pending:
+                drain_one()
+    finally:
+        for _, part in pending:
+            try:
+                os.remove(part)
+            except OSError:
+                pass
+        if out is not None:
+            out.close()
     if is_writer:
         with _gzip.open(path, "at", compresslevel=1) as fh:
             fh.write(_footer(ss_len, ss_cov, ss_total, gc, ss_gc))
