@@ -421,27 +421,24 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
     The one-shot path (mode6_window_rows + _write_win6_native) holds
     every window row of the genome at once — ~30 M rows x 44 B at
     ``-w 100`` on 3 Gb, the dominant RSS of that config. Here windows
-    are built, evaluated and written PER CONTIG (~2.5 M rows a pop —
-    the reference's own 10 Mb-bin discipline writ large,
-    src/PanDepth.cpp:676-679), with contig i+1's eval overlapping
-    contig i's gzip write on a one-slot writer thread (the C row
-    formatter releases the GIL). Byte-identical to the one-shot
-    writer: same header, one member per contig in tid order, same
-    footer.
+    are built and evaluated PER CONTIG (~2.5 M rows a pop — the
+    reference's own 10 Mb-bin discipline writ large,
+    src/PanDepth.cpp:676-679), and each contig's rows are split into
+    ~1 M-row chunks formatted + deflated as independent gzip members
+    by a small thread pool (the C row formatter releases the GIL —
+    row formatting + deflate dominate this table at genome scale:
+    ~30 M rows / ~1.3 GB of text at ``-w 100`` on 3 Gb, vs a few
+    seconds of eval). Member part files are appended to ``path`` in
+    (contig, chunk) order, so the decompressed bytes are identical to
+    the single-threaded one-shot writer's: same header, same row
+    bytes, same footer. In-flight parts are capped to bound both RSS
+    and temp-file footprint. ``PANDEPTH_WIN6_CHUNK_ROWS`` overrides
+    the chunk size (tests force multi-chunk contigs with it).
 
     ``stats_fn``/``gc_counts_fn`` run on EVERY rank in the same order
     (multihost engines issue collectives from them); only the writer
     rank touches the file. Returns False (caller falls back to the
-    one-shot path) when the native formatter is unavailable.
-
-    Row formatting + deflate dominate this table at genome scale
-    (~30 M rows / ~1.3 GB of text at ``-w 100`` on 3 Gb, vs a few
-    seconds of eval), so each contig's rows are split into ~1 M-row
-    chunks written as independent gzip members by a small pool (the C
-    formatter releases the GIL); member part files are appended to
-    ``path`` in (contig, chunk) order, so the decompressed bytes are
-    identical to the single-threaded writer's. In-flight parts are
-    capped to bound both RSS and temp-file footprint."""
+    one-shot path) when the native formatter is unavailable."""
     try:
         from pandepth_tpu.io.native import load_library
 
@@ -461,7 +458,8 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
             fh.write(table_header(MODE_WIN_SMALL, gc))
     ss_len = ss_cov = ss_total = ss_gc = 0
     w = int(win)
-    chunk_rows = 1 << 20
+    chunk_rows = int(os.environ.get("PANDEPTH_WIN6_CHUNK_ROWS",
+                                    1 << 20))
     workers = min(4, os.cpu_count() or 1)
     out = open(path, "ab") if is_writer else None
     pending = collections.deque()  # (future, part_path) in file order
@@ -469,12 +467,20 @@ def write_win6_streaming(path: str, gc: bool, names: Sequence[str],
 
     def drain_one():
         fut, part = pending.popleft()
-        rc = fut.result()
-        if rc != 0:
-            raise OSError(f"win6 row write failed ({rc}): {path}")
-        with open(part, "rb") as fh:
-            shutil.copyfileobj(fh, out, 1 << 20)
-        os.remove(part)
+        try:
+            rc = fut.result()
+            if rc != 0:
+                raise OSError(f"win6 row write failed ({rc}): {path}")
+            with open(part, "rb") as fh:
+                shutil.copyfileobj(fh, out, 1 << 20)
+        finally:
+            # popped parts are no longer covered by the outer cleanup;
+            # remove here (success or failure) so error paths never
+            # leak a .m<N> temp file next to the output
+            try:
+                os.remove(part)
+            except OSError:
+                pass
 
     try:
         with concurrent.futures.ThreadPoolExecutor(workers) as ex:

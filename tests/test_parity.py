@@ -69,6 +69,16 @@ def test_window_mode_tiny(tmp_path, oracle_bin):
     _both(str(tmp_path), oracle_bin, ["-w", "7"])
 
 
+def test_window_mode_small_multichunk_writer(tmp_path, oracle_bin,
+                                             monkeypatch):
+    """Force write_win6_streaming's multi-gzip-member chunking (many
+    chunks per contig) — the suite's fixtures are far below the
+    production 1M-row chunk size, so the chunk-boundary and
+    part-ordering logic would otherwise ship untested."""
+    monkeypatch.setenv("PANDEPTH_WIN6_CHUNK_ROWS", "7")
+    _both(str(tmp_path), oracle_bin, ["-w", "25"])
+
+
 def test_gff_mode(tmp_path, oracle_bin):
     tmp = str(tmp_path)
     gff = os.path.join(tmp, "t.gff")
