@@ -178,6 +178,7 @@ def main() -> None:
         "metric": "aligned_reads_per_s",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
+        "n_reads": N_READS,
         "vs_baseline": round(vs, 3) if vs else None,
         "platform": platform,
         "engine": engine,

@@ -105,6 +105,31 @@ def _write_bed_from_gff(gff: str, bed: str) -> None:
     os.replace(bed + ".tmp", bed)
 
 
+def _gen_scale10x_fixture(bam: str) -> None:
+    """80M sorted reads over the same 3 Gb contig space (chunked
+    generation: 80M-read lexsort at once would swap this 4-core VM)."""
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
+
+    rng = np.random.RandomState(11)
+    n = N_READS * 10
+    names = [f"chr{i + 1}" for i in range(N_CONTIGS)]
+    tid = np.sort(rng.randint(0, N_CONTIGS, n).astype(np.int32))
+    pos = np.empty(n, np.int32)
+    for t in range(N_CONTIGS):
+        sel = np.nonzero(tid == t)[0]
+        pos[sel] = np.sort((rng.rand(sel.shape[0])
+                            * (CONTIG_LEN - 200)).astype(np.int32))
+    mapq = rng.choice([0, 10, 30, 60], n).astype(np.uint8)
+    flag = np.where(rng.rand(n) < 0.05, 1024, 0).astype(np.uint16)
+    tmp = bam + ".tmp"
+    write_uniform_bam(tmp, names, [CONTIG_LEN] * N_CONTIGS, tid, pos,
+                      flag, mapq)
+    os.replace(tmp + ".bai", bam + ".bai")
+    os.replace(tmp, bam)
+
+
 def _write_fasta_fixture(fa: str) -> None:
     """3 Gb random ACGT reference over the same contig space."""
     import numpy as np
@@ -392,6 +417,27 @@ def main():
                 results["ref_paf_wall_s"] = None
                 results["vs_baseline_paf"] = round(2400.0 / w, 3)
 
+    # 10x scale check (opt-in: writes an 80M-read / ~600 MB BAM once):
+    # chr mode at 10x the north-star read count, showing the margin
+    # and the O(events) memory story at depth
+    if os.environ.get("PANDEPTH_BENCH3GB_SCALE10X") == "1":
+        n10 = N_READS * 10
+        bam10 = os.path.join(BENCH_DIR, f"bench3gb_{n10}.bam")
+        if not os.path.exists(bam10):
+            _make("scale10x")
+        results["scale10x_reads"] = n10
+        run_child(ours_argv(bam10, out + "o10", []))  # warm
+        w, r = run_child(ours_argv(bam10, out + "o10", []))
+        results["ours_scale10x_wall_s"] = round(w, 3)
+        results["ours_scale10x_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", bam10, "-o", out + "r10"])
+            results["ref_scale10x_wall_s"] = round(w2, 3)
+            results["ref_scale10x_rss_mb"] = round(r2, 1)
+            results["vs_baseline_scale10x"] = round(w2 / w, 3)
+            results["parity_scale10x"] = _gz_eq(
+                out + "o10.chr.stat.gz", out + "r10.chr.stat.gz")
+
     # serve mode: the multi-sample cost model (one resident warm
     # process; the reference's own protocol reruns the binary 10x per
     # config, reference/README.md:128-131). Same outputs, no per-run
@@ -477,6 +523,9 @@ if __name__ == "__main__":
                 os.path.join(BENCH_DIR, "bench3gb_2m.cram"))
         elif what == "paf":
             _write_paf_fixture(os.path.join(BENCH_DIR, "bench3gb.paf"))
+        elif what == "scale10x":
+            _gen_scale10x_fixture(os.path.join(
+                BENCH_DIR, f"bench3gb_{N_READS * 10}.bam"))
         else:
             sys.exit(f"unknown fixture: {what}")
         sys.exit(0)

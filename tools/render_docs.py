@@ -1,0 +1,247 @@
+"""Render every perf number in README.md / COMPONENTS.md from the
+committed bench artifacts — the docs can then never drift from the
+JSONs (VERDICT r2+r3 both flagged hand-edited perf claims that
+contradicted the artifacts).
+
+Mechanism: docs carry value tokens
+
+    <!--v:NAME-->rendered text<!--/v-->
+
+where NAME is a key computed below from BENCH_3GB.json,
+BENCH_3GB_cpu.json, SCALING.json and the newest BENCH_r*.json. This
+script recomputes each token's text and substitutes it in place
+(multi-line values allowed — the whole north-star table is one
+token).
+
+Usage:
+    python tools/render_docs.py           # rewrite docs in place
+    python tools/render_docs.py --check   # exit 1 + diff on mismatch
+
+tests/test_docs_render.py runs --check in the default suite, so a
+hand-edited number or a refreshed artifact fails the build until the
+docs are re-rendered.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ("README.md", "COMPONENTS.md")
+TOKEN = re.compile(r"(<!--v:([a-zA-Z0-9_]+)-->)(.*?)(<!--/v-->)",
+                   re.DOTALL)
+
+
+def _load(name):
+    try:
+        with open(os.path.join(REPO, name)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _latest_driver_bench():
+    """Newest BENCH_r{N}.json (the driver's end-of-round capture)."""
+    best, best_n = {}, -1
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best_n = n
+            best = _load(os.path.basename(p))
+    return best.get("parsed", {}), best_n
+
+
+def _x(v) -> str:
+    return f"{v:.1f}x" if v is not None else "n/a"
+
+
+def _s(v) -> str:
+    if v is None:
+        return "n/a"
+    return f"{v:.2f} s" if v < 10 else f"{v:.0f} s"
+
+
+def _mb(v) -> str:
+    if v is None:
+        return "—"
+    return f"{v / 1024:.1f} GB" if v >= 1000 else f"{v:.0f} MB"
+
+
+def build_values() -> dict:
+    b3 = _load("BENCH_3GB.json")
+    bc = _load("BENCH_3GB_cpu.json")
+    sc = _load("SCALING.json")
+    drv, drv_round = _latest_driver_bench()
+    v = {}
+
+    # ---- README: the 3 Gb north-star table ----
+    rows = [
+        ("chr", "chr"), ("gene (`-g`, 175k CDS)", "gene"),
+        ("bed (`-b`, 175k rows)", "bed"), ("win (`-w 500000`)", "win"),
+        ("`-w 100` (~30M windows)", "w100"),
+        ("`-a` site dump (3 Gb of rows)", "sitedump"),
+        ("multi-sample `.list` (3 files)", "list"),
+        ("gene + GC (`-c -r`, 3 Gb fasta)", "gc"),
+        ("CRAM + GC (2M reads)", "cramgc"),
+        ("PAF (8M records)", "paf"),
+    ]
+    lines = ["| config | ours | reference | speedup | RSS ours / ref |",
+             "|---|---|---|---|---|"]
+    for label, key in rows:
+        ow = b3.get(f"ours_{key}_wall_s")
+        if ow is None:
+            continue
+        rw = b3.get(f"ref_{key}_wall_s")
+        vs = b3.get(f"vs_baseline_{key}")
+        orss = b3.get(f"ours_{key}_rss_mb")
+        rrss = b3.get(f"ref_{key}_rss_mb")
+        ref_cell = _s(rw) if rw is not None else (
+            f"> {_s(vs * ow)} (timeout)" if vs else "—")
+        vs_cell = (f"**{_x(vs)}**" if rw is not None
+                   else f"**> {_x(vs)}**") if vs else "—"
+        lines.append(f"| {label} | {_s(ow)} | {ref_cell} | {vs_cell} "
+                     f"| {_mb(orss)} / {_mb(rrss)} |")
+    v["perf3gb_table"] = "\n".join(lines)
+
+    # ---- README: the driver-bench paragraph ----
+    if drv:
+        n_reads = drv.get("n_reads", 4_000_000)
+        mr = drv.get("value", 0) / 1e6
+        vs = drv.get("vs_baseline")
+        dev = drv.get("device_engine_reads_per_s")
+        spread = (drv.get("spread") or {}).get("ours_s")
+        wall = n_reads / drv["value"] if drv.get("value") else None
+        noise = (f"{100 * spread / wall:.0f}% spread"
+                 if spread is not None and wall else "spread recorded")
+        dev_part = (f"; the device engine measured separately at "
+                    f"{dev / 1e6:.1f}M reads/s" if dev else "")
+        v["bench_driver_par"] = (
+            f"`bench.py` (the driver metric, {n_reads // 1_000_000}M-"
+            f"read fixture; artifact `BENCH_r{drv_round:02d}.json`): "
+            f"{mr:.1f}M aligned reads/s, **{vs:.2f}x** the reference "
+            f"wall on the same host (median-of-5 vs median-of-3, "
+            f"{noise}){dev_part}.")
+    else:
+        v["bench_driver_par"] = "`bench.py`: no driver artifact yet."
+
+    # ---- README: 10x scale check (opt-in bench3gb section) ----
+    if b3.get("ours_scale10x_wall_s"):
+        ow = b3["ours_scale10x_wall_s"]
+        rw = b3.get("ref_scale10x_wall_s")
+        n = b3.get("scale10x_reads", 80_000_000)
+        par = b3.get("parity_scale10x")
+        v["scale10x_par"] = (
+            f"Scale check at 10x the north-star read count "
+            f"({n // 1_000_000}M reads over the same 3 Gb genome): "
+            f"{_s(ow)} vs the reference's {_s(rw)} "
+            f"(**{_x(b3.get('vs_baseline_scale10x'))}**"
+            f"{', byte parity' if par else ''}, "
+            f"{n / ow / 1e6:.1f}M reads/s) — the margin *widens* with "
+            f"input size because the reference's fixed per-base genome "
+            f"arrays amortize while both tools' marginal cost is the "
+            f"read stream. Memory is O(events) "
+            f"({_mb(b3.get('ours_scale10x_rss_mb'))} here vs the "
+            f"reference's flat {_mb(b3.get('ref_scale10x_rss_mb'))}): "
+            f"beyond ~10-20x coverage the daemon / sharded device "
+            f"engines (HBM-resident events) are the intended path.")
+    else:
+        v["scale10x_par"] = ("(10x scale check pending: run "
+                             "`PANDEPTH_BENCH3GB_SCALE10X=1 python "
+                             "bench3gb.py` to record it.)")
+
+    # ---- README bullets ----
+    v["daemon_nums"] = (
+        f"daemon chr {_x(b3.get('vs_baseline_chr_daemon'))} / gene "
+        f"{_x(b3.get('vs_baseline_gene_daemon'))} in BENCH_3GB.json")
+    v["cpu_nums"] = (
+        f"chr {_x(bc.get('vs_baseline_chr'))}, gene "
+        f"{_x(bc.get('vs_baseline_gene'))}, bed "
+        f"{_x(bc.get('vs_baseline_bed'))}, win "
+        f"{_x(bc.get('vs_baseline_win'))}")
+
+    # ---- README: weak-scaling numbers ----
+    ws = {int(r["devices"]): r["efficiency"]
+          for r in sc.get("weak_scaling", [])}
+    if ws:
+        v["scaling_nums"] = (
+            ", ".join(f"{ws[d]:.2f} efficiency at {d}"
+                      for d in sorted(ws) if d > 1))
+    else:
+        v["scaling_nums"] = "no scaling artifact yet"
+
+    # ---- COMPONENTS cells ----
+    v["c_cramgc"] = _x(b3.get("vs_baseline_cramgc"))
+    if drv:
+        v["c_driver"] = (f"vs_baseline {drv.get('vs_baseline')}, "
+                         f"{drv.get('value', 0) / 1e6:.1f}M reads/s")
+    else:
+        v["c_driver"] = "no driver artifact yet"
+    v["c_b3row"] = (
+        f"chr {_x(b3.get('vs_baseline_chr'))}, gene "
+        f"{_x(b3.get('vs_baseline_gene'))}, bed "
+        f"{_x(b3.get('vs_baseline_bed'))}, win "
+        f"{_x(b3.get('vs_baseline_win'))}, w100 "
+        f"{_x(b3.get('vs_baseline_w100'))}, GC "
+        f"{_x(b3.get('vs_baseline_gc'))}, CRAM+GC "
+        f"{_x(b3.get('vs_baseline_cramgc'))}, PAF "
+        f"{_x(b3.get('vs_baseline_paf'))}")
+    v["c_genebed"] = (f"gene **{_x(b3.get('vs_baseline_gene'))}**, bed "
+                      f"**{_x(b3.get('vs_baseline_bed'))}** (chr "
+                      f"{_x(b3.get('vs_baseline_chr'))}, win "
+                      f"{_x(b3.get('vs_baseline_win'))})")
+    v["c_daemongap"] = (
+        f"cold runs no longer need the daemon to be fast (host engine "
+        f"chr {_s(b3.get('ours_chr_wall_s'))} vs daemon "
+        f"{_s(b3.get('ours_chr_daemon_wall_s'))})")
+    return v
+
+
+def render(text: str, values: dict, path: str) -> str:
+    def sub(m):
+        name = m.group(2)
+        if name not in values:
+            raise SystemExit(f"{path}: unknown doc token v:{name}")
+        return m.group(1) + values[name] + m.group(4)
+
+    return TOKEN.sub(sub, text)
+
+
+def main(argv) -> int:
+    check = "--check" in argv
+    values = build_values()
+    rc = 0
+    for doc in DOCS:
+        p = os.path.join(REPO, doc)
+        with open(p) as fh:
+            old = fh.read()
+        new = render(old, values, doc)
+        if new == old:
+            continue
+        if check:
+            rc = 1
+            import difflib
+
+            sys.stderr.write(f"--- {doc} is stale vs artifacts ---\n")
+            sys.stderr.writelines(difflib.unified_diff(
+                old.splitlines(True), new.splitlines(True),
+                f"{doc} (committed)", f"{doc} (rendered)", n=0))
+        else:
+            with open(p, "w") as fh:
+                fh.write(new)
+            print(f"rendered {doc}")
+    if check and rc:
+        sys.stderr.write(
+            "\ndocs drifted from bench artifacts; run "
+            "`python tools/render_docs.py` to refresh\n")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
