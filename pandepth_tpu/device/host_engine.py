@@ -10,9 +10,12 @@ finalize program (measured; the feed it could hide behind lasts
 parallel radix sort + one sweep, the C++ twin of device/sweep.py)
 answers the same finalize in ~0.2-0.5 s at 3 Gb-bench scale, and a run
 through this engine never touches jax at all. The resident daemon
-(serve.py) and multi-chip/multi-host jobs keep the warm DEVICE engine
-— that path is the production scale-out story; this one makes the
-cold single-shot CLI honest.
+(serve.py) elects by the same link-cost rule — through the tunnel the
+wire loses to this sweep even with warm device programs (BENCH_3GB r3:
+daemon+device chr 1.79 s vs 0.81 s) — while locally attached backends
+and multi-chip/multi-host jobs keep the DEVICE engines: that path is
+the production scale-out story; this one makes single-device runs
+behind a thin link honest.
 
 Every statistic is byte-identical to the device engine by
 construction: both are event sweeps with the same clamping, the same
@@ -37,6 +40,11 @@ class HostCoverageEngine:
 
     wants_padded_events = True
     wants_encoded_windows = False
+    # _is_writer_rank: a host-engine run is trivially the writer; it
+    # must never force a jax backend init at write time (inside a warm
+    # daemon init_started() is True, but the PJRT handshake may hang
+    # when the tunnel is down — and this engine never needs it)
+    jax_free = True
 
     def __init__(self, layout: GenomeLayout, flags_mask: int = 1796,
                  min_mapq: int = -1, min_dep: int = 1,

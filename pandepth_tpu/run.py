@@ -90,11 +90,12 @@ def _want_host_finalize() -> bool:
     fused finalize program — none of which a sub-second feed can hide
     (measured: first finalize dispatch 2.6 s vs 0.51 s steady-state on
     the 3 Gb gene bench). The jax-free HostCoverageEngine answers the
-    same finalize in ~0.2-0.5 s via libpancov_io. The resident daemon
-    keeps warm device programs and stays on the device path, as do
-    local backends (CPU tests, locally attached TPUs), forced-sharded
-    runs and jax.distributed jobs. Decided from env ONLY — touching
-    jax here would pay the very costs this path exists to avoid.
+    same finalize in ~0.2-0.5 s via libpancov_io. Local backends (CPU
+    tests, locally attached TPUs), forced-sharded runs and
+    jax.distributed jobs stay on the device path; the resident daemon
+    elects by link cost exactly like cold runs (see below). Decided
+    from env ONLY — touching jax here would pay the very costs this
+    path exists to avoid.
     ``PANDEPTH_HOST_FINALIZE=0/1`` forces, everywhere: a forced host
     run executes in-process by default (boot.main), and
     ``PANDEPTH_DAEMON=1 PANDEPTH_HOST_FINALIZE=1`` runs the host
@@ -110,10 +111,15 @@ def _want_host_finalize() -> bool:
         # resident daemon: a warm process + the host sweep is a
         # legitimate combination (no device wire, no import tax)
         return env == "1"
-    serve_mod = sys.modules.get("pandepth_tpu.serve")
-    if serve_mod is not None and getattr(serve_mod,
-                                         "IN_PROCESS_DAEMON", False):
-        return False
+    # Inside the resident daemon the start-up taxes are gone but the
+    # LINK cost is not: a warm device finalize still ships ~2 B/event
+    # through the tunnel at ~35 MB/s (~57 ns/pair) where the native
+    # host sweep retires a pair in ~5-15 ns on this 4-core host —
+    # measured at 3 Gb scale: daemon+device chr 1.79 s vs host sweep
+    # 0.81 s (BENCH_3GB r3). The device only wins when the link beats
+    # the host sweep (>~0.5 GB/s, i.e. locally attached), so the
+    # daemon uses the SAME link-based election as cold runs; on a
+    # local backend it keeps the warm device path.
     if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return False  # the remote-tunnel marker on this stack
     try:
@@ -194,7 +200,7 @@ def _prepare_targets(config: RunConfig, names: List[str],
     return mode, targets
 
 
-def _is_writer_rank() -> bool:
+def _is_writer_rank(engine=None) -> bool:
     """Multihost runs compute identical replicated tables on every
     process (the collectives require all ranks); only rank 0 writes.
     Runs whose engine never initialized jax (host engine) are
@@ -202,9 +208,14 @@ def _is_writer_rank() -> bool:
     backend init (~1.5 s PJRT handshake through the tunnel, or a hang
     when the tunnel is down) at WRITE time. boot.init_started() tracks
     our own init, immune to the site hook pre-importing the jax
-    module."""
+    module; ``engine.jax_free`` covers the warm-daemon case where the
+    daemon started the background init but THIS run rides the host
+    sweep."""
     from pandepth_tpu import boot
 
+    if getattr(engine, "jax_free", False) and \
+            os.environ.get("PANDEPTH_MULTIHOST") != "1":
+        return True
     if os.environ.get("PANDEPTH_MULTIHOST") != "1" and \
             not boot.init_started():
         return True
@@ -284,7 +295,7 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
             win6_done = write_win6_streaming(
                 table_path(prefix, mode), gc_cols, names, lengths,
                 targets.tids_with_regions(), config.win_size,
-                stats_fn, gc_fn, is_writer=_is_writer_rank())
+                stats_fn, gc_fn, is_writer=_is_writer_rank(engine))
             if not win6_done:
                 win6_rows = mode6_window_rows(
                     names, lengths, targets.tids_with_regions(),
@@ -297,7 +308,7 @@ def _finalize_and_write(config: RunConfig, engine: CoverageEngine,
         with phase(stats, "write"):
             engine.write_site_depth(prefix + ".SiteDepth.gz", names,
                                     lengths, targets.tids_with_regions())
-    if not _is_writer_rank():
+    if not _is_writer_rank(engine):
         return
     with phase(stats, "write"):
         if not win6_done:

@@ -40,7 +40,8 @@ import sys
 import threading
 
 # True inside the resident daemon process (set by _Server.serve);
-# run._want_host_finalize keeps the daemon on the warm device path
+# introspection/tests only — engine election inside the daemon is the
+# same link-cost rule as cold runs (run._want_host_finalize)
 IN_PROCESS_DAEMON = False
 
 _REQ_LIMIT = 1 << 20
@@ -193,9 +194,6 @@ class _Server:
         return {"rc": rc, "rss_mb": round(rss, 1)}
 
     def serve(self, idle_s: float, ready_fd: int = -1) -> int:
-        # the resident daemon always keeps the warm DEVICE finalize
-        # path (run._want_host_finalize consults this module flag —
-        # env markers can't work here: requests swap PANDEPTH_* env)
         global IN_PROCESS_DAEMON
         IN_PROCESS_DAEMON = True
         try:

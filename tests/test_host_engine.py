@@ -282,14 +282,22 @@ def test_election_rules(monkeypatch):
     from pandepth_tpu.io.native import load_library
 
     assert _want_host_finalize() is (load_library() is not None)
-    # ... but never for sharded/multihost/daemon contexts
+    # ... but never for sharded/multihost contexts
     monkeypatch.setenv("PANDEPTH_SHARDED", "1")
     assert _want_host_finalize() is False
     monkeypatch.delenv("PANDEPTH_SHARDED")
     monkeypatch.setenv("PANDEPTH_MULTIHOST", "1")
     assert _want_host_finalize() is False
     monkeypatch.delenv("PANDEPTH_MULTIHOST")
+    # the resident daemon elects by link cost exactly like cold runs:
+    # host sweep through the remote tunnel (the wire loses to the
+    # native sweep even with warm device programs), device on a
+    # locally attached backend
     import pandepth_tpu.serve as serve
 
     monkeypatch.setattr(serve, "IN_PROCESS_DAEMON", True)
+    from pandepth_tpu.io.native import load_library
+
+    assert _want_host_finalize() is (load_library() is not None)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert _want_host_finalize() is False
