@@ -105,6 +105,28 @@ def _write_bed_from_gff(gff: str, bed: str) -> None:
     os.replace(bed + ".tmp", bed)
 
 
+def _gen_list_extra_fixture(bam: str, seed: int) -> None:
+    """One extra 4M-read sample BAM for the `.list` pooled config."""
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
+
+    rng = np.random.RandomState(100 + seed)
+    n = N_READS // 2
+    names = [f"chr{i + 1}" for i in range(N_CONTIGS)]
+    tid = rng.randint(0, N_CONTIGS, n).astype(np.int32)
+    pos = (rng.rand(n) * (CONTIG_LEN - 200)).astype(np.int32)
+    order = np.lexsort((pos, tid))
+    tid, pos = tid[order], pos[order]
+    mapq = rng.choice([0, 10, 30, 60], n).astype(np.uint8)
+    flag = np.where(rng.rand(n) < 0.05, 1024, 0).astype(np.uint16)
+    tmp = bam + ".tmp"
+    write_uniform_bam(tmp, names, [CONTIG_LEN] * N_CONTIGS, tid, pos,
+                      flag, mapq)
+    os.replace(tmp + ".bai", bam + ".bai")
+    os.replace(tmp, bam)
+
+
 def _gen_scale10x_fixture(bam: str) -> None:
     """80M sorted reads over the same 3 Gb contig space (chunked
     generation: 80M-read lexsort at once would swap this 4-core VM)."""
@@ -417,6 +439,34 @@ def main():
                 results["ref_paf_wall_s"] = None
                 results["vs_baseline_paf"] = round(2400.0 / w, 3)
 
+    # multi-sample `.list` accumulation (opt-in: writes two extra 4M-
+    # read BAMs once). The reference's BamList_main pools depths from
+    # every file into ONE whole-genome SiteInfo array set
+    # (src/PanDepth.cpp:2029-3410); parity = pooled tables match.
+    if os.environ.get("PANDEPTH_BENCH3GB_LIST") == "1":
+        extra_bams = [os.path.join(BENCH_DIR, f"bench3gb_s{k}.bam")
+                      for k in (2, 3)]
+        if not all(os.path.exists(b) for b in extra_bams):
+            _make("listextra")
+        lst = os.path.join(BENCH_DIR, "bench3gb.list")
+        with open(lst, "w") as fh:
+            fh.write("\n".join([bam] + extra_bams) + "\n")
+        results["list_files"] = 1 + len(extra_bams)
+        results["list_reads"] = N_READS + 2 * (N_READS // 2)
+        run_child(ours_argv(lst, out + "ol", []))  # warm
+        w, r = best(lambda: run_child(ours_argv(lst, out + "ol", [])),
+                    3)
+        results["ours_list_wall_s"] = round(w, 3)
+        results["ours_list_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = best(lambda: run_child(
+                [ref, "-i", lst, "-o", out + "rl"]), 3)
+            results["ref_list_wall_s"] = round(w2, 3)
+            results["ref_list_rss_mb"] = round(r2, 1)
+            results["vs_baseline_list"] = round(w2 / w, 3)
+            results["parity_list"] = _gz_eq(
+                out + "ol.chr.stat.gz", out + "rl.chr.stat.gz")
+
     # 10x scale check (opt-in: writes an 80M-read / ~600 MB BAM once):
     # chr mode at 10x the north-star read count, showing the margin
     # and the O(events) memory story at depth
@@ -526,6 +576,10 @@ if __name__ == "__main__":
         elif what == "scale10x":
             _gen_scale10x_fixture(os.path.join(
                 BENCH_DIR, f"bench3gb_{N_READS * 10}.bam"))
+        elif what == "listextra":
+            for k in (2, 3):
+                _gen_list_extra_fixture(
+                    os.path.join(BENCH_DIR, f"bench3gb_s{k}.bam"), k)
         else:
             sys.exit(f"unknown fixture: {what}")
         sys.exit(0)

@@ -143,9 +143,12 @@ def main() -> None:
                                              "8")))
     import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
 
+    from pandepth_tpu.device.events import extract_events, pad_pow2
     from pandepth_tpu.device.layout import GenomeLayout
-    from pandepth_tpu.sharding.mesh import (make_mesh,
+    from pandepth_tpu.sharding.mesh import (_bucket_exchange, make_mesh,
+                                            shard_map_fn,
                                             sharded_coverage_step)
 
     n_avail = len(jax.devices())
@@ -193,6 +196,58 @@ def main() -> None:
         eff = rate / (base_rate * n)
         row = {"devices": n, "reads_per_s": round(rate, 1),
                "efficiency": round(eff, 3)}
+
+        # Per-phase attribution (subtractive): time prefix programs —
+        # extract only; extract + bucket/all_to_all exchange; the full
+        # step — so the tail of the weak-scaling curve is attributable
+        # to a phase instead of guessed at (VERDICT r3 #5). Earlier
+        # phases re-run inside later programs; differences are the
+        # marginal phase costs.
+        if os.environ.get("PANDEPTH_SCALING_PHASES", "1") == "1":
+            flat = Mesh(mesh.devices.reshape(-1), ("x",))
+            sh, rep, rowsp = P("x"), P(), P("x", None)
+            m_local = -(-int(opc.shape[0]) // n)
+            cap = pad_pow2(-(-4 * m_local // n), floor=8)
+
+            def p_extract(tid, pos, flag, mapq, opc, opl, opr,
+                          offsets, limits):
+                ev_pos, ev_delta = extract_events(
+                    tid, pos, flag, mapq, opc, opl, opr, offsets,
+                    limits, flags_mask=1796, min_mapq=-1)
+                return ev_pos[None], ev_delta[None]
+
+            def p_exchange(tid, pos, flag, mapq, opc, opl, opr,
+                           offsets, limits, bounds):
+                ev_pos, ev_delta = extract_events(
+                    tid, pos, flag, mapq, opc, opl, opr, offsets,
+                    limits, flags_mask=1796, min_mapq=-1)
+                recv_pos, recv_del, carry, overflow, _lo, _hi = \
+                    _bucket_exchange(ev_pos, ev_delta, bounds, n, cap)
+                return recv_pos[None], recv_del[None], overflow
+
+            jex = jax.jit(shard_map_fn(
+                p_extract, flat, in_specs=(sh,) * 7 + (rep,) * 2,
+                out_specs=(rowsp, rowsp)))
+            jxc = jax.jit(shard_map_fn(
+                p_exchange, flat, in_specs=(sh,) * 7 + (rep,) * 3,
+                out_specs=(rowsp, rowsp, rep)))
+
+            def timeit(fn, a):
+                jax.block_until_ready(fn(*a))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    o = fn(*a)
+                jax.block_until_ready(o)
+                return (time.perf_counter() - t0) / iters
+
+            t_ex = timeit(jex, args[:9])
+            t_xc = timeit(jxc, args[:10])
+            row["phase_ms"] = {
+                "extract": round(1e3 * t_ex, 2),
+                "exchange": round(1e3 * max(t_xc - t_ex, 0.0), 2),
+                "sweep_eval": round(1e3 * max(dt - t_xc, 0.0), 2),
+                "total": round(1e3 * dt, 2),
+            }
         rows.append(row)
         print(json.dumps(row))
         sys.stdout.flush()

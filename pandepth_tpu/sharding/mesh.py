@@ -61,12 +61,12 @@ def shard_map_fn(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
-def _exchange_sorted(ev_pos, ev_delta, bounds, n_dev: int, cap: int,
-                     min_dep: int, wrap18: bool):
-    """Shared shard_map body: range-bucket local events, one
-    ``all_to_all`` hop to the owning device, carry-corrected local
-    sort+scan. Returns (pos_sw, depth, c_cov, c_sum, overflow, lo, hi)
-    — the per-device sweep state over its owned range."""
+def _bucket_exchange(ev_pos, ev_delta, bounds, n_dev: int, cap: int):
+    """Range-bucket local events and hop each bucket to its owning
+    device with one ``all_to_all``. Returns
+    (recv_pos, recv_del, carry, overflow, lo, hi) — the exchange half
+    of :func:`_exchange_sorted`, split out so the scaling harness can
+    time bucketing+collective separately from the sweep."""
     rid = jax.lax.axis_index("x")
     lo, hi = bounds[rid], bounds[rid + 1]
 
@@ -112,7 +112,17 @@ def _exchange_sorted(ev_pos, ev_delta, bounds, n_dev: int, cap: int,
                                   tiled=True).reshape(-1)
     recv_del = jax.lax.all_to_all(send_del, "x", 0, 0,
                                   tiled=True).reshape(-1)
+    return recv_pos, recv_del, carry, overflow, lo, hi
 
+
+def _exchange_sorted(ev_pos, ev_delta, bounds, n_dev: int, cap: int,
+                     min_dep: int, wrap18: bool):
+    """Shared shard_map body: range-bucket local events, one
+    ``all_to_all`` hop to the owning device, carry-corrected local
+    sort+scan. Returns (pos_sw, depth, c_cov, c_sum, overflow, lo, hi)
+    — the per-device sweep state over its owned range."""
+    recv_pos, recv_del, carry, overflow, lo, hi = _bucket_exchange(
+        ev_pos, ev_delta, bounds, n_dev, cap)
     pos2 = jnp.concatenate(
         [lo[None].astype(recv_pos.dtype), recv_pos])
     del2 = jnp.concatenate([carry[None], recv_del])
