@@ -134,6 +134,15 @@ def _bench_multihost(tmp: str) -> dict:
 
 
 def main() -> None:
+    if os.environ.get("PANDEPTH_SCALING_REAL") != "1":
+        # keep CPU-compiled entries out of the (shared-default) TPU
+        # cache: XLA-CPU AOT results are machine-feature-specific and
+        # a cache written on another host loads with SIGILL warnings
+        # and slower code (see CLAUDE.md). Must be set BEFORE the
+        # first pandepth_tpu import triggers boot.configure_jax.
+        os.environ.setdefault(
+            "PANDEPTH_JAX_CACHE",
+            os.path.expanduser("~/.cache/pandepth_jax_cpu"))
     import jax
 
     if os.environ.get("PANDEPTH_SCALING_REAL") != "1":
@@ -257,12 +266,19 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "reads_per_device": n_reads_per_dev,
         "weak_scaling": rows,
-        "note": ("weak scaling of the sharded coverage step (reads "
-                 "grow with devices; efficiency = rate / (rate_1 * "
-                 "n)). Virtual CPU devices validate the sharded "
-                 "program + collectives end-to-end; only one real "
-                 "TPU chip is attached to this environment "
-                 "(PANDEPTH_SCALING_REAL=1 on a slice)."),
+        "note": ("weak scaling of the sharded coverage step (reads grow "
+                 "with devices; efficiency = rate / (rate_1 * n)). "
+                 "phase_ms is a subtractive attribution from prefix "
+                 "programs: extract-only, extract+bucket/all_to_all "
+                 "exchange, full step. Virtual CPU devices validate the "
+                 "sharded program + collectives end-to-end; the "
+                 "efficiency tail at 8 devices is host-core-bound per the "
+                 "phases (sweep_eval, the per-device local sort+eval, "
+                 "inflates ~2.2x from 2 to 8 virtual devices on this "
+                 "4-core host while exchange grows 29->80 ms), not a "
+                 "collective-volume effect. Only one real TPU chip is "
+                 "attached to this environment (PANDEPTH_SCALING_REAL=1 "
+                 "on a slice)."),
     }
     if os.environ.get("PANDEPTH_SCALING_MH", "1") == "1":
         import tempfile

@@ -134,9 +134,15 @@ def configure_jax():
         jax.config.update("jax_enable_x64", True)
         # CLI-style workloads pay full jit cost per process; a
         # persistent compile cache makes repeat invocations start in
-        # milliseconds.
-        cache = os.environ.get("PANDEPTH_JAX_CACHE",
-                               os.path.expanduser("~/.cache/pandepth_jax"))
+        # milliseconds. CPU-forced runs get a SEPARATE default dir:
+        # XLA-CPU AOT results are machine-feature-specific (a cache
+        # written on another host loads with SIGILL warnings and
+        # slower code), so they must be cheap to wipe without losing
+        # the TPU cache — and must never mix into it.
+        default_cache = os.path.expanduser(
+            "~/.cache/pandepth_jax_cpu" if plat == "cpu"
+            else "~/.cache/pandepth_jax")
+        cache = os.environ.get("PANDEPTH_JAX_CACHE", default_cache)
         if cache and cache != "0":
             try:
                 os.makedirs(cache, exist_ok=True)

@@ -63,7 +63,7 @@ def _warm_sig_path() -> Optional[str]:
 # executables no longer match) stop gating warm dispatches — a warm-up
 # on a vanished cache entry triggers the full server-side compile the
 # warm-up exists to avoid.
-WARM_SIG_VERSION = 2
+WARM_SIG_VERSION = 3  # v3: const-length window groups
 
 
 def _load_warm_sig_list() -> list:
@@ -128,6 +128,16 @@ def _zero_enc_block(b: int, cap: int, ce: int, dtype=np.uint8):
             jnp.full((b, 2, ce), cap, jnp.int32))
 
 
+@functools.lru_cache(maxsize=8)
+def _zero_encc_block(b: int, cap: int, ce: int, dtype=np.uint8):
+    """Const-length twin of _zero_enc_block: a (B, CAP) all-zero
+    delta-code block + (B, CE) escape/slot blocks. With n = 0 the
+    decode masks every slot's length to zero — depth-neutral."""
+    return (jnp.zeros((b, cap), dtype),
+            jnp.zeros((b, ce), jnp.int64),
+            jnp.full((b, ce), cap, jnp.int32))
+
+
 class CoverageEngine:
     """Accumulates coverage events for one genome layout."""
 
@@ -179,9 +189,12 @@ class CoverageEngine:
         # for a 512 KB array vs 2.5 s for ONE 32 MB stack), so 4 puts
         # per B windows instead of 4 per window
         self.enc_block = int(os.environ.get("PANDEPTH_ENC_BLOCK", 8))
-        # two code-width groups: uint8 (2 B/pair, deep coverage) and
-        # uint16 (4 B/pair, sparse coverage); each group entry is one
-        # device-resident block (dd, ll, excd, excl); pending windows
+        # four code groups: mixed uint8 (2 B/pair, deep coverage),
+        # mixed uint16 (4 B/pair, sparse coverage), and their
+        # CONST-LENGTH variants (1 / 2 B/pair: a window whose event
+        # lengths are all equal ships only its delta plane + one
+        # scalar length — the fixed-read-length profile). Each group
+        # entry is one device-resident stacked block; pending windows
         # stage host-side until a block fills
         self._enc: List[tuple] = []
         self._enc_bases: List[int] = []
@@ -191,6 +204,15 @@ class CoverageEngine:
         self._pend8_bases: List[int] = []
         self._pend16: List[tuple] = []
         self._pend16_bases: List[int] = []
+        # const-length groups: meta lists carry (base, length, n)
+        self._encc8: List[tuple] = []
+        self._encc8_meta: List[tuple] = []
+        self._encc16: List[tuple] = []
+        self._encc16_meta: List[tuple] = []
+        self._pendc8: List[tuple] = []
+        self._pendc8_meta: List[tuple] = []
+        self._pendc16: List[tuple] = []
+        self._pendc16_meta: List[tuple] = []
         self._max_enc = 64 * 8  # windows; beyond this, decode on host
         # finalize-program warm-up plan (see plan_finalize_warmup):
         # the fused finalize's first dispatch pays ~2 s of executable
@@ -203,6 +225,10 @@ class CoverageEngine:
         self._warmed_sigs: set = set()
         self._n_win8 = 0
         self._n_win16 = 0
+        self._n_winc8 = 0
+        self._n_winc16 = 0
+        self._last_enc_group = "c8"  # warm predictor's guess for the
+        # first windows: uniform-length u8 is the common profile
         self._n_pairs_enc = 0
         # single-query runs (no -a, no later stats pass) skip returning
         # the full sweep state from the fused finalize: through a
@@ -311,26 +337,47 @@ class CoverageEngine:
                            excl: np.ndarray, base: int) -> None:
         """Stage one compact-encoded event window (see
         sweep.finalize_encoded for the wire format; uint8 or uint16
-        codes by dtype). Windows upload in stacked blocks of
-        ``enc_block``; the device_put is asynchronous, so transfers
-        overlap later windows' decode — by finalize time the events
-        are already resident."""
+        codes by dtype). A window whose lengths are all equal (and
+        un-escaped) routes to the CONST-LENGTH group — its length
+        plane never crosses the link, halving the window's wire
+        bytes. Windows upload in stacked blocks of ``enc_block``; the
+        device_put is asynchronous, so transfers overlap later
+        windows' decode — by finalize time the events are already
+        resident."""
         assert dd.shape[0] == self.enc_cap
-        if dd.dtype == np.uint8:
-            self._n_win8 += 1
-        else:
-            self._n_win16 += 1
+        esc = int(np.iinfo(dd.dtype).max)
+        ulen = int(ll[0]) if n > 0 else esc
+        is_const = ulen != esc and not np.any(ll[:n] != ll[0])
         self._n_pairs_enc += int(n)
-        pend, bases = (self._pend8, self._pend8_bases) \
-            if dd.dtype == np.uint8 else (self._pend16,
-                                          self._pend16_bases)
-        pend.append((dd, ll, excd, excl))
-        bases.append(int(base))
         self._state = None
-        if len(pend) >= self.enc_block:
-            self._flush_enc_block(dd.dtype)
-        if (len(self._enc) + len(self._enc16)) * self.enc_block \
-                > self._max_enc:
+        if is_const:
+            if dd.dtype == np.uint8:
+                self._n_winc8 += 1
+                self._last_enc_group = "c8"
+                pend, meta = self._pendc8, self._pendc8_meta
+            else:
+                self._n_winc16 += 1
+                self._last_enc_group = "c16"
+                pend, meta = self._pendc16, self._pendc16_meta
+            pend.append((dd, excd))
+            meta.append((int(base), ulen, int(n)))
+            if len(pend) >= self.enc_block:
+                self._flush_encc_block(dd.dtype)
+        else:
+            if dd.dtype == np.uint8:
+                self._n_win8 += 1
+                self._last_enc_group = "8"
+                pend, bases = self._pend8, self._pend8_bases
+            else:
+                self._n_win16 += 1
+                self._last_enc_group = "16"
+                pend, bases = self._pend16, self._pend16_bases
+            pend.append((dd, ll, excd, excl))
+            bases.append(int(base))
+            if len(pend) >= self.enc_block:
+                self._flush_enc_block(dd.dtype)
+        if (len(self._enc) + len(self._enc16) + len(self._encc8)
+                + len(self._encc16)) * self.enc_block > self._max_enc:
             self._spill_enc()
 
     def _flush_enc_block(self, dtype, pad: bool = False) -> None:
@@ -371,6 +418,36 @@ class CoverageEngine:
         pend.clear()
         pbases.clear()
 
+    def _flush_encc_block(self, dtype, pad: bool = False) -> None:
+        """Const-length twin of _flush_enc_block: stack pending
+        windows into one (B, CAP) delta-code block + (B, CE)
+        escape/slot blocks and start their (async) uploads. Each
+        window's (base, length, n) meta stays host-side and rides the
+        finalize call as three small vectors."""
+        pend, pmeta, group, gmeta = \
+            (self._pendc8, self._pendc8_meta, self._encc8,
+             self._encc8_meta) if dtype == np.uint8 else \
+            (self._pendc16, self._pendc16_meta, self._encc16,
+             self._encc16_meta)
+        b = self.enc_block
+        if not pend or (len(pend) < b and not pad):
+            return
+        k = len(pend)
+        esc = int(np.iinfo(dtype).max)
+        codes = np.zeros((b, self.enc_cap), dtype)
+        excs = np.zeros((b, self.enc_exc), np.int64)
+        slots = np.full((b, self.enc_exc), self.enc_cap, np.int32)
+        for i, (dd, excd) in enumerate(pend):
+            codes[i] = dd
+            excs[i] = excd
+            fd = np.flatnonzero(dd == esc)
+            slots[i, : fd.shape[0]] = fd
+        group.append((jax.device_put(codes), jax.device_put(excs),
+                      jax.device_put(slots)))
+        gmeta.extend(pmeta + [(0, 0, 0)] * (b - k))
+        pend.clear()
+        pmeta.clear()
+
     def _spill_enc(self) -> None:
         """Degenerate feeds (thousands of short windows, e.g. an
         unsorted BAM forced down the enc path) fold back into the raw
@@ -396,17 +473,50 @@ class CoverageEngine:
             bases.clear()
             pend.clear()
             pbases.clear()
+        ez = np.zeros(self.enc_exc, np.int64)
+        for group, gmeta, pend, pmeta, dtype in (
+                (self._encc8, self._encc8_meta, self._pendc8,
+                 self._pendc8_meta, np.uint8),
+                (self._encc16, self._encc16_meta, self._pendc16,
+                 self._pendc16_meta, np.uint16)):
+
+            def spill_one(dd, excd, base, ulen, n):
+                # reconstruct the length plane the const route dropped
+                # (a const window's inline length always fits the code
+                # dtype — an escaped length would have routed mixed)
+                ll = np.zeros(dd.shape[0], dtype)
+                ll[:n] = ulen
+                s, e = decode_enc_host(dd, ll, excd, ez, base, n)
+                self.add_start_end(s, e)
+
+            for bi, (codes, excs, _slots) in enumerate(group):
+                codes = np.asarray(codes)
+                excs = np.asarray(excs)
+                for row in range(codes.shape[0]):
+                    base, ulen, n = gmeta[bi * self.enc_block + row]
+                    spill_one(codes[row], excs[row], base, ulen, n)
+            for (dd, excd), (base, ulen, n) in zip(pend, pmeta):
+                spill_one(dd, excd, base, ulen, n)
+            group.clear()
+            gmeta.clear()
+            pend.clear()
+            pmeta.clear()
 
     @property
     def _has_enc(self) -> bool:
         return bool(self._enc or self._enc16 or self._pend8
-                    or self._pend16)
+                    or self._pend16 or self._encc8 or self._encc16
+                    or self._pendc8 or self._pendc16)
 
     def _clear_enc(self) -> None:
         self._enc = []
         self._enc_bases = []
         self._enc16 = []
         self._enc16_bases = []
+        self._encc8 = []
+        self._encc8_meta = []
+        self._encc16 = []
+        self._encc16_meta = []
 
     def _enc_group_args(self, group, bases_list, dtype):
         k = len(group)
@@ -431,17 +541,48 @@ class CoverageEngine:
                 tuple(w[2] for w in blocks),
                 jnp.asarray(bases))
 
+    def _encc_group_args(self, group, meta, dtype):
+        k = len(group)
+        if k == 0:
+            zc, ze, zs = _zero_encc_block(1, 1, 1, dtype)
+            return ((zc,), (ze,), (zs,),
+                    jnp.zeros(1, self.pos_dtype),
+                    jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
+        kp = pad_pow2(k, floor=1)
+        z = _zero_encc_block(self.enc_block, self.enc_cap,
+                             self.enc_exc, dtype)
+        blocks = list(group) + [z] * (kp - k)
+        nrow = kp * self.enc_block
+        bases = np.zeros(nrow, self.pos_dtype)
+        lens = np.zeros(nrow, np.int32)
+        ns = np.zeros(nrow, np.int32)
+        for i, (b, ln, n) in enumerate(meta):
+            bases[i] = b
+            lens[i] = ln
+            ns[i] = n
+        return (tuple(w[0] for w in blocks),
+                tuple(w[1] for w in blocks),
+                tuple(w[2] for w in blocks),
+                jnp.asarray(bases), jnp.asarray(lens),
+                jnp.asarray(ns))
+
     def _enc_args(self):
-        """Both code-width groups: flush partial pending blocks
+        """All four code groups: flush partial pending blocks
         (zero-padded), then pad block counts to pow2 with cached zero
         blocks (zero codes decode to zero-length events —
         depth-neutral)."""
         self._flush_enc_block(np.uint8, pad=True)
         self._flush_enc_block(np.uint16, pad=True)
+        self._flush_encc_block(np.uint8, pad=True)
+        self._flush_encc_block(np.uint16, pad=True)
         return (self._enc_group_args(self._enc, self._enc_bases,
                                      np.uint8),
                 self._enc_group_args(self._enc16, self._enc16_bases,
-                                     np.uint16))
+                                     np.uint16),
+                self._encc_group_args(self._encc8, self._encc8_meta,
+                                      np.uint8),
+                self._encc_group_args(self._encc16, self._encc16_meta,
+                                      np.uint16))
 
     def plan_finalize_warmup(self, n_segments: int,
                              want_state: bool) -> None:
@@ -474,16 +615,16 @@ class CoverageEngine:
         # RIGHT NOW, before the feed starts. A stale guess wastes one
         # background dispatch of an already-compiled program; the
         # predictor can still fire a corrective warm mid-feed.
-        want = self._finalize_sig(0, 0)
+        want = self._finalize_sig(0, 0, 0, 0)
         for sig in reversed(_load_warm_sig_list()):
             if len(sig) == len(want) and sig[:2] == want[:2] \
-                    and sig[4:] == want[4:]:
+                    and sig[6:] == want[6:]:
                 if os.environ.get("PANDEPTH_WARM_DEBUG"):
                     import sys
 
-                    print(f"[warm] early k8p={sig[2]} k16p={sig[3]} "
-                          f"bp={want[4]}", file=sys.stderr)
-                self._spawn_warm(int(sig[2]), int(sig[3]))
+                    print(f"[warm] early k={sig[2:6]} "
+                          f"bp={want[6]}", file=sys.stderr)
+                self._spawn_warm(*(int(x) for x in sig[2:6]))
                 break
 
     def maybe_warm_finalize(self, frac: float,
@@ -500,23 +641,24 @@ class CoverageEngine:
             return
         est_total = pairs_produced / frac
         # remaining CONSUMER windows: total pairs minus those already
-        # packed into windows, at the current code tier (the tier only
-        # upgrades u8 -> u16, run._EncPuller)
+        # packed into windows; they land in the group of the LAST
+        # routed window (the tier only upgrades u8 -> u16 and const-
+        # ness is a property of the input's length profile, so the
+        # most recent routing is the best single predictor)
         est_rem = max(est_total - self._n_pairs_enc, 0.0)
         rem_wins = int(np.ceil(est_rem / self.enc_cap))
-        win8, win16 = self._n_win8, self._n_win16
-        if win16 > 0:
-            win16 += rem_wins
-        else:
-            win8 += rem_wins
+        wins = {"8": self._n_win8, "16": self._n_win16,
+                "c8": self._n_winc8, "c16": self._n_winc16}
+        wins[self._last_enc_group] += rem_wins
         b = self.enc_block
 
-        def kp(wins: int) -> int:
-            if wins <= 0:
+        def kp(w: int) -> int:
+            if w <= 0:
                 return 0
-            return pad_pow2((wins + b - 1) // b, floor=1)
+            return pad_pow2((w + b - 1) // b, floor=1)
 
-        self._warm_shapes = (kp(win8), kp(win16))
+        self._warm_shapes = (kp(wins["8"]), kp(wins["16"]),
+                             kp(wins["c8"]), kp(wins["c16"]))
         # only warm signatures that ALREADY compiled+ran on this host
         # (recorded by segment_stats): a warm-up must only ever
         # pre-load a persistent-cache executable. A mispredicted FRESH
@@ -528,46 +670,51 @@ class CoverageEngine:
         if os.environ.get("PANDEPTH_WARM_DEBUG"):
             import sys
             print(f"[warm] frac={frac:.3f} pairs={pairs_produced} "
-                  f"est_total={est_total:.0f} k8p={self._warm_shapes[0]} "
-                  f"k16p={self._warm_shapes[1]} bp={self._warm_plan[0]} "
+                  f"est_total={est_total:.0f} k={self._warm_shapes} "
+                  f"bp={self._warm_plan[0]} "
                   f"known={known}", file=sys.stderr)
         if not known:
             return
         self._spawn_warm(*self._warm_shapes)
 
-    def _spawn_warm(self, k8p: int, k16p: int) -> None:
-        """Background-dispatch the (k8p, k16p) finalize program once
-        per signature per run (the early warm and the mid-feed
-        predictor may disagree; each distinct known signature warms
-        at most once)."""
-        sig = self._finalize_sig(k8p, k16p)
+    def _spawn_warm(self, k8p: int, k16p: int, kc8p: int = 0,
+                    kc16p: int = 0) -> None:
+        """Background-dispatch one finalize program per distinct known
+        signature per run (the early warm and the mid-feed predictor
+        may disagree; each warms at most once)."""
+        sig = self._finalize_sig(k8p, k16p, kc8p, kc16p)
         if sig in self._warmed_sigs:
             return
         self._warmed_sigs.add(sig)
         import threading
 
         t = threading.Thread(target=self._warm_finalize,
-                             args=(k8p, k16p), daemon=True)
+                             args=(k8p, k16p, kc8p, kc16p),
+                             daemon=True)
         self._warm_thread_obj = t
         t.start()
 
-    def _sig_tuple(self, k8p: int, k16p: int, bp: int, method: str,
-                   want_state: bool) -> tuple:
+    def _sig_tuple(self, k8p: int, k16p: int, kc8p: int, kc16p: int,
+                   bp: int, method: str, want_state: bool) -> tuple:
         """The ONE constructor for finalize signatures — predictor,
         recorder and warm dispatch all go through it so they can never
         drift apart."""
-        return (WARM_SIG_VERSION, jax.devices()[0].platform, k8p, k16p,
+        return (WARM_SIG_VERSION, jax.devices()[0].platform,
+                k8p, k16p, kc8p, kc16p,
                 bp, method, bool(want_state), self.min_dep,
                 bool(self.wrap18), np.dtype(self.pos_dtype).name,
                 self.enc_cap, self.enc_exc, self.enc_block)
 
-    def _finalize_sig(self, k8p: int, k16p: int) -> tuple:
+    def _finalize_sig(self, k8p: int, k16p: int, kc8p: int,
+                      kc16p: int) -> tuple:
         bp, want_state = self._warm_plan
         method = "scan_unrolled" if bp <= 4096 \
             or not self._eval_sort_ok else "sort"
-        return self._sig_tuple(k8p, k16p, bp, method, want_state)
+        return self._sig_tuple(k8p, k16p, kc8p, kc16p, bp, method,
+                               want_state)
 
-    def _warm_finalize(self, k8p: int, k16p: int) -> None:
+    def _warm_finalize(self, k8p: int, k16p: int, kc8p: int,
+                       kc16p: int) -> None:
         try:
             bp, want_state = self._warm_plan
             method = "scan_unrolled" if bp <= 4096 \
@@ -583,14 +730,32 @@ class CoverageEngine:
                 return ((z[0],) * k, (z[1],) * k, (z[2],) * k,
                         jnp.zeros(k * self.enc_block, self.pos_dtype))
 
+            def cgroup(k: int, dtype):
+                if k <= 0:
+                    zc, ze, zs = _zero_encc_block(1, 1, 1, dtype)
+                    return ((zc,), (ze,), (zs,),
+                            jnp.zeros(1, self.pos_dtype),
+                            jnp.zeros(1, jnp.int32),
+                            jnp.zeros(1, jnp.int32))
+                z = _zero_encc_block(self.enc_block, self.enc_cap,
+                                     self.enc_exc, dtype)
+                nrow = k * self.enc_block
+                return ((z[0],) * k, (z[1],) * k, (z[2],) * k,
+                        jnp.zeros(nrow, self.pos_dtype),
+                        jnp.zeros(nrow, jnp.int32),
+                        jnp.zeros(nrow, jnp.int32))
+
             g8 = group(k8p, np.uint8)
             g16 = group(k16p, np.uint16)
+            gc8 = cgroup(kc8p, np.uint8)
+            gc16 = cgroup(kc16p, np.uint16)
             cp = (jnp.full((1,), self.pos_sentinel, self.pos_dtype),)
             cd = (jnp.zeros((1,), jnp.int32),)
             lo = jnp.zeros(bp, self.pos_dtype)
             hi = jnp.zeros(bp, self.pos_dtype)
             sweep_mod.finalize_encoded(
-                g8, g16, cp, cd, lo, hi, min_dep=self.min_dep,
+                g8, g16, gc8, gc16, cp, cd, lo, hi,
+                min_dep=self.min_dep,
                 wrap18=self.wrap18, method=method,
                 want_state=want_state)
         except Exception:
@@ -715,20 +880,22 @@ class CoverageEngine:
                                self.pos_dtype),)
                 cd = (jnp.zeros((1,), jnp.int32),)
             if self._has_enc:
-                g8, g16 = self._enc_args()
+                g8, g16, gc8, gc16 = self._enc_args()
                 out = sweep_mod.finalize_encoded(
-                    g8, g16, cp, cd,
+                    g8, g16, gc8, gc16, cp, cd,
                     jnp.asarray(lo_c), jnp.asarray(hi_c),
                     min_dep=self.min_dep, wrap18=self.wrap18,
                     method=method, want_state=keep)
                 if not self._chunks:
                     # remember this signature so later processes may
                     # warm-load it during their feed (maybe_warm_...)
-                    k8 = len(self._enc)
-                    k16 = len(self._enc16)
+                    def kp_of(group):
+                        return pad_pow2(len(group), floor=1) \
+                            if group else 0
+
                     _record_warm_sig(self._sig_tuple(
-                        pad_pow2(k8, floor=1) if k8 else 0,
-                        pad_pow2(k16, floor=1) if k16 else 0,
+                        kp_of(self._enc), kp_of(self._enc16),
+                        kp_of(self._encc8), kp_of(self._encc16),
                         bp, method, keep))
                 if keep:
                     self._clear_enc()
@@ -750,6 +917,8 @@ class CoverageEngine:
                 _t3 = _time.perf_counter()
                 print(f"[seg] b={b} bp={bp} method={method} "
                       f"k8={len(self._enc)} k16={len(self._enc16)} "
+                      f"kc8={len(self._encc8)} "
+                      f"kc16={len(self._encc16)} "
                       f"flush={_t1 - _t0:.3f}s "
                       f"dispatch={_t2 - _t1:.3f}s "
                       f"fetch={_t3 - _t2:.3f}s", file=_sys.stderr)
@@ -757,7 +926,7 @@ class CoverageEngine:
                     # steady state: same signature, no retrace
                     _r0 = _time.perf_counter()
                     out2 = sweep_mod.finalize_encoded(
-                        g8, g16, cp, cd, jnp.asarray(lo_c),
+                        g8, g16, gc8, gc16, cp, cd, jnp.asarray(lo_c),
                         jnp.asarray(hi_c), min_dep=self.min_dep,
                         wrap18=self.wrap18, method=method,
                         want_state=keep)

@@ -172,9 +172,40 @@ def _decode_enc_group(codes, excs, slots, bases):
     return starts.ravel(), (starts + lens).ravel()
 
 
+def _decode_const_group(codes, excs, slots, bases, lens, ns):
+    """Decode one group of NB same-shape (B, CAP) CONST-LENGTH code
+    blocks: a window whose event lengths are all identical (the
+    dominant real profile — fixed-read-length data with whole-read M
+    segments) ships only its zigzag start-delta plane plus one scalar
+    length per window, HALVING the wire bytes of the mixed format
+    (_decode_enc_group). ``lens`` carries each window's event length,
+    ``ns`` its live pair count (tail slots decode to zero-length
+    events — the mixed format got that from its zero length codes;
+    here the mask supplies it)."""
+    cc = jnp.concatenate(list(codes), axis=0)    # (NB*B, CAP)
+    ee = jnp.concatenate(list(excs), axis=0)     # int64 delta escapes
+    ss = jnp.concatenate(list(slots), axis=0)    # int32 slot indices
+    cap = cc.shape[1]
+    esc = int(jnp.iinfo(cc.dtype).max)
+    zig_esc = (esc >> 1) ^ -(esc & 1)
+    pdt = bases.dtype
+    zz = cc.astype(pdt)
+    delta = (zz >> 1) ^ -(zz & 1)
+    rows = jnp.arange(cc.shape[0], dtype=jnp.int32)[:, None]
+    corr_d = jnp.zeros((cc.shape[0], cap + 1), pdt).at[
+        rows, ss].add((ee - zig_esc).astype(pdt))
+    starts = bases[:, None] + jnp.cumsum(delta + corr_d[:, :cap],
+                                         axis=1, dtype=pdt)
+    live = jnp.arange(cap, dtype=jnp.int32)[None, :] < ns[:, None]
+    lens_full = jnp.where(live, lens[:, None].astype(pdt),
+                          jnp.zeros((), pdt))
+    return starts.ravel(), (starts + lens_full).ravel()
+
+
 @functools.partial(jax.jit, static_argnames=("min_dep", "wrap18",
                                              "method", "want_state"))
-def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
+def finalize_encoded(g8, g16, gc8, gc16, raw_pos, raw_delta,
+                     seg_lo, seg_hi,
                      min_dep: int = 1, wrap18: bool = False,
                      method: str = "scan_unrolled",
                      want_state: bool = True):
@@ -184,18 +215,26 @@ def finalize_encoded(g8, g16, raw_pos, raw_delta, seg_lo, seg_hi,
     ~35 MB/s forced round-trip on this stack vs ~0.07 s for the whole
     16M-event sort+sweep), so the native loader ships ~2 B/event
     (uint8 codes, deep-coverage profile) or ~4 B/event (uint16 codes,
-    sparse runs whose start gaps overflow 8-bit zigzag). ``g8``/``g16``
-    are (codes, excs, bases) stacked window-block groups — see
-    _decode_enc_group for the wire format. ``raw_pos``/``raw_delta``
-    are extra pre-built event chunks (other feeds) merged into the
-    same sort.
+    sparse runs whose start gaps overflow 8-bit zigzag) — and HALF
+    that again for const-length windows (``gc8``/``gc16``: uniform
+    event length, the fixed-read-length profile; see
+    _decode_const_group). ``g8``/``g16`` are (codes, excs, bases)
+    stacked window-block groups — see _decode_enc_group for the wire
+    format. ``raw_pos``/``raw_delta`` are extra pre-built event chunks
+    (other feeds) merged into the same sort.
     """
     s8, e8 = _decode_enc_group(*g8)
     s16, e16 = _decode_enc_group(*g16)
+    sc8, ec8 = _decode_const_group(*gc8)
+    sc16, ec16 = _decode_const_group(*gc16)
     ones8 = jnp.ones(s8.shape[0], jnp.int32)
     ones16 = jnp.ones(s16.shape[0], jnp.int32)
-    pos = jnp.concatenate([s8, e8, s16, e16, *raw_pos])
+    onesc8 = jnp.ones(sc8.shape[0], jnp.int32)
+    onesc16 = jnp.ones(sc16.shape[0], jnp.int32)
+    pos = jnp.concatenate([s8, e8, s16, e16, sc8, ec8, sc16, ec16,
+                           *raw_pos])
     dlt = jnp.concatenate([ones8, -ones8, ones16, -ones16,
+                           onesc8, -onesc8, onesc16, -onesc16,
                            *raw_delta])
     return finalize_segments(pos, dlt, seg_lo, seg_hi,
                              min_dep=min_dep, wrap18=wrap18,

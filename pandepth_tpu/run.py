@@ -142,9 +142,16 @@ def make_engine(layout, **kw):
     if _want_host_finalize():
         from pandepth_tpu.device.host_engine import HostCoverageEngine
 
-        eng = HostCoverageEngine(layout, **kw)
-        if eng.pos_bits32:  # 32-bit tier only (genomes <= 4 Gb)
-            return eng
+        # elected on EVERY coordinate tier: genomes <= 4 Gb ride the
+        # native 32-bit radix-sort kernel; larger layouts (int64
+        # positions — past the native kernel's width) fall back to the
+        # numpy argsort twin inside hosteval.finalize_events, which is
+        # slower than the kernel but still far cheaper for a one-shot
+        # run than the cold jax import + PJRT handshake + executable
+        # load the device path pays (tests/test_uint32_tier.py pins
+        # the fallback's correctness; test_host_engine.py the
+        # election)
+        return HostCoverageEngine(layout, **kw)
     force = os.environ.get("PANDEPTH_SHARDED")
     if force != "0":
         from pandepth_tpu import boot

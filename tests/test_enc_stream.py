@@ -306,10 +306,11 @@ def test_feed_stream_upgrades_to_u16_on_sparse(tmp_path):
     r = _native_stream(bam)
     _feed_stream(eng, r)
     assert eng.n_reads_seen == n
-    # the u8 group stalls once, everything after rides u16
-    assert len(eng._enc) + len(eng._pend8) <= 1
-    assert len(eng._enc16) + len(eng._pend16) >= 1
-    for (dd, *_rest) in eng._enc16 + eng._pend16:
+    # the u8 group stalls once, everything after rides the u16 tier
+    # (these uniform-length windows land in the CONST u16 group)
+    assert eng._n_win8 + eng._n_winc8 <= 1
+    assert eng._n_winc16 + eng._n_win16 >= 1
+    for (dd, *_rest) in eng._encc16 + eng._pendc16:
         assert np.asarray(dd).dtype == np.uint16
 
     # and the stats match a raw-path engine bit for bit
@@ -318,6 +319,104 @@ def test_feed_stream_upgrades_to_u16_on_sparse(tmp_path):
     eng2.add_start_end(rs, re_)
     tid = np.zeros(1, np.int64)
     a = eng.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    assert np.array_equal(a.cover, b.cover)
+    assert np.array_equal(a.depth_sum, b.depth_sum)
+
+
+def _uniform_bam(path, n=3000, gap=40, read_len=150):
+    """Fixed-read-length, whole-read-M records — the profile whose
+    windows route to the CONST-LENGTH groups (one length plane never
+    shipped)."""
+    starts = np.cumsum(np.full(n, gap, np.int64)) + 100
+    recs = [(0, int(p), 0, 60, f"{read_len}M") for p in starts]
+    write_bam(path, ["c0"], [int(starts[-1]) + read_len + 1000], recs)
+
+
+def test_engine_const_length_route(tmp_path):
+    """Uniform-length windows must take the const groups (halved wire
+    bytes) and answer identically to the raw-path engine."""
+    bam = str(tmp_path / "u.bam")
+    _uniform_bam(bam)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    rs, re_ = _raw_pairs(bam)
+    eng1 = CoverageEngine(lay)
+    eng1.add_start_end(rs, re_)
+
+    eng2 = CoverageEngine(lay)
+    eng2.enc_cap, eng2.enc_exc = 512, 64
+    r = _native_stream(bam)
+    while True:
+        win = r.take_enc_acc(eng2.enc_cap, eng2.enc_exc)
+        if win is None:
+            break
+        eng2.add_encoded_window(*win)
+    r.close()
+    # every window routed const-u8; the mixed groups stayed empty
+    assert eng2._n_winc8 > 0 and eng2._n_win8 == 0
+    assert not eng2._enc and not eng2._pend8
+    tid = np.zeros(1, np.int64)
+    a = eng1.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    assert np.array_equal(a.cover, b.cover)
+    assert np.array_equal(a.depth_sum, b.depth_sum)
+
+
+def test_engine_const_length_u16_and_mixed_seam(tmp_path):
+    """Sparse uniform reads ride const-u16; a single odd-length read
+    makes only ITS window mixed while the rest stay const. Stats stay
+    equal to the raw path in both shapes."""
+    bam = str(tmp_path / "u16.bam")
+    n = 2000
+    starts = np.cumsum(np.full(n, 400, np.int64)) + 100
+    recs = [(0, int(p), 0, 60, "150M") for p in starts]
+    recs[n // 2] = (0, int(starts[n // 2]), 0, 60, "151M")  # one odd
+    write_bam(bam, ["c0"], [int(starts[-1]) + 2000], recs)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    rs, re_ = _raw_pairs(bam)
+    eng1 = CoverageEngine(lay)
+    eng1.add_start_end(rs, re_)
+
+    from pandepth_tpu.run import _feed_stream
+
+    eng2 = CoverageEngine(lay)
+    eng2.enc_cap, eng2.enc_exc = 512, 64
+    r = _native_stream(bam)
+    _feed_stream(eng2, r)
+    assert eng2._n_winc16 > 0      # sparse tier, const windows
+    assert eng2._n_win16 >= 1      # the odd read's window went mixed
+    tid = np.zeros(1, np.int64)
+    a = eng1.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
+    assert np.array_equal(a.cover, b.cover)
+    assert np.array_equal(a.depth_sum, b.depth_sum)
+
+
+def test_engine_const_spill(tmp_path):
+    """The bounded-window spill must reconstruct const windows' length
+    planes exactly."""
+    bam = str(tmp_path / "us.bam")
+    _uniform_bam(bam, n=4000)
+    hdr = read_bam_header(bam)
+    lay = GenomeLayout(hdr.lengths)
+    rs, re_ = _raw_pairs(bam)
+    eng1 = CoverageEngine(lay)
+    eng1.add_start_end(rs, re_)
+
+    eng2 = CoverageEngine(lay)
+    eng2._max_enc = 2
+    eng2.enc_cap, eng2.enc_exc = 256, 64
+    r = _native_stream(bam)
+    while True:
+        win = r.take_enc_acc(eng2.enc_cap, eng2.enc_exc)
+        if win is None:
+            break
+        eng2.add_encoded_window(*win)
+    r.close()
+    tid = np.zeros(1, np.int64)
+    a = eng1.segment_stats(tid, np.ones(1), hdr.lengths[:1])
     b = eng2.segment_stats(tid, np.ones(1), hdr.lengths[:1])
     assert np.array_equal(a.cover, b.cover)
     assert np.array_equal(a.depth_sum, b.depth_sum)

@@ -53,9 +53,10 @@ def test_unknown_signature_never_warms(sig_sidecar, monkeypatch):
     monkeypatch.setattr(CoverageEngine, "_warm_finalize",
                         lambda self, *a: fired.append(a))
     eng._n_win8, eng._n_pairs_enc = 2, 2 * eng.enc_cap
+    eng._last_enc_group = "8"    # as add_encoded_window would set
     eng.maybe_warm_finalize(0.5, 2 * eng.enc_cap)
     assert fired == []               # sidecar empty: must not compile
-    assert eng._warm_shapes == (1, 0)  # one attempt, then latched
+    assert eng._warm_shapes == (1, 0, 0, 0)  # one attempt, then latched
 
 
 def test_known_signature_warms_once(sig_sidecar, monkeypatch):
@@ -66,11 +67,12 @@ def test_known_signature_warms_once(sig_sidecar, monkeypatch):
     # 2 of an estimated 4 windows seen at frac 0.5 -> 4 u8 windows
     # -> 1 block -> k8p=1, k16p=0
     eng._n_win8, eng._n_pairs_enc = 2, 2 * eng.enc_cap
-    _record_warm_sig(eng._finalize_sig(1, 0))
+    eng._last_enc_group = "8"
+    _record_warm_sig(eng._finalize_sig(1, 0, 0, 0))
     eng.maybe_warm_finalize(0.5, 2 * eng.enc_cap)
     eng.maybe_warm_finalize(0.6, 3 * eng.enc_cap)  # latched: no re-fire
     eng._warm_thread_obj.join(5)
-    assert fired == [(1, 0)]
+    assert fired == [(1, 0, 0, 0)]
 
 
 def test_tier_upgrade_predicts_u16(sig_sidecar, monkeypatch):
@@ -84,11 +86,12 @@ def test_tier_upgrade_predicts_u16(sig_sidecar, monkeypatch):
     # more windows at the upgraded u16 tier -> 22 u16 windows -> 3
     # blocks of 8 -> k16p padded to 4
     eng._n_win8, eng._n_win16 = 1, 1
+    eng._last_enc_group = "16"
     eng._n_pairs_enc = 3 * eng.enc_cap
-    _record_warm_sig(eng._finalize_sig(1, 4))
+    _record_warm_sig(eng._finalize_sig(1, 4, 0, 0))
     eng.maybe_warm_finalize(0.25, 6 * eng.enc_cap)
     eng._warm_thread_obj.join(5)
-    assert fired == [(1, 4)]
+    assert fired == [(1, 4, 0, 0)]
 
 
 def _enc_window(eng, n, dtype, base):
