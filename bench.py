@@ -8,7 +8,13 @@ Prints ONE JSON line:
 binary run on the *same* input on this host (built from
 /root/reference when available; the recorded constant is used
 otherwise). The metric follows BASELINE.md: reads/s with chr-mode
-stat-table production.
+stat-table production on a 3 Gb-genome BAM — BASELINE.json's metric
+is literally "aligned reads/s per chip on 3 Gb genome BAM", so the
+fixture is the north-star contig shape (12 x 250 Mb, the reference's
+Capsicum annuum scale), not the 60 Mb toy genome rounds 1-3 used
+(which under-represented the reference's per-genome fixed costs and
+made the wall small enough for host-load jitter to dominate the
+recorded spread — VERDICT r3 #7).
 """
 
 from __future__ import annotations
@@ -20,9 +26,12 @@ import sys
 import time
 
 BENCH_DIR = os.environ.get("PANDEPTH_BENCH_DIR", "/tmp/pandepth_bench")
-N_READS = int(os.environ.get("PANDEPTH_BENCH_READS", 4_000_000))
-GENOME = [("chr1", 30_000_000), ("chr2", 20_000_000),
-          ("chr3", 10_000_000)]
+# 8M reads matches bench3gb.py's north-star configs read-for-read (a
+# LOWER count would inflate vs_baseline by over-weighting the
+# reference's genome-proportional fixed cost: measured 29x at 4M reads
+# vs ~14x at 8M on this 3 Gb shape)
+N_READS = int(os.environ.get("PANDEPTH_BENCH_READS", 8_000_000))
+GENOME = [(f"chr{i + 1}", 250_000_000) for i in range(12)]
 REF_BIN = "/tmp/refbin/pandepth"
 REF_SRC = "/root/reference/src/PanDepth.cpp"
 # reference wall measured once on the dev host for this fixture; used
@@ -32,7 +41,7 @@ FALLBACK_REF_WALL = None
 
 def ensure_fixture() -> str:
     os.makedirs(BENCH_DIR, exist_ok=True)
-    bam = os.path.join(BENCH_DIR, f"bench_{N_READS}.bam")
+    bam = os.path.join(BENCH_DIR, f"bench3gshape_{N_READS}.bam")
     if os.path.exists(bam):
         return bam
     sys.stderr.write(f"bench: generating {N_READS}-read fixture...\n")
@@ -100,7 +109,7 @@ def time_ours(bam: str) -> float:
 
 
 def probe_device(timeout_s: int = int(os.environ.get(
-        "PANDEPTH_PROBE_TIMEOUT", 600))) -> bool:
+        "PANDEPTH_PROBE_TIMEOUT", 180))) -> bool:
     """True when the accelerator answers a trivial op in time. The TPU
     tunnel in this environment can go down for hours (device ops hang
     while jax.devices() still lists the chip); probing in a subprocess
@@ -141,14 +150,18 @@ def main() -> None:
     bam = ensure_fixture()
     # the TPU tunnel in this environment has high run-to-run variance
     # and degrades under concurrent CPU load: measure ours first (warm
-    # run, then 5 timed), reference after (3 timed). MEDIANS, not
+    # run, then 9 timed), reference after (3 timed). MEDIANS, not
     # minima — the headline must survive host-load noise — and the
-    # spread rides the artifact so drift between rounds is visible.
+    # recorded spread is the INTERQUARTILE range: the median of 9 is
+    # stable to within the IQR, where max-min of a small sample grows
+    # with sample size and mostly measures this VM's worst-case
+    # scheduling outliers rather than the estimator's stability.
     import statistics
 
     time_ours(bam)  # warm jit compiles
-    ours = sorted(time_ours(bam) for _ in range(5))
+    ours = sorted(time_ours(bam) for _ in range(9))
     our_wall = statistics.median(ours)
+    our_iqr = ours[6] - ours[2]
     # transparency: when the product default elected the host engine,
     # also measure the warm DEVICE path (the daemon's cost model) so
     # the artifact carries both numbers
@@ -171,8 +184,8 @@ def main() -> None:
     reads_per_s = N_READS / our_wall
     vs = (ref_wall / our_wall) if ref_wall else None
     sys.stderr.write(
-        f"bench: ours {our_wall:.2f}s (spread {ours[-1] - ours[0]:.2f}), "
-        f"reference "
+        f"bench: ours {our_wall:.2f}s (iqr {our_iqr:.2f}, "
+        f"range {ours[-1] - ours[0]:.2f}), reference "
         f"{ref_wall if ref_wall else float('nan'):.2f}s\n")
     print(json.dumps({
         "metric": "aligned_reads_per_s",
@@ -184,9 +197,12 @@ def main() -> None:
         "engine": engine,
         "device_engine_reads_per_s": round(N_READS / other_wall, 1)
         if other_wall else None,
-        "estimator": "median5-vs-median3",
+        "device_engine_vs_baseline": round(ref_wall / other_wall, 3)
+        if other_wall and ref_wall else None,
+        "estimator": "median9-vs-median3",
         "spread": {
-            "ours_s": round(ours[-1] - ours[0], 3),
+            "ours_iqr_s": round(our_iqr, 3),
+            "ours_range_s": round(ours[-1] - ours[0], 3),
             "ref_s": round(spread_ref, 3)
             if spread_ref is not None else None,
         },

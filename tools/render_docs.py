@@ -116,17 +116,22 @@ def build_values() -> dict:
         mr = drv.get("value", 0) / 1e6
         vs = drv.get("vs_baseline")
         dev = drv.get("device_engine_reads_per_s")
-        spread = (drv.get("spread") or {}).get("ours_s")
+        dev_vs = drv.get("device_engine_vs_baseline")
+        sp = drv.get("spread") or {}
+        spread = sp.get("ours_iqr_s", sp.get("ours_s"))
         wall = n_reads / drv["value"] if drv.get("value") else None
         noise = (f"{100 * spread / wall:.0f}% spread"
                  if spread is not None and wall else "spread recorded")
         dev_part = (f"; the device engine measured separately at "
-                    f"{dev / 1e6:.1f}M reads/s" if dev else "")
+                    f"{dev / 1e6:.1f}M reads/s"
+                    + (f" ({dev_vs:.1f}x)" if dev_vs else "")
+                    if dev else "")
+        est = drv.get("estimator", "median5-vs-median3")
         v["bench_driver_par"] = (
             f"`bench.py` (the driver metric, {n_reads // 1_000_000}M-"
             f"read fixture; artifact `BENCH_r{drv_round:02d}.json`): "
             f"{mr:.1f}M aligned reads/s, **{vs:.2f}x** the reference "
-            f"wall on the same host (median-of-5 vs median-of-3, "
+            f"wall on the same host ({est}, "
             f"{noise}){dev_part}.")
     else:
         v["bench_driver_par"] = "`bench.py`: no driver artifact yet."
