@@ -294,11 +294,21 @@ def main():
                "platform": os.environ.get("PANDEPTH_FORCE_PLATFORM",
                                           "device")}
 
+    # PANDEPTH_BENCH3GB_ONLY=sitedump,w100,... reruns just the named
+    # opt-in sections (merge-update keeps the other keys): the base
+    # configs cost ~15 min and need not be re-measured to land one
+    # long section's row
+    only = os.environ.get("PANDEPTH_BENCH3GB_ONLY")
+    only = set(only.split(",")) if only else None
+
+    def want(section: str) -> bool:
+        return only is None or section in only
+
     # all four table shapes of the BASELINE parity configs: chr, gene
     # (GFF CDS), bed (BED4), win (mode 5 tiling)
     configs = (("chr", []), ("gene", ["-g", gff]),
                ("bed", ["-b", bed]), ("win", ["-w", "500000"]))
-    for mode, extra in configs:
+    for mode, extra in configs if want("base") else ():
         # ours first (tunnel latency degrades after heavy subprocess
         # CPU load); one warm-up run per mode pays the remote compile
         run_child(ours_argv(bam, out + "o", extra))
@@ -318,7 +328,8 @@ def main():
     # small-window whole-genome mode (-w 100: ~30M windows; the
     # reference allocates per-base SiteInfo arrays, 12.8 GB at 3 Gb).
     # Long (the reference needs 10+ min), so opt-in; single runs.
-    if os.environ.get("PANDEPTH_BENCH3GB_W100") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_W100") == "1" or \
+            (only is not None and "w100" in only):
         # distinct output prefixes: the mode-5 win tables above feed
         # the parity check below and must not be overwritten
         run_child(ours_argv(bam, out + "ow100", ["-w", "100"]))  # warm: populate the jit cache
@@ -343,7 +354,8 @@ def main():
                 results["vs_baseline_w100"] = round(2400.0 / w, 3)
 
     # GC mode (opt-in: generates a 3 GB reference fasta once)
-    if os.environ.get("PANDEPTH_BENCH3GB_GC") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_GC") == "1" or \
+            (only is not None and "gc" in only):
         fa = os.path.join(BENCH_DIR, "bench3gb.fa")
         if not os.path.exists(fa):
             _make("fasta")
@@ -367,7 +379,8 @@ def main():
 
     # CRAM + GC (BASELINE parity config 5) at scale (opt-in: writes a
     # 2M-read CRAM once, ~4 min)
-    if os.environ.get("PANDEPTH_BENCH3GB_CRAM") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_CRAM") == "1" or \
+            (only is not None and "cram" in only):
         cram = os.path.join(BENCH_DIR, "bench3gb_2m.cram")
         if not os.path.exists(cram):
             _make("cram")
@@ -395,7 +408,8 @@ def main():
     # -a site dump at scale (opt-in: writes chr\tpos\tdepth for every
     # base of the 3 Gb genome — tens of GB decompressed — so single
     # runs, and the reference gets the same timeout as w100)
-    if os.environ.get("PANDEPTH_BENCH3GB_SITEDUMP") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_SITEDUMP") == "1" or \
+            (only is not None and "sitedump" in only):
         run_child(ours_argv(bam, out + "oa", ["-a"]))  # warm
         w, r = run_child(ours_argv(bam, out + "oa", ["-a"]))
         results["ours_sitedump_wall_s"] = round(w, 3)
@@ -415,7 +429,8 @@ def main():
 
     # PAF engine at scale (opt-in: the reference's single-threaded
     # PAF parse + per-base fill needs ~7 min on this fixture)
-    if os.environ.get("PANDEPTH_BENCH3GB_PAF") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_PAF") == "1" or \
+            (only is not None and "paf" in only):
         paf = os.path.join(BENCH_DIR, "bench3gb.paf")
         if not os.path.exists(paf):
             _make("paf")
@@ -443,7 +458,8 @@ def main():
     # read BAMs once). The reference's BamList_main pools depths from
     # every file into ONE whole-genome SiteInfo array set
     # (src/PanDepth.cpp:2029-3410); parity = pooled tables match.
-    if os.environ.get("PANDEPTH_BENCH3GB_LIST") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_LIST") == "1" or \
+            (only is not None and "list" in only):
         extra_bams = [os.path.join(BENCH_DIR, f"bench3gb_s{k}.bam")
                       for k in (2, 3)]
         if not all(os.path.exists(b) for b in extra_bams):
@@ -470,7 +486,8 @@ def main():
     # 10x scale check (opt-in: writes an 80M-read / ~600 MB BAM once):
     # chr mode at 10x the north-star read count, showing the margin
     # and the O(events) memory story at depth
-    if os.environ.get("PANDEPTH_BENCH3GB_SCALE10X") == "1":
+    if os.environ.get("PANDEPTH_BENCH3GB_SCALE10X") == "1" or \
+            (only is not None and "scale10x" in only):
         n10 = N_READS * 10
         bam10 = os.path.join(BENCH_DIR, f"bench3gb_{n10}.bam")
         if not os.path.exists(bam10):
@@ -497,6 +514,7 @@ def main():
     os.environ.setdefault("PANDEPTH_DAEMON_SOCK",
                           os.path.join(BENCH_DIR, "bench.sock"))
     try:
+      if want("daemon"):
         for mode, extra in (("chr", []), ("gene", ["-g", gff])):
             run_child(ours_argv(bam, out + "o", extra))  # warm daemon
             w, _ = best(lambda: run_child(ours_argv(bam, out + "o",
@@ -519,13 +537,15 @@ def main():
         os.environ["PANDEPTH_DAEMON"] = "0"  # unset now means auto
         os.environ.pop("PANDEPTH_DAEMON_REQUIRE", None)
 
-    # byte parity of the tables produced above
+    # byte parity of the tables produced above (only when the base
+    # section ran this invocation: stale files from an earlier run in
+    # BENCH_DIR must not masquerade as fresh parity evidence)
     import gzip
     for mode, suffix in (("chr", ".chr.stat.gz"),
                          ("gene", ".gene.stat.gz"),
                          ("bed", ".bed.stat.gz"),
                          ("win", ".win.stat.gz")):
-        if not ref:
+        if not ref or not want("base"):
             break
         with gzip.open(out + "o" + suffix, "rb") as fh:
             a = fh.read()
