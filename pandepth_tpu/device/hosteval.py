@@ -278,14 +278,37 @@ def window_grid_host(layout, min_dep: int, sweep,
     if pos_s.shape[0] == 0:  # no events: every window is zero
         z = np.zeros(W, np.int64)
         return SegmentStats(cover=z, depth_sum=z)
-    nxt = np.empty_like(pos_s)
-    nxt[:-1] = pos_s[1:]
-    nxt[-1] = np.iinfo(np.int64).max
-    covered = depth >= min_dep
-    sel = covered & (nxt > pos_s)
-    a = pos_s[sel]
+    if int(used.sum()) == 1:
+        # single-contig call (the mode-6 streaming writer evaluates
+        # per contig): slice the sorted breakpoints to this contig's
+        # grid range so each call is O(E_contig + W_contig) instead of
+        # re-scanning every breakpoint of the genome (12x the work at
+        # -w 100 on 12 contigs — measured 8.7 s -> ~0.9 s total).
+        # Sound because covered pieces lie inside read intervals,
+        # which are clamped per contig: a covered piece overlapping
+        # [off_t, grid_end) always has its start inside it.
+        t_only = int(np.nonzero(used)[0][0])
+        g0_ = int(lay.offsets[t_only])
+        ge_ = g0_ + int(counts[t_only]) * w
+        i0 = int(np.searchsorted(pos_s, g0_, side="left"))
+        i1 = int(np.searchsorted(pos_s, ge_, side="left"))
+        pos_v = pos_s[i0:i1]
+        depth_v = depth[i0:i1]
+        nxt = np.empty_like(pos_v)
+        if pos_v.shape[0]:
+            nxt[:-1] = pos_s[i0 + 1:i1]
+            nxt[-1] = pos_s[i1] if i1 < pos_s.shape[0] \
+                else np.iinfo(np.int64).max
+    else:
+        pos_v, depth_v = pos_s, depth
+        nxt = np.empty_like(pos_s)
+        nxt[:-1] = pos_s[1:]
+        nxt[-1] = np.iinfo(np.int64).max
+    covered = depth_v >= min_dep
+    sel = covered & (nxt > pos_v)
+    a = pos_v[sel]
     b = nxt[sel]
-    d = depth[sel].astype(np.int64)
+    d = depth_v[sel].astype(np.int64)
 
     # piece -> contig (pieces with depth>=1 never span contigs: they
     # lie inside read intervals, which are clamped per contig)

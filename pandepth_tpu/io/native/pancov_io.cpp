@@ -27,6 +27,7 @@
 #include <functional>
 #include <limits>
 #include <mutex>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <memory>
@@ -2874,6 +2875,45 @@ static void put_u32(std::string& s, uint32_t v) {
   s.append(buf + i, 12 - i);
 }
 
+static void put_u64(std::string& s, uint64_t v) {
+  char buf[24];
+  int i = 24;
+  do {
+    buf[--i] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  s.append(buf + i, 24 - i);
+}
+
+// Fixed-2-decimal print of a nonnegative double, byte-identical to
+// snprintf("%.2f") (which the stat tables used verbatim and which
+// matches the reference's iostream fixed<<setprecision(2)). glibc's
+// %.2f is correctly rounded on the double's EXACT binary value with
+// ties to even; the fast path here rounds cents = x*100 with integer
+// math and falls back to snprintf inside a band around the .5
+// boundary, where either the one extra rounding of the multiply
+// (ulp(x*100)/2 ~ 1.1e-16 * x*100, far below the 1e-6 band for every
+// magnitude these tables print) or an exact decimal tie could flip
+// the digit. Replaces ~3 snprintf calls per row in the genome-scale
+// writers (30M rows at -w 100 on 3 Gb: formatting was the wall).
+static inline void put_fixed2(std::string& s, double x) {
+  double sc = x * 100.0;
+  double fl = std::floor(sc);
+  double fr = sc - fl;
+  if (!(sc >= 0.0) || sc >= 9.0e15 || std::fabs(fr - 0.5) < 1e-6) {
+    char tmp[64];
+    std::snprintf(tmp, sizeof tmp, "%.2f", x);
+    s.append(tmp);
+    return;
+  }
+  uint64_t cents = (uint64_t)fl + (fr > 0.5 ? 1u : 0u);
+  put_u64(s, cents / 100);
+  s.push_back('.');
+  unsigned c = (unsigned)(cents % 100);
+  s.push_back((char)('0' + c / 10));
+  s.push_back((char)('0' + c % 10));
+}
+
 // Sink that frames table/site output as complete gzip members. With
 // libdeflate each ~4 MB text block is compressed whole as one member
 // (~3x the zlib stream's throughput at the same level — compression
@@ -2968,19 +3008,20 @@ int pancov_win_rows_write(const char* path, int append,
     buf.push_back('\t');
     put_u32(buf, (uint32_t)cov[i]);
     buf.push_back('\t');
-    std::snprintf(tmp, sizeof tmp, "%lld", (long long)dsum[i]);
-    buf.append(tmp);
+    put_u64(buf, (uint64_t)dsum[i]);
     double L = (double)length[i];
     if (has_gc) {
-      std::snprintf(tmp, sizeof tmp, "\t%.2f",
-                    (double)gc[i] * 100.0 / L);
-      buf.append(tmp);
+      buf.push_back('\t');
+      put_fixed2(buf, (double)gc[i] * 100.0 / L);
     }
-    std::snprintf(tmp, sizeof tmp, "\t%.2f\t%.2f\n",
-                  (double)cov[i] * 100.0 / L, (double)dsum[i] / L);
-    buf.append(tmp);
+    buf.push_back('\t');
+    put_fixed2(buf, (double)cov[i] * 100.0 / L);
+    buf.push_back('\t');
+    put_fixed2(buf, (double)dsum[i] / L);
+    buf.push_back('\n');
     if ((rc = sink.maybe_flush(256))) break;
   }
+  (void)tmp;
   return sink.close(rc, append);
 }
 
@@ -3014,19 +3055,20 @@ int pancov_id_rows_write(const char* path, int append,
     buf.push_back('\t');
     put_u32(buf, (uint32_t)cov[i]);
     buf.push_back('\t');
-    std::snprintf(tmp, sizeof tmp, "%lld", (long long)dsum[i]);
-    buf.append(tmp);
+    put_u64(buf, (uint64_t)dsum[i]);
     double L = (double)length[i];
     if (has_gc) {
-      std::snprintf(tmp, sizeof tmp, "\t%.2f",
-                    (double)gc[i] * 100.0 / L);
-      buf.append(tmp);
+      buf.push_back('\t');
+      put_fixed2(buf, (double)gc[i] * 100.0 / L);
     }
-    std::snprintf(tmp, sizeof tmp, "\t%.2f\t%.2f\n",
-                  (double)cov[i] * 100.0 / L, (double)dsum[i] / L);
-    buf.append(tmp);
+    buf.push_back('\t');
+    put_fixed2(buf, (double)cov[i] * 100.0 / L);
+    buf.push_back('\t');
+    put_fixed2(buf, (double)dsum[i] / L);
+    buf.push_back('\n');
     if ((rc = sink.maybe_flush(512))) break;
   }
+  (void)tmp;
   return sink.close(rc, append);
 }
 

@@ -111,6 +111,47 @@ def test_id_rows_native_matches_python(tmp_path, monkeypatch):
         assert _gunzip(p_native) == _gunzip(p_py)
 
 
+def test_fixed2_formatter_adversarial(tmp_path):
+    """put_fixed2 (the integer fast path replacing snprintf %.2f in
+    the row writers) must stay byte-identical to correctly-rounded
+    %.2f on adversarial ratios: power-of-two window lengths make
+    cov*100/L land EXACTLY on .005 ties (e.g. 1/32 -> 3.125 ->
+    round-half-even '3.12'), the band the fast path must delegate to
+    snprintf."""
+    native = pytest.importorskip("pandepth_tpu.io.native")
+    lib = native.load_library()
+    if lib is None:
+        pytest.skip("native unavailable")
+    rng = np.random.RandomState(7)
+    rows = []
+    for L in (8, 16, 32, 64, 128, 256, 512, 100, 200, 150, 1000, 3):
+        for _ in range(200):
+            cov = int(rng.randint(0, L + 1))
+            dsum = int(rng.randint(0, 64 * L))
+            rows.append((L, cov, dsum))
+        # exact-tie constructions: cents frac = .5
+        for k in range(1, min(L, 40), 2):
+            rows.append((L, k, k))
+    n = len(rows)
+    Ls = np.array([r[0] for r in rows], np.int64)
+    cov = np.array([r[1] for r in rows], np.int64)
+    dsum = np.array([r[2] for r in rows], np.int64)
+    start = np.arange(1, n + 1, dtype=np.int64)
+    end = start + Ls - 1
+    gcc = (cov // 2).astype(np.int64)
+    p = str(tmp_path / "adv.gz")
+    rc = lib.pancov_win_rows_write(p.encode(), 0, b"c", start, end,
+                                   Ls, cov, dsum, gcc, n, 1)
+    assert rc == 0
+    got = _gunzip(p).decode().splitlines()
+    for i, line in enumerate(got):
+        L, c, d, g = int(Ls[i]), int(cov[i]), int(dsum[i]), int(gcc[i])
+        want = (f"c\t{start[i]}\t{end[i]}\t{L}\t{c}\t{d}"
+                f"\t{g * 100.0 / L:.2f}\t{c * 100.0 / L:.2f}"
+                f"\t{d / L:.2f}")
+        assert line == want, (i, line, want)
+
+
 def test_site_depth_writer_members(tmp_path):
     """New-format checks for the libdeflate member sink: the
     incremental position counter must survive digit-count growth, a
