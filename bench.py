@@ -125,6 +125,13 @@ def probe_device(timeout_s: int = int(os.environ.get(
 
 
 def main() -> None:
+    # settle outstanding writeback first: a bench started right after
+    # a genome-scale dump (tens of GB dirty) measured 2.6x slower with
+    # a 19%-of-wall IQR until the flusher drained
+    try:
+        os.sync()
+    except OSError:
+        pass
     platform = os.environ.get("PANDEPTH_FORCE_PLATFORM", "device")
     if os.environ.get("PANDEPTH_FORCE_PLATFORM") is None \
             and not probe_device():
