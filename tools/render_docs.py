@@ -205,6 +205,48 @@ def build_values() -> dict:
         f"cold runs no longer need the daemon to be fast (host engine "
         f"chr {_s(b3.get('ours_chr_wall_s'))} vs daemon "
         f"{_s(b3.get('ours_chr_daemon_wall_s'))})")
+    rng = b3.get("ref_w100_wall_range_s")
+    ref_w100 = (f"{rng[0]:.0f}-{rng[1]:.0f} s" if rng
+                else _s(b3.get("ref_w100_wall_s")))
+    v["c_w100"] = (
+        f"ours {_s(b3.get('ours_w100_wall_s'))} / "
+        f"{_mb(b3.get('ours_w100_rss_mb'))} vs ref {ref_w100} / "
+        f"{_mb(b3.get('ref_w100_rss_mb'))} "
+        f"(≥{b3.get('vs_baseline_w100', 0):.0f}x vs its fastest "
+        f"observed wall, parity {b3.get('parity_w100')})")
+    v["c_sitedump"] = (
+        f"{_x(b3.get('vs_baseline_sitedump'))} "
+        f"({_s(b3.get('ours_sitedump_wall_s'))} vs "
+        f"{_s(b3.get('ref_sitedump_wall_s'))}), RSS "
+        f"{_mb(b3.get('ours_sitedump_rss_mb'))} vs "
+        f"{_mb(b3.get('ref_sitedump_rss_mb'))}, parity "
+        f"{b3.get('parity_sitedump')}")
+    v["c_list"] = (
+        f"{_x(b3.get('vs_baseline_list'))} "
+        f"({_s(b3.get('ours_list_wall_s'))} vs "
+        f"{_s(b3.get('ref_list_wall_s'))}), RSS "
+        f"{_mb(b3.get('ours_list_rss_mb'))} vs "
+        f"{_mb(b3.get('ref_list_rss_mb'))}, parity "
+        f"{b3.get('parity_list')}")
+    v["c_scale10x"] = (
+        f"{_x(b3.get('vs_baseline_scale10x'))} at "
+        f"{b3.get('scale10x_reads', 0) // 1_000_000}M reads "
+        f"({_s(b3.get('ours_scale10x_wall_s'))} vs "
+        f"{_s(b3.get('ref_scale10x_wall_s'))}), parity "
+        f"{b3.get('parity_scale10x')}")
+    v["c_daemonrows"] = (
+        f"daemon chr {_s(b3.get('ours_chr_daemon_wall_s'))} "
+        f"({_x(b3.get('vs_baseline_chr_daemon'))}) / gene "
+        f"{_s(b3.get('ours_gene_daemon_wall_s'))} "
+        f"({_x(b3.get('vs_baseline_gene_daemon'))}) — faster than the "
+        f"cold host rows")
+    if ws:
+        v["c_scalephase"] = (
+            f"efficiency {', '.join(f'{ws[d]:.2f}@{d}' for d in sorted(ws) if d > 1)} "
+            f"with per-phase attribution (extract / exchange / "
+            f"sweep_eval ms per device count)")
+    else:
+        v["c_scalephase"] = "no scaling artifact yet"
     return v
 
 
