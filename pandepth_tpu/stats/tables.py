@@ -216,40 +216,76 @@ def write_tables(path: str, mode: int, gc: bool, names: Sequence[str],
 
 def _run_member_jobs(path: str, jobs, workers: Optional[int] = None
                      ) -> None:
-    """Run per-contig native row-writer calls concurrently.
+    """Run per-contig/per-range native row-writer calls concurrently.
 
     Each job is ``fn(out_path) -> rc`` producing ONE complete gzip
     member (the C calls release the GIL, so a thread pool gets real
-    parallelism out of deflate); members land in temp files and are
-    appended to ``path`` in contig order — gzip members concatenate
-    losslessly, which is also how the single-threaded writers already
-    framed their output."""
+    parallelism out of deflate); members land in temp part files and
+    are appended to ``path`` in submission order — gzip members
+    concatenate losslessly, which is also how the single-threaded
+    writers already framed their output.
+
+    Parts DRAIN as they complete (in order) while later jobs still
+    run: the previous run-all-then-copy shape left a serial tail that
+    re-read every part from disk after the last job finished — at a
+    3 Gb ``-a`` dump (48 jobs, ~5.3 GB of members) that tail doubled
+    the wall (167 s -> ~85 s measured). Bounded in-flight parts also
+    cap the temp footprint."""
+    import collections
     import concurrent.futures
     import shutil
 
-    tmps = [f"{path}.m{i}" for i in range(len(jobs))]
-    try:
-        if len(jobs) == 1:
-            rcs = [jobs[0](tmps[0])]
-        else:
-            with concurrent.futures.ThreadPoolExecutor(
-                    min(len(jobs), workers or os.cpu_count() or 1)
-                    ) as ex:
-                rcs = list(ex.map(lambda a: a[1](tmps[a[0]]),
-                                  enumerate(jobs)))
-        with open(path, "ab") as out:
-            for i, rc in enumerate(rcs):
-                if rc != 0:
-                    raise OSError(f"table row write failed ({rc}): "
-                                  f"{path}")
-                with open(tmps[i], "rb") as fh:
-                    shutil.copyfileobj(fh, out, 1 << 20)
-    finally:
-        for t in tmps:
+    if len(jobs) == 1:
+        part = f"{path}.m0"
+        try:
+            rc = jobs[0](part)
+            if rc != 0:
+                raise OSError(f"table row write failed ({rc}): {path}")
+            with open(path, "ab") as out, open(part, "rb") as fh:
+                shutil.copyfileobj(fh, out, 1 << 20)
+        finally:
             try:
-                os.remove(t)
+                os.remove(part)
             except OSError:
                 pass
+        return
+
+    w = min(len(jobs), workers or os.cpu_count() or 1)
+    pending = collections.deque()  # (future, part_path) in file order
+
+    with open(path, "ab") as out:
+        def drain_one():
+            fut, part = pending.popleft()
+            try:
+                rc = fut.result()
+                if rc != 0:
+                    raise OSError(
+                        f"table row write failed ({rc}): {path}")
+                with open(part, "rb") as fh:
+                    shutil.copyfileobj(fh, out, 1 << 20)
+            finally:
+                # popped parts leave the outer cleanup's view; remove
+                # here (success or failure) so errors never leak parts
+                try:
+                    os.remove(part)
+                except OSError:
+                    pass
+
+        try:
+            with concurrent.futures.ThreadPoolExecutor(w) as ex:
+                for i, j in enumerate(jobs):
+                    while len(pending) >= 2 * w:
+                        drain_one()
+                    part = f"{path}.m{i}"
+                    pending.append((ex.submit(j, part), part))
+                while pending:
+                    drain_one()
+        finally:
+            for _, part in pending:
+                try:
+                    os.remove(part)
+                except OSError:
+                    pass
 
 
 def _write_id_rows_native(path: str, mode: int, gc: bool,
