@@ -111,6 +111,44 @@ def test_id_rows_native_matches_python(tmp_path, monkeypatch):
         assert _gunzip(p_native) == _gunzip(p_py)
 
 
+def test_member_jobs_error_cleans_parts(tmp_path):
+    """A failing job mid-pipeline must raise AND leave no .m<N> part
+    files behind (the drain removes parts as it copies; the cleanup
+    covers in-flight ones)."""
+    import glob
+
+    from pandepth_tpu.stats.tables import _run_member_jobs
+
+    out = str(tmp_path / "t.gz")
+    open(out, "wb").close()
+
+    def good(p):
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        return 0
+
+    def bad(p):
+        open(p, "wb").close()
+        return 7
+
+    with pytest.raises(OSError):
+        _run_member_jobs(out, [good, good, bad, good, good],
+                         workers=2)
+    assert glob.glob(out + ".m*") == []
+    # success path still appends in submission order
+    def mk(i):
+        def j(p):
+            with open(p, "wb") as fh:
+                fh.write(str(i).encode())
+            return 0
+        return j
+
+    _run_member_jobs(out, [mk(i) for i in range(7)], workers=3)
+    with open(out, "rb") as fh:
+        assert fh.read().endswith(b"0123456")
+    assert glob.glob(out + ".m*") == []
+
+
 def test_fixed2_formatter_adversarial(tmp_path):
     """put_fixed2 (the integer fast path replacing snprintf %.2f in
     the row writers) must stay byte-identical to correctly-rounded
