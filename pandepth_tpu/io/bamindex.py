@@ -29,6 +29,7 @@ class BamIndex:
         self.linear = linear    # per ref: int64 16kb-window offsets
         self.min_shift = min_shift
         self.depth = depth
+        self._raw = b""  # backing bytes for lazy bin payloads
 
     # ------------------------------------------------------------------
     @classmethod
@@ -54,23 +55,27 @@ class BamIndex:
         off += 4
         bins: List[dict] = []
         linear: List[np.ndarray] = []
+        # bin payloads parse LAZILY: a dense-coverage BAI holds
+        # hundreds of thousands of bins and materializing an ndarray
+        # per bin up front cost ~0.4 s on a 3 Gb / 8M-read index —
+        # longer than the ranged decode it gates. The header scan
+        # stores (byte_offset, n_chunk); bin_chunks() materializes
+        # (and memoizes) only the bins a query actually touches.
+        s_bai = struct.Struct("<Ii")
+        s_csi = struct.Struct("<IQi")
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", raw, off)
             off += 4
             bmap = {}
             for _ in range(n_bin):
                 if csi:
-                    b, loff, n_chunk = struct.unpack_from("<IQi", raw,
-                                                          off)
+                    b, _loff, n_chunk = s_csi.unpack_from(raw, off)
                     off += 16
                 else:
-                    b, n_chunk = struct.unpack_from("<Ii", raw, off)
+                    b, n_chunk = s_bai.unpack_from(raw, off)
                     off += 8
-                chunks = np.frombuffer(raw, "<u8",
-                                       count=2 * n_chunk,
-                                       offset=off).reshape(-1, 2)
+                bmap[b] = (off, n_chunk)
                 off += 16 * n_chunk
-                bmap[b] = chunks.astype(np.int64)
             if csi:
                 lin = np.zeros(0, np.int64)
             else:
@@ -81,7 +86,78 @@ class BamIndex:
                 off += 8 * n_intv
             bins.append(bmap)
             linear.append(lin)
-        return cls(n_ref, bins, linear, min_shift, depth)
+        idx = cls(n_ref, bins, linear, min_shift, depth)
+        idx._raw = raw
+        return idx
+
+    def _u32view(self) -> np.ndarray:
+        v = getattr(self, "_u32v", None)
+        if v is None:
+            v = np.frombuffer(self._raw, "<u4",
+                              count=(len(self._raw) // 4))
+            self._u32v = v
+        return v
+
+    def bulk_bin_chunks(self, tid: int, bin_ids) -> np.ndarray:
+        """Concatenated (n, 2) int64 chunk ranges of MANY bins at once.
+
+        Dense gene sets touch 1e5+ bins per contig; materializing each
+        lazily costs ~1 us of frombuffer+astype a bin, so the lazy
+        (offset, count) entries are gathered VECTORIZED off the raw
+        index bytes instead: one fancy-indexed u32-pair gather for
+        every u64 word of every requested payload (BAI layouts keep
+        all payloads 4-byte aligned; an unaligned layout — possible
+        for CSI via l_aux — falls back to the per-bin path)."""
+        bmap = self.bins[tid]
+        offs: List[int] = []
+        cnts: List[int] = []
+        out: List[np.ndarray] = []
+        for b in bin_ids:
+            v = bmap.get(b)
+            if v is None:
+                continue
+            if isinstance(v, tuple):
+                offs.append(v[0])
+                cnts.append(v[1])
+            else:
+                out.append(v)
+        if offs:
+            offs_a = np.asarray(offs, np.int64)
+            cnts_a = np.asarray(cnts, np.int64)
+            words = 2 * cnts_a  # u64 words per payload
+            tot = int(words.sum())
+            if tot and not (offs_a & 3).any():
+                base = np.repeat(offs_a >> 2, words)
+                within = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(words) - words, words)
+                lo = base + 2 * within
+                v32 = self._u32view()
+                vals = (v32[lo].astype(np.uint64)
+                        | (v32[lo + 1].astype(np.uint64)
+                           << np.uint64(32)))
+                out.append(vals.astype(np.int64).reshape(-1, 2))
+            elif tot:
+                # unaligned (CSI l_aux): per-bin frombuffer fallback
+                for o, n in zip(offs, cnts):
+                    out.append(np.frombuffer(
+                        self._raw, "<u8", count=2 * n,
+                        offset=o).reshape(-1, 2).astype(np.int64))
+        if not out:
+            return np.zeros((0, 2), np.int64)
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    def bin_chunks(self, tid: int, b: int) -> Optional[np.ndarray]:
+        """This bin's (n, 2) int64 chunk ranges, or None; materializes
+        the lazy (offset, count) parse entry on first touch."""
+        v = self.bins[tid].get(b)
+        if v is None:
+            return None
+        if isinstance(v, tuple):
+            o, n = v
+            v = np.frombuffer(self._raw, "<u8", count=2 * n,
+                              offset=o).reshape(-1, 2).astype(np.int64)
+            self.bins[tid][b] = v
+        return v
 
     # ------------------------------------------------------------------
     def _reg2bins(self, beg: int, end: int) -> List[int]:
@@ -112,7 +188,8 @@ class BamIndex:
         if tid < 0 or tid >= self.n_ref or end <= beg:
             return np.zeros((0, 2), np.int64)
         bmap = self.bins[tid]
-        chunks = [bmap[b] for b in self._reg2bins(beg, end) if b in bmap]
+        chunks = [c for b in self._reg2bins(beg, end)
+                  if (c := self.bin_chunks(tid, b)) is not None]
         if not chunks:
             return np.zeros((0, 2), np.int64)
         allc = np.concatenate(chunks)
@@ -158,8 +235,8 @@ def full_file_splits(index: BamIndex, n_parts: int) -> np.ndarray:
     records (e.g. unplaced reads) are still visited."""
     v0s = []
     for tid in range(index.n_ref):
-        for chunks in index.bins[tid].values():
-            v0s.append(chunks[:, 0])
+        for b in index.bins[tid]:
+            v0s.append(index.bin_chunks(tid, b)[:, 0])
     if not v0s:
         return np.zeros((0, 2), np.int64)
     starts = np.unique(np.concatenate(v0s))
@@ -205,10 +282,10 @@ def chunks_for_windows(index: BamIndex, windows) -> np.ndarray:
             needed.update((first + np.arange(tot)).tolist())
             s_ -= 3
             t_ += 1 << (3 * l_)
-        hit = [bmap[b0] for b0 in needed.intersection(bmap.keys())]
-        if not hit:
+        allc = index.bulk_bin_chunks(
+            tid, needed.intersection(bmap.keys()))
+        if allc.shape[0] == 0:
             continue
-        allc = np.concatenate(hit)
         lin = index.linear[tid]
         if lin.size:
             w = np.minimum(beg >> 14, lin.size - 1)

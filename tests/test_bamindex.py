@@ -63,3 +63,33 @@ def test_ranged_load_equals_full(tmp_path):
     ranged.close()
     np.testing.assert_array_equal(np.sort(fs), np.sort(rs))
     np.testing.assert_array_equal(np.sort(fe), np.sort(re_))
+
+
+def test_bulk_bin_chunks_equals_per_bin(tmp_path):
+    """The vectorized u32-pair gather over the raw index bytes must
+    reproduce the per-bin frombuffer materialization exactly (every
+    bin, every contig), including mixed lazy/materialized entries."""
+    from tests.fixtures import make_bam
+
+    from pandepth_tpu.io.bamindex import load_index_for
+
+    bam = str(tmp_path / "b.bam")
+    make_bam(bam, n=3000, seed=5)
+    idx_a = load_index_for(bam)
+    idx_b = load_index_for(bam)
+    total_bins = 0
+    for tid in range(idx_a.n_ref):
+        bl = sorted(idx_a.bins[tid].keys())
+        total_bins += len(bl)
+        if not bl:
+            continue
+        # materialize ONE bin first so the bulk path sees a mix of
+        # lazy tuples and eager ndarrays
+        idx_a.bin_chunks(tid, bl[0])
+        bulk = idx_a.bulk_bin_chunks(tid, bl)
+        per = np.concatenate([idx_b.bin_chunks(tid, b) for b in bl])
+        # row ORDER is unspecified when lazy and eager entries mix
+        # (every caller merges/sorts); compare as sets of rows
+        np.testing.assert_array_equal(
+            bulk[np.lexsort(bulk.T)], per[np.lexsort(per.T)])
+    assert total_bins > 0
