@@ -107,7 +107,9 @@ class BamIndex:
         index bytes instead: one fancy-indexed u32-pair gather for
         every u64 word of every requested payload (BAI layouts keep
         all payloads 4-byte aligned; an unaligned layout — possible
-        for CSI via l_aux — falls back to the per-bin path)."""
+        for CSI via l_aux — falls back to the per-bin path). Row
+        ORDER is unspecified when lazy and already-materialized
+        entries mix; every caller merges/sorts the ranges anyway."""
         bmap = self.bins[tid]
         offs: List[int] = []
         cnts: List[int] = []
