@@ -106,6 +106,23 @@ def restore_site() -> None:
     site.addsitepackages(known)
 
 
+def jax_cache_dir() -> str:
+    """The persistent-compile-cache directory this process will use
+    (or "0"/"" when disabled). CPU-forced runs get a SEPARATE default
+    dir: XLA-CPU AOT results are machine-feature-specific (a cache
+    written on another host loads with SIGILL warnings and slower
+    code), so they must be cheap to wipe without losing the TPU cache
+    — and must never mix into it. Anything that stores sidecar state
+    next to the cache (the warm-signature list in ``device/engine.py``)
+    must derive its path from THIS function so wiping one cache also
+    invalidates its sidecar."""
+    plat = os.environ.get("PANDEPTH_FORCE_PLATFORM")
+    default_cache = os.path.expanduser(
+        "~/.cache/pandepth_jax_cpu" if plat == "cpu"
+        else "~/.cache/pandepth_jax")
+    return os.environ.get("PANDEPTH_JAX_CACHE", default_cache)
+
+
 def configure_jax():
     """Import jax (running any deferred ``sitecustomize`` first so
     accelerator backends register) and apply the framework's process
@@ -134,15 +151,9 @@ def configure_jax():
         jax.config.update("jax_enable_x64", True)
         # CLI-style workloads pay full jit cost per process; a
         # persistent compile cache makes repeat invocations start in
-        # milliseconds. CPU-forced runs get a SEPARATE default dir:
-        # XLA-CPU AOT results are machine-feature-specific (a cache
-        # written on another host loads with SIGILL warnings and
-        # slower code), so they must be cheap to wipe without losing
-        # the TPU cache — and must never mix into it.
-        default_cache = os.path.expanduser(
-            "~/.cache/pandepth_jax_cpu" if plat == "cpu"
-            else "~/.cache/pandepth_jax")
-        cache = os.environ.get("PANDEPTH_JAX_CACHE", default_cache)
+        # milliseconds. See jax_cache_dir() for the platform-split
+        # default.
+        cache = jax_cache_dir()
         if cache and cache != "0":
             try:
                 os.makedirs(cache, exist_ok=True)

@@ -50,8 +50,15 @@ def _pack_events(starts, ends, sentinel: int):
 
 
 def _warm_sig_path() -> Optional[str]:
-    d = os.environ.get("PANDEPTH_JAX_CACHE",
-                       os.path.expanduser("~/.cache/pandepth_jax"))
+    # Derive the sidecar path from the SAME platform-conditional
+    # default as boot.configure_jax: a CPU-forced run must record warm
+    # signatures next to the CPU cache (~/.cache/pandepth_jax_cpu), so
+    # wiping that cache after a host migration also drops its sigs
+    # instead of leaving stale cpu-platform entries gating warm
+    # dispatches against the TPU cache (advisor r4).
+    from pandepth_tpu import boot
+
+    d = boot.jax_cache_dir()
     if not d or d == "0":
         return None
     return os.path.join(d, "finalize_signatures.json")

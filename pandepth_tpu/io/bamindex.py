@@ -107,13 +107,16 @@ class BamIndex:
         index bytes instead: one fancy-indexed u32-pair gather for
         every u64 word of every requested payload (BAI layouts keep
         all payloads 4-byte aligned; an unaligned layout — possible
-        for CSI via l_aux — falls back to the per-bin path). Row
-        ORDER is unspecified when lazy and already-materialized
-        entries mix; every caller merges/sorts the ranges anyway."""
+        for CSI via l_aux — falls back to the per-bin path). Rows come
+        out GROUPED IN ``bin_ids`` ORDER even when lazy and already-
+        materialized entries mix (bin_chunks silently mutates entries
+        lazy → eager, so a stable contract keeps future callers safe;
+        advisor r4): the lazy gather emits payloads in request order
+        and each is spliced back into its slot."""
         bmap = self.bins[tid]
         offs: List[int] = []
         cnts: List[int] = []
-        out: List[np.ndarray] = []
+        parts: List[Optional[np.ndarray]] = []  # None = lazy slot
         for b in bin_ids:
             v = bmap.get(b)
             if v is None:
@@ -121,8 +124,9 @@ class BamIndex:
             if isinstance(v, tuple):
                 offs.append(v[0])
                 cnts.append(v[1])
+                parts.append(None)
             else:
-                out.append(v)
+                parts.append(v)
         if offs:
             offs_a = np.asarray(offs, np.int64)
             cnts_a = np.asarray(cnts, np.int64)
@@ -137,13 +141,25 @@ class BamIndex:
                 vals = (v32[lo].astype(np.uint64)
                         | (v32[lo + 1].astype(np.uint64)
                            << np.uint64(32)))
-                out.append(vals.astype(np.int64).reshape(-1, 2))
+                lazy_all = vals.astype(np.int64).reshape(-1, 2)
             elif tot:
                 # unaligned (CSI l_aux): per-bin frombuffer fallback
-                for o, n in zip(offs, cnts):
-                    out.append(np.frombuffer(
-                        self._raw, "<u8", count=2 * n,
-                        offset=o).reshape(-1, 2).astype(np.int64))
+                lazy_all = np.concatenate([
+                    np.frombuffer(self._raw, "<u8", count=2 * n,
+                                  offset=o).reshape(-1, 2)
+                    .astype(np.int64)
+                    for o, n in zip(offs, cnts)])
+            else:
+                lazy_all = np.zeros((0, 2), np.int64)
+            # splice each lazy payload back into its bin_ids slot
+            ends = np.cumsum(cnts_a)
+            k = 0
+            for i, p in enumerate(parts):
+                if p is None:
+                    parts[i] = lazy_all[int(ends[k]) - int(cnts_a[k]):
+                                        int(ends[k])]
+                    k += 1
+        out = [p for p in parts if len(p)]
         if not out:
             return np.zeros((0, 2), np.int64)
         return np.concatenate(out) if len(out) > 1 else out[0]

@@ -2892,15 +2892,19 @@ static void put_u64(std::string& s, uint64_t v) {
 // ties to even; the fast path here rounds cents = x*100 with integer
 // math and falls back to snprintf inside a band around the .5
 // boundary, where either the one extra rounding of the multiply
-// (ulp(x*100)/2 ~ 1.1e-16 * x*100, far below the 1e-6 band for every
-// magnitude these tables print) or an exact decimal tie could flip
-// the digit. Replaces ~3 snprintf calls per row in the genome-scale
-// writers (30M rows at -w 100 on 3 Gb: formatting was the wall).
+// (ulp(x*100)/2 ~ 1.1e-16 * x*100) or an exact decimal tie could
+// flip the digit. The tie band is only a sound catch-all while
+// ulp(x*100)/2 < 1e-6, i.e. cents below ~1e9 — so the magnitude
+// guard delegates everything >= 1e9 cents (mean depth ~1e7+, far
+// beyond the 18-bit depth cap) to snprintf outright rather than
+// trusting the band (advisor r4). Replaces ~3 snprintf calls per row
+// in the genome-scale writers (30M rows at -w 100 on 3 Gb:
+// formatting was the wall).
 static inline void put_fixed2(std::string& s, double x) {
   double sc = x * 100.0;
   double fl = std::floor(sc);
   double fr = sc - fl;
-  if (!(sc >= 0.0) || sc >= 9.0e15 || std::fabs(fr - 0.5) < 1e-6) {
+  if (!(sc >= 0.0) || sc >= 1.0e9 || std::fabs(fr - 0.5) < 1e-6) {
     char tmp[64];
     std::snprintf(tmp, sizeof tmp, "%.2f", x);
     s.append(tmp);

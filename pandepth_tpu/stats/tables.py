@@ -8,9 +8,11 @@ Formatting contract (parity-critical, SURVEY.md §6):
   start, ties sub-ordered by region id (C++ map<string> byte order);
 - every table ends with a ``##RegionLength: ...`` footer;
 - chr mode aggregates the 10 Mb pseudo-genes per chromosome;
-- mode 6 (windows < 150 bp) re-tiles whole contigs at stat time and
-  prints GC(%) as 0.00 because the reference clears the reference bases
-  before this writer runs (quirk Q4, src/PanDepth.cpp:4094 vs :4327).
+- mode 6 (windows < 150 bp) re-tiles whole contigs at stat time and,
+  with ``-c -r``, prints the REAL GC(%) — a documented divergence from
+  the reference, which clears the reference bases before this writer
+  runs and therefore always prints 0.00 (quirk Q4, src/PanDepth.cpp:4094
+  vs :4327; see README "documented divergences").
 """
 
 from __future__ import annotations

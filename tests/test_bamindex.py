@@ -88,8 +88,7 @@ def test_bulk_bin_chunks_equals_per_bin(tmp_path):
         idx_a.bin_chunks(tid, bl[0])
         bulk = idx_a.bulk_bin_chunks(tid, bl)
         per = np.concatenate([idx_b.bin_chunks(tid, b) for b in bl])
-        # row ORDER is unspecified when lazy and eager entries mix
-        # (every caller merges/sorts); compare as sets of rows
-        np.testing.assert_array_equal(
-            bulk[np.lexsort(bulk.T)], per[np.lexsort(per.T)])
+        # rows must come out GROUPED IN bin_ids ORDER even with the
+        # lazy/eager mix (the documented contract since r5)
+        np.testing.assert_array_equal(bulk, per)
     assert total_bins > 0

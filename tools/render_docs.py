@@ -44,10 +44,32 @@ def _load(name):
         return {}
 
 
+def _driver_bench_paths():
+    """Git-TRACKED BENCH_r*.json paths (basename list). Restricting to
+    tracked files keeps the drift gate about the *commit*: the driver
+    drops a fresh untracked BENCH_r{N}.json at end-of-round, and that
+    must not redden the handed-off tree (advisor r4 / VERDICT r4 #3) —
+    it becomes the newest artifact only once a human/round commits it.
+    Falls back to a filesystem glob outside a git checkout."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=30)
+        if out.returncode == 0:
+            return [ln for ln in out.stdout.splitlines() if ln.strip()]
+    except Exception:
+        pass
+    return [os.path.basename(p)
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))]
+
+
 def _latest_driver_bench():
-    """Newest BENCH_r{N}.json (the driver's end-of-round capture)."""
+    """Newest tracked BENCH_r{N}.json (the driver's end-of-round
+    capture, once committed)."""
     best, best_n = {}, -1
-    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+    for p in _driver_bench_paths():
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
             continue
