@@ -109,19 +109,33 @@ def time_ours(bam: str) -> float:
 
 
 def probe_device(timeout_s: int = int(os.environ.get(
-        "PANDEPTH_PROBE_TIMEOUT", 180))) -> bool:
-    """True when the accelerator answers a trivial op in time. The TPU
-    tunnel in this environment can go down for hours (device ops hang
-    while jax.devices() still lists the chip); probing in a subprocess
-    keeps this process's jax uninitialized so it can still fall back."""
+        "PANDEPTH_PROBE_TIMEOUT", 180)),
+        attempts: int = int(os.environ.get(
+            "PANDEPTH_PROBE_ATTEMPTS", 3))) -> tuple[bool, int]:
+    """(ok, attempts_used) when the accelerator answers a trivial op.
+    The TPU tunnel in this environment can go down for hours (device
+    ops hang while jax.devices() still lists the chip); probing in a
+    subprocess keeps this process's jax uninitialized so it can still
+    fall back. Retries with backoff: a SINGLE-shot probe once demoted
+    a whole round's driver capture to CPU on one transient timeout
+    (BENCH_r04 "cpu-fallback"), so a flaky minute must not erase the
+    TPU from the artifact (VERDICT r4 #1b)."""
     code = ("import jax, jax.numpy as jnp; "
             "print(int(jnp.arange(8).sum()))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for k in range(max(attempts, 1)):
+        if k:
+            sys.stderr.write(
+                f"bench: device probe attempt {k} failed; retrying "
+                f"in {15 * k}s...\n")
+            time.sleep(15 * k)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True, k + 1
+        except subprocess.TimeoutExpired:
+            pass
+    return False, max(attempts, 1)
 
 
 def main() -> None:
@@ -133,16 +147,20 @@ def main() -> None:
     except OSError:
         pass
     platform = os.environ.get("PANDEPTH_FORCE_PLATFORM", "device")
-    if os.environ.get("PANDEPTH_FORCE_PLATFORM") is None \
-            and not probe_device():
-        sys.stderr.write("bench: accelerator unreachable; falling back "
-                         "to the CPU backend\n")
-        os.environ["PANDEPTH_FORCE_PLATFORM"] = "cpu"
-        platform = "cpu-fallback"
-        # production encoded-window caps make the CPU sort ~99.9%
-        # padding on this fixture; use the suite's CPU-sized caps
-        os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 16))
-        os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 12))
+    probe_failed = False
+    if os.environ.get("PANDEPTH_FORCE_PLATFORM") is None:
+        ok, n_probes = probe_device()
+        if not ok:
+            sys.stderr.write(
+                f"bench: accelerator unreachable after {n_probes} "
+                f"probe attempts; falling back to the CPU backend\n")
+            os.environ["PANDEPTH_FORCE_PLATFORM"] = "cpu"
+            platform = "cpu-fallback"
+            probe_failed = True
+            # production encoded-window caps make the CPU sort ~99.9%
+            # padding on this fixture; use the suite's CPU-sized caps
+            os.environ.setdefault("PANDEPTH_ENC_CAP", str(1 << 16))
+            os.environ.setdefault("PANDEPTH_ENC_EXC", str(1 << 12))
     # measure the PRODUCT's default engine election for this
     # environment (run._want_host_finalize): the jax-free host-sweep
     # engine against a remote-tunneled device (whose wire latency
@@ -201,6 +219,7 @@ def main() -> None:
         "n_reads": N_READS,
         "vs_baseline": round(vs, 3) if vs else None,
         "platform": platform,
+        "probe_failed": probe_failed,
         "engine": engine,
         "device_engine_reads_per_s": round(N_READS / other_wall, 1)
         if other_wall else None,

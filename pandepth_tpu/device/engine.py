@@ -926,6 +926,7 @@ class CoverageEngine:
                       f"k8={len(self._enc)} k16={len(self._enc16)} "
                       f"kc8={len(self._encc8)} "
                       f"kc16={len(self._encc16)} "
+                      f"pairs={self._n_pairs_enc} "
                       f"flush={_t1 - _t0:.3f}s "
                       f"dispatch={_t2 - _t1:.3f}s "
                       f"fetch={_t3 - _t2:.3f}s", file=_sys.stderr)
