@@ -100,8 +100,80 @@ def build_values() -> dict:
     b3 = _load("BENCH_3GB.json")
     bc = _load("BENCH_3GB_cpu.json")
     sc = _load("SCALING.json")
+    bd = _load("BENCH_DEVICE.json")
+    bm = _load("BENCH_MICRO.json")
     drv, drv_round = _latest_driver_bench()
     v = {}
+
+    # ---- device-path + micro numbers (real-chip artifacts) ----
+    wire = bd.get("wire_mb_s")
+    ns_host = bm.get("host_sweep_ns_per_pair")
+    # encoded wire format is ~2 B/pair -> per-pair wire cost
+    ns_wire = (2.0 / (wire * 1e6) * 1e9) if wire else None
+    v["wirecost1"] = (
+        f"ships ~2 B/event at {wire:.0f} MB/s measured "
+        f"(~{ns_wire:.0f} ns/pair) where the native host"
+        if wire else "ships ~2 B/event over a thin link where the "
+        "native host")
+    v["hostsweep_ns"] = (f"~{ns_host:.0f} ns" if ns_host else
+                         "a few ns")
+    v["wirecost2"] = (
+        f"(~2 B/event at {wire:.0f} MB/s measured ≈ {ns_wire:.0f} "
+        f"ns/pair vs ~{ns_host:.0f} ns/pair on host; "
+        f"BENCH_DEVICE/BENCH_MICRO)"
+        if wire and ns_host else "(wire cost vs host-sweep cost)")
+    v["tunnelmb"] = (f"~{wire:.0f} MB/s measured" if wire
+                     else "tens of MB/s")
+    if bd.get("finalize_redispatch_ms"):
+        v["devwarm"] = (
+            f"({bd['finalize_redispatch_ms']:.0f} ms steady-state "
+            f"re-dispatch for "
+            f"{bd.get('finalize_pairs', 0) / 1e6:.1f}M encoded pairs "
+            f"on the {bd.get('device_kind', 'TPU')} through the "
+            f"tunnel — BENCH_DEVICE.json)")
+    else:
+        v["devwarm"] = "(see BENCH_DEVICE.json once captured)"
+    if bm.get("fasta_scan_mb_s"):
+        v["fastascan"] = (f"native scanner "
+                          f"{bm['fasta_scan_mb_s'] / 1e3:.1f} GB/s "
+                          f"warm-cache")
+    else:
+        v["fastascan"] = "native scanner"
+    if bm.get("paf_lines_per_s"):
+        v["paftok"] = f"~{bm['paf_lines_per_s'] / 1e6:.1f}M lines/s"
+    else:
+        v["paftok"] = "millions of lines/s"
+    if bm.get("host_sweep_wall_s"):
+        v["hostsweep"] = (
+            f"{bm['host_sweep_pairs'] / 1e6:.0f}M pairs in "
+            f"{bm['host_sweep_wall_s']:.2f} s "
+            f"({bm['host_sweep_ns_per_pair']:.0f} ns/pair) on this "
+            f"4-core host")
+    else:
+        v["hostsweep"] = "16M events in well under a second"
+    if bd.get("device_vs_baseline"):
+        v["c_devx"] = (
+            f"device engine separately {bd['device_vs_baseline']:.1f}x "
+            f"on the real chip (BENCH_DEVICE.json: platform=device, "
+            f"{bd.get('device_kind', 'TPU')})")
+        v["bench_device_par"] = (
+            f"`bench_device.py` (the device-path artifact "
+            f"`BENCH_DEVICE.json`, captured on the real "
+            f"{bd.get('device_kind', 'TPU')}): warm device engine "
+            f"end-to-end {bd['device_e2e_wall_s']:.2f} s on the "
+            f"{bd.get('n_reads', 0) // 1_000_000}M-read 3 Gb fixture "
+            f"({bd['device_reads_per_s'] / 1e6:.1f}M reads/s, "
+            f"**{bd['device_vs_baseline']:.2f}x** the reference's "
+            f"{bd['ref_wall_s']:.1f} s), host→device wire "
+            f"{wire:.1f} MB/s through the tunnel, fused finalize "
+            f"re-dispatch {bd.get('finalize_redispatch_ms', 0):.0f} ms "
+            f"for {bd.get('finalize_pairs', 0) / 1e6:.1f}M encoded "
+            f"pairs.")
+    else:
+        v["c_devx"] = ("device engine pending a real-chip capture "
+                       "(bench_device.py)")
+        v["bench_device_par"] = ("`bench_device.py`: no device "
+                                 "artifact yet.")
 
     # ---- README: the 3 Gb north-star table ----
     rows = [
@@ -148,13 +220,18 @@ def build_values() -> dict:
                     f"{dev / 1e6:.1f}M reads/s"
                     + (f" ({dev_vs:.1f}x)" if dev_vs else "")
                     if dev else "")
+        plat = drv.get("platform", "device")
+        plat_part = ("" if plat == "device" else
+                     f" [capture platform: {plat} — see "
+                     f"BENCH_DEVICE.json for the real-chip device "
+                     f"numbers]")
         est = drv.get("estimator", "median5-vs-median3")
         v["bench_driver_par"] = (
             f"`bench.py` (the driver metric, {n_reads // 1_000_000}M-"
             f"read fixture; artifact `BENCH_r{drv_round:02d}.json`): "
             f"{mr:.1f}M aligned reads/s, **{vs:.2f}x** the reference "
             f"wall on the same host ({est}, "
-            f"{noise}){dev_part}.")
+            f"{noise}){dev_part}{plat_part}.")
     else:
         v["bench_driver_par"] = "`bench.py`: no driver artifact yet."
 
