@@ -783,6 +783,28 @@ def run_alignment(config: RunConfig) -> int:
             want_state=bool(config.site_output)
             or mode == MODE_WIN_SMALL)
 
+    # bounded-memory deep coverage: a coordinate-sorted single-file
+    # feed lets the host engine fold staged events incrementally into
+    # running prefix integrals at the (already known) query
+    # boundaries, capping one-shot RSS regardless of read count — the
+    # sweep-engine analog of the reference's flat 10 Mb windowed scan
+    # (src/PanDepth.cpp:676-679). Excluded: site dumps and mode 6
+    # (need the full sweep state), genome-scale synthesized grids
+    # (window_grid_host path), multi-file accumulation (each file
+    # restarts the coordinate frontier). PANDEPTH_STREAM_FOLD=0
+    # disables.
+    if (len(config.inputs) == 1
+            and hasattr(engine, "begin_streaming_fold")
+            and not config.site_output and mode != MODE_WIN_SMALL
+            and not (targets.gene_id is None
+                     and targets.n_segments > (1 << 20))
+            and os.environ.get("PANDEPTH_STREAM_FOLD", "1") != "0"
+            and (has_index or header.sort_order == "coordinate")):
+        engine.begin_streaming_fold(
+            targets.gene_tid[targets.seg_gene],
+            np.asarray(targets.seg_start),
+            np.asarray(targets.seg_end))
+
     n_targets = len(names)
     for i, path in enumerate(config.inputs):
       with phase(stats, "feed"):

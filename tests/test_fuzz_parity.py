@@ -239,6 +239,19 @@ def test_fuzz_case_host_engine(tmp_path, oracle_bin, seed,
 
 
 @pytest.mark.parametrize("seed", range(16))
+def test_fuzz_case_stream_fold(tmp_path, oracle_bin, seed,
+                               monkeypatch):
+    """The deep-coverage streaming fold forced hot (a fold per staged
+    window, PANDEPTH_FOLD_PAIRS=1) on the host engine — same
+    differential contract; run.py's election gates the fold off for
+    the generated cases it can't serve (site dumps, mode 6,
+    multi-file, unsorted), so this burst also proves the gate."""
+    monkeypatch.setenv("PANDEPTH_HOST_FINALIZE", "1")
+    monkeypatch.setenv("PANDEPTH_FOLD_PAIRS", "1")
+    _run_case(str(tmp_path), oracle_bin, 2600 + seed)
+
+
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_case_formats(tmp_path, oracle_bin, seed):
     """The same generated records spun through the other container
     formats (SAM text, gzipped SAM, CRAM, indexed CRAM) — exercises
