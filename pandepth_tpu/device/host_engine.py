@@ -127,76 +127,94 @@ class HostCoverageEngine:
     def _fold(self, cutoff: int) -> None:
         """Fold staged + leftover events below ``cutoff`` into the
         running boundary integrals; keep the rest for the next fold."""
+        dbg = os.environ.get("PANDEPTH_FOLD_DEBUG")
+        if dbg:
+            import sys as _sys
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            _n_stage = sum(s.shape[0] for s, _ in self._stage)
+            _n_left = sum(p.shape[0] for p, _ in self._fold_left)
         self._fold_engaged = True
-        xp = xd = None
-        if self._fold_left:
-            xp = np.concatenate([p for p, _ in self._fold_left])
-            xd = np.concatenate([d for _, d in self._fold_left])
-            self._fold_left = []
-        # one native radix sort + cumsum over this fold window only
-        _, _, state = he.finalize_events(
-            self._stage, xp, xd, self.pos_sentinel,
-            np.zeros(1, np.int64), np.ones(1, np.int64),
-            self.min_dep, False, keep_state=True)
-        self._stage = []
-        self._fold_staged_pairs = 0
-        pos_s, depth = state
-        pos_s = pos_s.astype(np.int64, copy=False)
-        if pos_s.shape[0] and int(pos_s[0]) < self._fold_cutoff:
-            raise RuntimeError(
-                "streaming fold: an event arrived below the previous "
-                "fold cutoff — the input is not coordinate-sorted as "
-                "its header declared; rerun with "
-                "PANDEPTH_STREAM_FOLD=0")
-        k = int(np.searchsorted(pos_s, cutoff, side="left"))
-        if k < pos_s.shape[0]:
-            d64 = depth.astype(np.int64)
-            prev = d64[k - 1] if k > 0 else np.int64(0)
-            delta_tail = np.diff(d64[k:], prepend=prev).astype(
-                np.int32)
-            self._fold_left.append((pos_s[k:].copy(), delta_tail))
-        below_pos = pos_s[:k]
-        below_d = depth[:k].astype(np.int64) + self._fold_carry_depth
-        if self.wrap18:
-            dv = below_d & he.WRAP18_MASK
-            carry_disp = self._fold_carry_depth & he.WRAP18_MASK
-        else:
-            dv = below_d
-            carry_disp = self._fold_carry_depth
-        # local sweep from the previous cutoff: a prepended piece
-        # carries the running depth into this window, an appended
-        # zero-depth piece at the cutoff caps the final piece so the
-        # derive_integrals tail can't run to +inf
-        pos_arr = np.empty(k + 2, np.int64)
-        pos_arr[0] = self._fold_cutoff
-        pos_arr[1:k + 1] = below_pos
-        pos_arr[k + 1] = cutoff
-        dep_arr = np.empty(k + 2, np.int64)
-        dep_arr[0] = carry_disp
-        dep_arr[1:k + 1] = dv
-        dep_arr[k + 1] = 0
-        sweep = he.derive_integrals(pos_arr, dep_arr, self.min_dep)
+        prev = self._fold_cutoff
+        sent = self.pos_dtype(self.pos_sentinel)
+        # sortedness check: any event below the previous cutoff means
+        # the declared coordinate order was a lie (cheap vectorized
+        # mins over the raw chunks)
+        for s, _e in self._stage:
+            # a pair's start <= its end, so starts alone witness any
+            # below-cutoff event (sentinel slots are the max value and
+            # never the min)
+            if s.shape[0] and int(s.min()) < prev:
+                raise RuntimeError(
+                    "streaming fold: an event arrived below the "
+                    "previous fold cutoff — the input is not "
+                    "coordinate-sorted as its header declared; rerun "
+                    "with PANDEPTH_STREAM_FOLD=0")
+        # the ENTIRE fold eval rides the native finalize: events above
+        # the cutoff cannot affect integrals at or below it, so the
+        # staged chunks go in unfiltered; each pending boundary b in
+        # (prev, cutoff] is the query (prev, b], and a synthetic
+        # +carry event at prev carries the running depth in. One
+        # native radix sort + eval per fold, no big numpy
+        # intermediates (an earlier all-numpy fold eval cost 3-6 s a
+        # fold on this VM's slow page faults).
         bx = self._fold_bx
         j = int(np.searchsorted(bx, cutoff, side="right"))
-        if j > self._fold_next_b:
-            b = bx[self._fold_next_b:j]
-            qc, qs = he.host_q_eval(
-                sweep, self.min_dep, b,
-                np.searchsorted(pos_arr, b, side="left"))
+        pend = bx[self._fold_next_b:j]
+        qlo = np.full(pend.shape[0] + 1, prev, np.int64)
+        qhi = np.empty(pend.shape[0] + 1, np.int64)
+        qhi[:-1] = pend
+        qhi[-1] = min(cutoff, int(self.pos_sentinel))
+        carry_disp = (self._fold_carry_depth & he.WRAP18_MASK) \
+            if self.wrap18 else self._fold_carry_depth
+        xp = [p for p, _ in self._fold_left] + \
+            [np.asarray([prev], self.pos_dtype)]
+        xd = [d for _, d in self._fold_left] + \
+            [np.asarray([carry_disp], np.int32)]
+        cover, dsum, _ = he.finalize_events(
+            self._stage, np.concatenate(xp), np.concatenate(xd),
+            self.pos_sentinel, qlo, qhi, self.min_dep, self.wrap18,
+            keep_state=False)
+        if pend.shape[0]:
             self._fold_done_cov[self._fold_next_b:j] = \
-                self._fold_carry_cov + qc
+                self._fold_carry_cov + cover[:-1]
             self._fold_done_sum[self._fold_next_b:j] = \
-                self._fold_carry_sum + qs
+                self._fold_carry_sum + dsum[:-1]
             self._fold_next_b = j
-        cut = np.asarray([cutoff], np.int64)
-        qc, qs = he.host_q_eval(
-            sweep, self.min_dep, cut,
-            np.searchsorted(pos_arr, cut, side="left"))
-        self._fold_carry_cov += int(qc[0])
-        self._fold_carry_sum += int(qs[0])
-        if k:
-            self._fold_carry_depth = int(below_d[-1])
+        self._fold_carry_cov += int(cover[-1])
+        self._fold_carry_sum += int(dsum[-1])
+        # leftover + carry depth from cheap masks over the raw chunks
+        # (no sort needed: the next fold's native sort re-sorts them)
+        cut = self.pos_dtype(min(cutoff, int(self.pos_sentinel)))
+        new_left: List[Tuple[np.ndarray, np.ndarray]] = []
+        dcarry = 0
+        for s, e in self._stage:
+            ms = (s >= cut) & (s < sent)
+            me = (e >= cut) & (e < sent)
+            ks = int(ms.sum())
+            ke = int(me.sum())
+            dcarry += (int((s < cut).sum()) - int((e < cut).sum()))
+            if ks:
+                new_left.append((s[ms], np.ones(ks, np.int32)))
+            if ke:
+                new_left.append((e[me], np.full(ke, -1, np.int32)))
+        for p, d in self._fold_left:
+            keep = p >= cut
+            dcarry += int(d[~keep].sum())
+            if keep.any():
+                new_left.append((p[keep], d[keep]))
+        self._stage = []
+        self._fold_staged_pairs = 0
+        self._fold_left = new_left
+        self._fold_carry_depth += dcarry
         self._fold_cutoff = cutoff
+        if dbg:
+            print(f"[fold] cutoff={cutoff} stage_pairs={_n_stage} "
+                  f"left_in={_n_left} pend={pend.shape[0]} "
+                  f"left_out={sum(p.shape[0] for p, _ in self._fold_left)} "
+                  f"wall={_time.perf_counter() - _t0:.3f}s",
+                  file=_sys.stderr)
 
     def _fold_finalize(self) -> None:
         """Fold everything (cutoff past any real coordinate)."""
@@ -268,7 +286,7 @@ class HostCoverageEngine:
                                                       copy=False)
         if getattr(self, "_fold_active", False):
             live = p < self.pos_dtype(self.pos_sentinel)
-            pv = p[live].astype(np.int64, copy=False)
+            pv = p[live]
             if pv.shape[0] and int(pv.min()) < self._fold_cutoff:
                 raise RuntimeError(
                     "streaming fold: add_events below the fold "
