@@ -225,6 +225,53 @@ def main() -> None:
                     limits, flags_mask=1796, min_mapq=-1)
                 return ev_pos[None], ev_delta[None]
 
+            def p_bucket(tid, pos, flag, mapq, opc, opl, opr,
+                         offsets, limits, bounds):
+                # everything in _bucket_exchange EXCEPT the
+                # all_to_all hop: dest ranges, carry psum, local
+                # sort-by-destination, scatter into the (n_dev, cap)
+                # padded send buffer — so the collective itself is
+                # isolated as t_exchange - t_bucket (VERDICT r4 #6:
+                # is the 29->80 ms exchange growth capacity padding
+                # or transfer?)
+                import jax.numpy as jnp
+
+                ev_pos, ev_delta = extract_events(
+                    tid, pos, flag, mapq, opc, opl, opr, offsets,
+                    limits, flags_mask=1796, min_mapq=-1)
+                rid = jax.lax.axis_index("x")
+                live = ev_delta != 0
+                dest = jnp.clip(
+                    jnp.searchsorted(bounds[1:-1], ev_pos,
+                                     side="right"),
+                    0, n - 1).astype(jnp.int32)
+                dest = jnp.where(live, dest, n)
+                local_sums = jax.ops.segment_sum(
+                    ev_delta.astype(jnp.int64), dest,
+                    num_segments=n + 1)
+                range_sums = jax.lax.psum(local_sums[:n], "x")
+                carry = (jnp.cumsum(range_sums)
+                         - range_sums)[rid].astype(jnp.int32)
+                dest_s, order = jax.lax.sort_key_val(
+                    dest, jnp.arange(dest.shape[0], dtype=jnp.int32))
+                pos_s = ev_pos[order]
+                del_s = ev_delta[order]
+                starts = jnp.searchsorted(
+                    dest_s, jnp.arange(n, dtype=jnp.int32),
+                    side="left")
+                slot = jnp.arange(dest_s.shape[0], dtype=jnp.int32) \
+                    - starts[jnp.minimum(dest_s, n - 1)]
+                ok = (dest_s < n) & (slot < cap)
+                flat_i = jnp.where(ok, dest_s * cap + slot, n * cap)
+                send_pos = jnp.full(
+                    (n * cap + 1,), jnp.iinfo(ev_pos.dtype).max,
+                    ev_pos.dtype).at[flat_i].set(
+                    pos_s, mode="drop")[: n * cap].reshape(n, cap)
+                send_del = jnp.zeros(
+                    (n * cap + 1,), jnp.int32).at[flat_i].set(
+                    del_s, mode="drop")[: n * cap].reshape(n, cap)
+                return send_pos[None], send_del[None], carry[None]
+
             def p_exchange(tid, pos, flag, mapq, opc, opl, opr,
                            offsets, limits, bounds):
                 ev_pos, ev_delta = extract_events(
@@ -237,6 +284,9 @@ def main() -> None:
             jex = jax.jit(shard_map_fn(
                 p_extract, flat, in_specs=(sh,) * 7 + (rep,) * 2,
                 out_specs=(rowsp, rowsp)))
+            jbk = jax.jit(shard_map_fn(
+                p_bucket, flat, in_specs=(sh,) * 7 + (rep,) * 3,
+                out_specs=(rowsp, rowsp, rowsp)))
             jxc = jax.jit(shard_map_fn(
                 p_exchange, flat, in_specs=(sh,) * 7 + (rep,) * 3,
                 out_specs=(rowsp, rowsp, rep)))
@@ -250,18 +300,43 @@ def main() -> None:
                 return (time.perf_counter() - t0) / iters
 
             t_ex = timeit(jex, args[:9])
+            t_bk = timeit(jbk, args[:10])
             t_xc = timeit(jxc, args[:10])
             row["phase_ms"] = {
                 "extract": round(1e3 * t_ex, 2),
+                "bucket": round(1e3 * max(t_bk - t_ex, 0.0), 2),
+                "collective": round(1e3 * max(t_xc - t_bk, 0.0), 2),
                 "exchange": round(1e3 * max(t_xc - t_ex, 0.0), 2),
                 "sweep_eval": round(1e3 * max(dt - t_xc, 0.0), 2),
                 "total": round(1e3 * dt, 2),
             }
+            # capacity accounting: the send buffer is (n_dev, cap)
+            # per device regardless of how many events really flow
+            real_ev = int(2 * n_reads_per_dev)  # per device, no
+            # filtered reads in this fixture (flags 0, mapq 60)
+            row["exchange_cap"] = int(cap)
+            row["exchange_padded_slots_per_dev"] = int(n * cap)
+            row["exchange_real_events_per_dev"] = real_ev
+            row["exchange_pad_ratio"] = round(n * cap / real_ev, 2)
         rows.append(row)
         print(json.dumps(row))
         sys.stdout.flush()
         n *= 2
 
+    tail_note = ""
+    if rows and "phase_ms" in rows[-1] and len(rows) > 1:
+        last = rows[-1]
+        pm = last["phase_ms"]
+        tail_note = (
+            f" Measured at {last['devices']} devices: bucket "
+            f"{pm.get('bucket')} ms + collective "
+            f"{pm.get('collective')} ms (exchange "
+            f"{pm.get('exchange')} ms total) over "
+            f"{last.get('exchange_padded_slots_per_dev')} padded send "
+            f"slots/device ({last.get('exchange_real_events_per_dev')}"
+            f" real events, pad ratio "
+            f"{last.get('exchange_pad_ratio')}x) vs sweep_eval "
+            f"{pm.get('sweep_eval')} ms.")
     result = {
         "platform": jax.devices()[0].platform,
         "reads_per_device": n_reads_per_dev,
@@ -269,16 +344,15 @@ def main() -> None:
         "note": ("weak scaling of the sharded coverage step (reads grow "
                  "with devices; efficiency = rate / (rate_1 * n)). "
                  "phase_ms is a subtractive attribution from prefix "
-                 "programs: extract-only, extract+bucket/all_to_all "
-                 "exchange, full step. Virtual CPU devices validate the "
-                 "sharded program + collectives end-to-end; the "
-                 "efficiency tail at 8 devices is host-core-bound per the "
-                 "phases (sweep_eval, the per-device local sort+eval, "
-                 "inflates ~2.2x from 2 to 8 virtual devices on this "
-                 "4-core host while exchange grows 29->80 ms), not a "
-                 "collective-volume effect. Only one real TPU chip is "
-                 "attached to this environment (PANDEPTH_SCALING_REAL=1 "
-                 "on a slice)."),
+                 "programs: extract-only, extract+bucketing (sort + "
+                 "padded send-buffer scatter, no collective), "
+                 "extract+full exchange (+all_to_all), full step — so "
+                 "capacity padding (bucket) is separated from transfer "
+                 "(collective), VERDICT r4 #6. Virtual CPU devices "
+                 "validate the sharded program + collectives "
+                 "end-to-end; only one real TPU chip is attached to "
+                 "this environment (PANDEPTH_SCALING_REAL=1 on a "
+                 "slice)." + tail_note),
     }
     if os.environ.get("PANDEPTH_SCALING_MH", "1") == "1":
         import tempfile

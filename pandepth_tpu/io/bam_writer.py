@@ -224,38 +224,40 @@ def write_uniform_bam(path: str, names: Sequence[str],
                         (26, 1)):
         hit = (pos >> shift) == (e1 >> shift)
         b = np.where((b == 0) & hit, base + (pos >> shift), b)
-    qnames = np.char.add(
-        "r", np.char.zfill(np.arange(n).astype("U7"), 7))
+    def build_slice(lo: int, hi: int) -> bytes:
+        """Record block bytes for records [lo, hi)."""
+        m = hi - lo
+        rec = np.zeros((m, rec_size), np.uint8)
 
-    rec = np.zeros((n, rec_size), np.uint8)
+        def put_le(col, arr, width):
+            a = np.ascontiguousarray(arr)
+            raw = a.view(np.uint8).reshape(m, a.itemsize)[:, :width]
+            rec[:, col: col + width] = raw
 
-    def put_le(col, arr, width):
-        a = np.ascontiguousarray(arr)
-        raw = a.view(np.uint8).reshape(n, a.itemsize)[:, :width]
-        rec[:, col: col + width] = raw
+        put_le(0, np.full(m, body, np.int32), 4)
+        put_le(4, tid[lo:hi], 4)
+        put_le(8, pos[lo:hi], 4)
+        rec[:, 12] = qname_len
+        rec[:, 13] = mapq[lo:hi]
+        put_le(14, b[lo:hi].astype(np.uint16), 2)
+        put_le(16, np.full(m, 1, np.uint16), 2)       # n_cigar
+        put_le(18, flag[lo:hi], 2)
+        put_le(20, np.full(m, read_len, np.int32), 4)
+        put_le(24, np.full(m, -1, np.int32), 4)
+        put_le(28, np.full(m, -1, np.int32), 4)
+        # tlen stays 0
+        qn = np.char.add(
+            "r", np.char.zfill(np.arange(lo, hi).astype("U7"), 7))
+        rec[:, 36: 36 + qname_len - 1] = \
+            qn.astype(f"S{qname_len - 1}").view(np.uint8).reshape(
+                m, qname_len - 1)
+        put_le(36 + qname_len,
+               np.full(m, (read_len << 4) | 0, np.uint32), 4)
+        rec[:, 40 + qname_len: 40 + qname_len + seq_bytes] = 0x11
+        rec[:, 40 + qname_len + seq_bytes:] = 0xFF    # no qual
+        return rec.tobytes()
 
-    put_le(0, np.full(n, body, np.int32), 4)
-    put_le(4, tid, 4)
-    put_le(8, pos, 4)
-    rec[:, 12] = qname_len
-    rec[:, 13] = mapq
-    put_le(14, b.astype(np.uint16), 2)
-    put_le(16, np.full(n, 1, np.uint16), 2)       # n_cigar
-    put_le(18, flag, 2)
-    put_le(20, np.full(n, read_len, np.int32), 4)
-    put_le(24, np.full(n, -1, np.int32), 4)
-    put_le(28, np.full(n, -1, np.int32), 4)
-    # tlen stays 0
-    qn = qnames.astype(f"S{qname_len - 1}").view(np.uint8)
-    rec[:, 36: 36 + qname_len - 1] = qn.reshape(n, qname_len - 1)
-    put_le(36 + qname_len, np.full(n, (read_len << 4) | 0, np.uint32), 4)
-    rec[:, 40 + qname_len: 40 + qname_len + seq_bytes] = 0x11  # "AA.."
-    rec[:, 40 + qname_len + seq_bytes:] = 0xFF                 # no qual
-
-    payload = hdr + rec.tobytes()
-    del rec
     chunk = 0xFF00
-    pieces = [payload[i: i + chunk] for i in range(0, len(payload), chunk)]
 
     def bgzf_block(pl: bytes) -> bytes:
         co = zlib.compressobj(compresslevel, zlib.DEFLATED, -15)
@@ -265,15 +267,39 @@ def write_uniform_bam(path: str, names: Sequence[str],
                             6, 0x42, 0x43, 2, bsize - 1) + cdata +
                 struct.pack("<II", zlib.crc32(pl) & 0xFFFFFFFF, len(pl)))
 
-    with concurrent.futures.ThreadPoolExecutor(threads) as ex:
-        blocks = list(ex.map(bgzf_block, pieces))
-    with open(path, "wb") as fh:
-        block_offs = []
-        off = 0
-        for blk in blocks:
-            block_offs.append(off)
-            off += len(blk)
-        fh.write(b"".join(blocks) + BGZF_EOF)
+    # stream record slices to disk: materializing all n records at
+    # once is O(n * rec_size) host memory (137 GB at the deep-coverage
+    # fixture's 240M x 375 bp). The 0xFF00 payload-piece grid stays
+    # GLOBAL (a carry buffer spans slice boundaries) so the virtual-
+    # offset math below is unchanged.
+    slice_recs = max(1, (256 << 20) // rec_size)
+    block_offs: list = []
+    off = 0
+    with open(path, "wb") as fh, \
+            concurrent.futures.ThreadPoolExecutor(threads) as ex:
+        carry = hdr
+
+        def flush(data: bytes, final: bool) -> None:
+            nonlocal carry, off
+            buf = carry + data
+            cut = len(buf) if final else (len(buf) // chunk) * chunk
+            pieces = [buf[i: i + chunk] for i in range(0, cut, chunk)]
+            carry = buf[cut:]
+            if not pieces:
+                return
+            out = []
+            for blk in ex.map(bgzf_block, pieces):
+                block_offs.append(off)
+                off += len(blk)
+                out.append(blk)
+            fh.write(b"".join(out))
+
+        for lo in range(0, n, slice_recs):
+            hi = min(lo + slice_recs, n)
+            flush(build_slice(lo, hi), final=(hi == n))
+        if n == 0:
+            flush(b"", final=True)
+        fh.write(BGZF_EOF)
 
     if make_index:
         # map each record's uncompressed offset to a virtual offset

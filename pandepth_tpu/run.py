@@ -143,14 +143,13 @@ def make_engine(layout, **kw):
         from pandepth_tpu.device.host_engine import HostCoverageEngine
 
         # elected on EVERY coordinate tier: genomes <= 4 Gb ride the
-        # native 32-bit radix-sort kernel; larger layouts (int64
-        # positions — past the native kernel's width) fall back to the
-        # numpy argsort twin inside hosteval.finalize_events, which is
-        # slower than the kernel but still far cheaper for a one-shot
-        # run than the cold jax import + PJRT handshake + executable
-        # load the device path pays (tests/test_uint32_tier.py pins
-        # the fallback's correctness; test_host_engine.py the
-        # election)
+        # native 32-bit radix-sort kernel directly; larger layouts
+        # (int64 positions — wheat-scale pangenomes) keep the SAME
+        # native kernel via 2 Gb coordinate slabs with carry-chained
+        # integrals (hosteval._finalize_events_slabbed); the numpy
+        # argsort twin remains only as the no-native-library fallback
+        # (tests/test_uint32_tier.py pins all three paths;
+        # test_host_engine.py the election)
         return HostCoverageEngine(layout, **kw)
     force = os.environ.get("PANDEPTH_SHARDED")
     if force != "0":
