@@ -118,22 +118,75 @@ class HostCoverageEngine:
             threshold_pairs if threshold_pairs is not None
             else os.environ.get("PANDEPTH_FOLD_PAIRS", 12 << 20))
         self._fold_engaged = False
+        # folds run on ONE background thread so the feed keeps
+        # producing while the native sort answers the previous fold
+        # (the fold is ~0.25 s per 12M pairs; at 240M reads ~20 folds
+        # blocked the producer ~5 s through the bounded queue)
+        self._fold_thread = None
+        self._fold_exc: Optional[BaseException] = None
+        self._fold_sched_cutoff = 0
+        self._fold_left_pending: List[Tuple[np.ndarray,
+                                            np.ndarray]] = []
         self._fold_active = True
 
     @property
     def fold_active(self) -> bool:
         return bool(getattr(self, "_fold_active", False))
 
-    def _fold(self, cutoff: int) -> None:
-        """Fold staged + leftover events below ``cutoff`` into the
-        running boundary integrals; keep the rest for the next fold."""
+    def _fold_join(self) -> None:
+        t = self._fold_thread
+        if t is not None:
+            t.join()
+            self._fold_thread = None
+        if self._fold_exc is not None:
+            exc = self._fold_exc
+            self._fold_exc = None
+            raise exc
+
+    def _maybe_fold_async(self) -> None:
+        """Snapshot the stage and fold it on the background thread;
+        backpressure only when staging runs 2x past the threshold
+        while a fold is still in flight."""
+        t = self._fold_thread
+        if t is not None and t.is_alive():
+            if self._fold_staged_pairs < 2 * self._fold_threshold:
+                return
+        self._fold_join()
+        cutoff = self._fold_frontier
+        if cutoff <= self._fold_sched_cutoff:
+            return
+        self._fold_sched_cutoff = cutoff
+        stage = self._stage
+        self._stage = []
+        self._fold_staged_pairs = 0
+        if self._fold_left_pending:
+            self._fold_left.extend(self._fold_left_pending)
+            self._fold_left_pending = []
+        import threading
+
+        def run():
+            try:
+                self._fold(cutoff, stage)
+            except BaseException as e:  # surfaced at join
+                self._fold_exc = e
+
+        self._fold_thread = threading.Thread(
+            target=run, name="pandepth-fold", daemon=True)
+        self._fold_thread.start()
+
+    def _fold(self, cutoff: int, stage) -> None:
+        """Fold ``stage`` + leftover events below ``cutoff`` into the
+        running boundary integrals; keep the rest for the next fold.
+        Runs on the background fold thread (or the caller's thread at
+        finalize); fold state (_fold_left, carries, done arrays) is
+        touched ONLY here and at snapshot points after a join."""
         dbg = os.environ.get("PANDEPTH_FOLD_DEBUG")
         if dbg:
             import sys as _sys
             import time as _time
 
             _t0 = _time.perf_counter()
-            _n_stage = sum(s.shape[0] for s, _ in self._stage)
+            _n_stage = sum(s.shape[0] for s, _ in stage)
             _n_left = sum(p.shape[0] for p, _ in self._fold_left)
         self._fold_engaged = True
         prev = self._fold_cutoff
@@ -141,7 +194,7 @@ class HostCoverageEngine:
         # sortedness check: any event below the previous cutoff means
         # the declared coordinate order was a lie (cheap vectorized
         # mins over the raw chunks)
-        for s, _e in self._stage:
+        for s, _e in stage:
             # a pair's start <= its end, so starts alone witness any
             # below-cutoff event (sentinel slots are the max value and
             # never the min)
@@ -173,7 +226,7 @@ class HostCoverageEngine:
         xd = [d for _, d in self._fold_left] + \
             [np.asarray([carry_disp], np.int32)]
         cover, dsum, _ = he.finalize_events(
-            self._stage, np.concatenate(xp), np.concatenate(xd),
+            stage, np.concatenate(xp), np.concatenate(xd),
             self.pos_sentinel, qlo, qhi, self.min_dep, self.wrap18,
             keep_state=False)
         if pend.shape[0]:
@@ -189,7 +242,7 @@ class HostCoverageEngine:
         cut = self.pos_dtype(min(cutoff, int(self.pos_sentinel)))
         new_left: List[Tuple[np.ndarray, np.ndarray]] = []
         dcarry = 0
-        for s, e in self._stage:
+        for s, e in stage:
             ms = (s >= cut) & (s < sent)
             me = (e >= cut) & (e < sent)
             ks = int(ms.sum())
@@ -204,11 +257,20 @@ class HostCoverageEngine:
             dcarry += int(d[~keep].sum())
             if keep.any():
                 new_left.append((p[keep], d[keep]))
-        self._stage = []
-        self._fold_staged_pairs = 0
         self._fold_left = new_left
         self._fold_carry_depth += dcarry
         self._fold_cutoff = cutoff
+        # release the fold interval's freed pages: boot.disable_thp
+        # pins M_TRIM/M_MMAP at 1 GB so glibc retains every freed
+        # staging buffer, and with the producer's worker threads
+        # allocating concurrently the retained regions fragment —
+        # RSS climbed ~250 MB per fold interval until trimmed
+        try:
+            import ctypes
+
+            ctypes.CDLL(None).malloc_trim(0)
+        except Exception:
+            pass
         if dbg:
             print(f"[fold] cutoff={cutoff} stage_pairs={_n_stage} "
                   f"left_in={_n_left} pend={pend.shape[0]} "
@@ -217,10 +279,18 @@ class HostCoverageEngine:
                   file=_sys.stderr)
 
     def _fold_finalize(self) -> None:
-        """Fold everything (cutoff past any real coordinate)."""
+        """Join the in-flight fold, then fold everything left
+        (cutoff past any real coordinate)."""
+        self._fold_join()
+        if self._fold_left_pending:
+            self._fold_left.extend(self._fold_left_pending)
+            self._fold_left_pending = []
         if self._stage or self._fold_left or \
                 self._fold_next_b < self._fold_bx.shape[0]:
-            self._fold(int(self.pos_sentinel))
+            stage = self._stage
+            self._stage = []
+            self._fold_staged_pairs = 0
+            self._fold(int(self.pos_sentinel), stage)
 
     def _fold_segment_stats(self, seg_tid, seg_start, seg_end
                             ) -> SegmentStats:
@@ -261,9 +331,8 @@ class HostCoverageEngine:
                 if m > self._fold_frontier:
                     self._fold_frontier = m
             self._fold_staged_pairs += int(s.shape[0])
-            if self._fold_staged_pairs >= self._fold_threshold and \
-                    self._fold_frontier > self._fold_cutoff:
-                self._fold(self._fold_frontier)
+            if self._fold_staged_pairs >= self._fold_threshold:
+                self._maybe_fold_async()
 
     add_padded_events = add_start_end
 
@@ -287,11 +356,13 @@ class HostCoverageEngine:
         if getattr(self, "_fold_active", False):
             live = p < self.pos_dtype(self.pos_sentinel)
             pv = p[live]
-            if pv.shape[0] and int(pv.min()) < self._fold_cutoff:
+            # checked against the consumer-side scheduled cutoff (the
+            # fold thread owns _fold_cutoff)
+            if pv.shape[0] and int(pv.min()) < self._fold_sched_cutoff:
                 raise RuntimeError(
                     "streaming fold: add_events below the fold "
                     "cutoff; rerun with PANDEPTH_STREAM_FOLD=0")
-            self._fold_left.append(
+            self._fold_left_pending.append(
                 (pv, np.asarray(delta, np.int32)[live]))
             return
         self._extra.append((p, np.asarray(delta, np.int32)))

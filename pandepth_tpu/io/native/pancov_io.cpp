@@ -19,6 +19,8 @@
 //
 // Exposed as a plain C ABI for ctypes; no Python headers needed.
 
+#include <sys/mman.h>
+
 #include <algorithm>
 #include <atomic>
 #include <chrono>
@@ -1141,6 +1143,71 @@ struct StreamWin {
   int64_t n_rec = 0;
 };
 
+// Persistent worker team for the streaming producer: spawned once per
+// produce(), handed one job per window. Spawning + joining threads
+// per 32 MB window costs milliseconds of scheduling tails at 650+
+// windows per genome-scale file.
+struct WalkTeam {
+  std::vector<std::thread> ts;
+  std::mutex m;
+  std::condition_variable cv_job, cv_done;
+  std::function<void()> job;
+  uint64_t gen = 0;
+  int started = 0, running = 0;
+  bool quit = false;
+
+  void start(int n) {
+    for (int t = 0; t < n; t++)
+      ts.emplace_back([this]() {
+        uint64_t seen = 0;
+        for (;;) {
+          std::function<void()> j;
+          {
+            std::unique_lock<std::mutex> lk(m);
+            cv_job.wait(lk, [&] { return quit || gen != seen; });
+            if (quit) return;
+            seen = gen;
+            started++;
+            running++;
+            j = job;
+          }
+          j();
+          {
+            std::lock_guard<std::mutex> lk(m);
+            running--;
+            if (running == 0 && started == (int)ts.size())
+              cv_done.notify_all();
+          }
+        }
+      });
+  }
+  // dispatch a job to every worker (non-blocking)
+  void run(std::function<void()> j) {
+    std::lock_guard<std::mutex> lk(m);
+    job = std::move(j);
+    started = 0;
+    gen++;
+    cv_job.notify_all();
+  }
+  // wait until every worker picked up AND finished the current job;
+  // MUST be called before any window-local state the job references
+  // goes out of scope
+  void wait() {
+    std::unique_lock<std::mutex> lk(m);
+    cv_done.wait(lk, [&] {
+      return started == (int)ts.size() && running == 0;
+    });
+  }
+  ~WalkTeam() {
+    {
+      std::lock_guard<std::mutex> lk(m);
+      quit = true;
+    }
+    cv_job.notify_all();
+    for (auto& t : ts) t.join();
+  }
+};
+
 struct StreamBam {
   FILE* f = nullptr;
   bool bgzf = true;
@@ -1209,6 +1276,10 @@ struct StreamBam {
     // at GB/s inflate rates dominates the whole pipeline
     std::vector<uint8_t> raw;
     std::vector<uint8_t> dec;
+    std::vector<int64_t> rec_offs;    // parallel-walk record offsets
+    std::vector<EvSink> walk_sinks;   // per-chunk event sinks
+    WalkTeam team;
+    team.start(n_threads - 1);
     EvSink sink;
     sink.track_records = false;
     const bool dbg = std::getenv("PANDEPTH_STREAM_DEBUG") != nullptr;
@@ -1391,15 +1462,94 @@ struct StreamBam {
           done[k].store(1, std::memory_order_release);
           return true;
         };
-        std::vector<std::thread> ws;
-        for (int t = 1; t < n_threads; t++)
-          ws.emplace_back([&]() {
+        // Stateless filtering (no regions / fetch-window mode 1) lets
+        // the RECORD WALK itself fan out (par_walk): the producer's
+        // scan only jumps the 4-byte length chain (one cache-line
+        // touch per record), work-steals inflate, and PUBLISHES
+        // body-ready 4096-record chunks; the worker team inflates
+        // first and falls through into walking published chunks, each
+        // into its own sink. Scan + inflate + walk all overlap inside
+        // the window, and chunk sinks concatenate in chunk order —
+        // preserving the coordinate order the streaming fold depends
+        // on. The region-cursor mode (2) is stateful by construction
+        // (src/PanDepth.cpp:4608-4671) and keeps the serial chase
+        // walk (the 240M-record deep bench was walk-bound at
+        // ~13M rec/s serial).
+        // OFF by default: on this 4-core host the producer is
+        // inflate/memory-bandwidth-bound and the serial chase already
+        // overlaps inflate and walk near-perfectly — the fan-out
+        // measured SLOWER end-to-end (80M loader-only: 4.6-5.0 s vs
+        // 3.8 s serial; deep 28.2 s vs 23.8 s) because chunk-sink
+        // copies + publication wake latency outweigh the walk
+        // parallelism. Kept behind PANDEPTH_PAR_WALK=1 for
+        // wider-core hosts where the walk, not the memory bus, is
+        // the binding constraint.
+        static const bool par_walk_env = [] {
+          const char* e = std::getenv("PANDEPTH_PAR_WALK");
+          return e && e[0] == '1';
+        }();
+        const bool par_walk =
+            par_walk_env && n_threads > 1 && ctx.region_mode != 2 &&
+            !sink.track_records;
+        const size_t CHUNK = 4096;
+        std::atomic<size_t> chunks_avail(0);
+        std::atomic<size_t> recs_pub(0);
+        std::atomic<size_t> chunk_next(0);
+        std::atomic<bool> scan_done(false);
+        std::atomic<bool> wok(true);
+        if (par_walk) {
+          rec_offs.clear();
+          rec_offs.reserve(grand_total / 36 + 2);  // never
+          //                            reallocates under the workers
+          size_t max_chunks = (grand_total / 36) / CHUNK + 2;
+          if (walk_sinks.size() < max_chunks)
+            walk_sinks.resize(max_chunks);
+        }
+        // workers never touch the vector object itself (push_back
+        // mutates its end pointer concurrently): they read entries
+        // through this stable pointer, bounded by the recs_pub count
+        // released with each chunk publication
+        const int64_t* const rec_base = rec_offs.data();
+        auto walk_chunks = [&]() {
+          for (;;) {
+            size_t c = chunk_next.fetch_add(1);
             for (;;) {
-              size_t k = nexti.fetch_add(1);
-              if (k >= nb || !ok.load()) break;
-              try_inflate(k);
+              if (c < chunks_avail.load(std::memory_order_acquire))
+                break;
+              if (scan_done.load(std::memory_order_acquire)) {
+                if (c >= chunks_avail.load(std::memory_order_acquire))
+                  return;
+                break;
+              }
+              std::this_thread::sleep_for(
+                  std::chrono::microseconds(30));
             }
-          });
+            size_t lo = c * CHUNK;
+            size_t hi = std::min(
+                lo + CHUNK, recs_pub.load(std::memory_order_acquire));
+            EvSink& s = walk_sinks[c];
+            s.track_records = false;  // default-true would silently
+            // accumulate 12 B per record across the whole file
+            s.es.clear();
+            s.ee.clear();
+            s.n_rec = 0;
+            for (size_t i = lo; i < hi; i++) {
+              if (!ctx.process_record(dec.data(), grand_total,
+                                      (size_t)rec_base[i], s)) {
+                wok.store(false);
+                return;
+              }
+            }
+          }
+        };
+        team.run([&]() {
+          for (;;) {
+            size_t k = nexti.fetch_add(1);
+            if (k >= nb || !ok.load()) break;
+            try_inflate(k);
+          }
+          if (par_walk) walk_chunks();
+        });
         size_t frontier = 0;
         size_t ready = base_dec;
         auto wait_ready = [&](size_t need) -> bool {
@@ -1416,20 +1566,67 @@ struct StreamBam {
           }
           return true;
         };
-        while (off + 4 <= grand_total && !ctx.stream_done) {
-          if (!wait_ready(std::min(grand_total, off + 4))) break;
-          uint32_t bsz = le32(dec.data() + off);
-          if (off + 4 + (size_t)bsz > grand_total) break;
-          if (!wait_ready(off + 4 + (size_t)bsz)) break;
-          size_t nxt = ctx.process_record(dec.data(), grand_total, off,
-                                          sink);
-          if (nxt == 0) {
-            walk_failed = true;
-            break;
+        if (par_walk) {
+          size_t published = 0;
+          while (off + 4 <= grand_total && !ctx.stream_done) {
+            if (!wait_ready(std::min(grand_total, off + 4))) break;
+            uint32_t bsz = le32(dec.data() + off);
+            if (off + 4 + (size_t)bsz > grand_total) break;
+            rec_offs.push_back((int64_t)off);
+            off += 4 + (size_t)bsz;
+            if (rec_offs.size() - published * CHUNK >= CHUNK) {
+              // publish once the chunk's BODIES are inflated: the
+              // walkers then never touch the inflate frontier
+              if (!wait_ready(off)) break;
+              recs_pub.store(rec_offs.size(),
+                             std::memory_order_release);
+              published++;
+              chunks_avail.store(published,
+                                 std::memory_order_release);
+            }
           }
-          off = nxt;
+          if (ok.load() && rec_offs.size() > published * CHUNK) {
+            if (wait_ready(off)) {
+              recs_pub.store(rec_offs.size(),
+                             std::memory_order_release);
+              published++;
+              chunks_avail.store(published,
+                                 std::memory_order_release);
+            }
+          }
+          scan_done.store(true, std::memory_order_release);
+          walk_chunks();  // the producer helps drain
+          team.wait();
+          if (!ok.load()) return fail("BGZF inflate failed");
+          if (!wok.load()) return fail("truncated BAM record");
+          size_t tot = 0;
+          for (size_t c = 0; c < published; c++)
+            tot += walk_sinks[c].es.size();
+          sink.es.reserve(sink.es.size() + tot);
+          sink.ee.reserve(sink.ee.size() + tot);
+          for (size_t c = 0; c < published; c++) {
+            EvSink& s = walk_sinks[c];
+            sink.es.insert(sink.es.end(), s.es.begin(), s.es.end());
+            sink.ee.insert(sink.ee.end(), s.ee.begin(), s.ee.end());
+            sink.n_rec += s.n_rec;
+          }
+        } else {
+          while (off + 4 <= grand_total && !ctx.stream_done) {
+            if (!wait_ready(std::min(grand_total, off + 4))) break;
+            uint32_t bsz = le32(dec.data() + off);
+            if (off + 4 + (size_t)bsz > grand_total) break;
+            if (!wait_ready(off + 4 + (size_t)bsz)) break;
+            size_t nxt = ctx.process_record(dec.data(), grand_total,
+                                            off, sink);
+            if (nxt == 0) {
+              walk_failed = true;
+              break;
+            }
+            off = nxt;
+          }
+          scan_done.store(true, std::memory_order_release);
+          team.wait();
         }
-        for (auto& w : ws) w.join();
         if (!ok.load()) return fail("BGZF inflate failed");
         if (walk_failed) return fail("truncated BAM record");
         t2 = now();  // inflate and walk overlapped; report as walk
@@ -3610,7 +3807,33 @@ int64_t pancov_host_finalize(
     }
   }
   region[R] = n_ev;
-  std::vector<HostEv> ev((size_t)n_ev);
+  // the event buffer rides raw mmap, NOT the heap: the host process
+  // pins M_TRIM/M_MMAP at 1 GB (boot.disable_thp's freelist tuning),
+  // and with the streaming producer allocating concurrently the heap
+  // fragments — a ~200 MB fold-finalize buffer then lands at a NEW
+  // heap top every fold (measured: +250 MB RSS per fold at 80M
+  // reads). munmap on scope exit returns the pages unconditionally.
+  struct EvBuf {
+    HostEv* p = nullptr;
+    size_t bytes = 0;
+    bool alloc(size_t cnt) {
+      if (!cnt) return true;
+      bytes = cnt * sizeof(HostEv);
+      void* m = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+      if (m == MAP_FAILED) {
+        p = nullptr;
+        return false;
+      }
+      p = (HostEv*)m;
+      return true;
+    }
+    ~EvBuf() {
+      if (p) munmap(p, bytes);
+    }
+  } evb;
+  if (!evb.alloc((size_t)n_ev)) return -1;
+  HostEv* const ev = evb.p;
   std::atomic<int> next2(0);
   run_tp(std::min(nthreads, NU), [&](int) {
     for (;;) {
@@ -3635,7 +3858,7 @@ int64_t pancov_host_finalize(
   });
   lap("gather+msd");
 
-  regions_lsd(ev.data(), region, nthreads);
+  regions_lsd(ev, region, nthreads);
   lap("regions_lsd");
 
   // boundaries sorted by value (stable order irrelevant: Q(x) only
@@ -3653,7 +3876,7 @@ int64_t pancov_host_finalize(
   size_t ie = 0;
   const int64_t mask = wrap18 ? 0x3FFFF : -1;  // -1 = all bits
   for (auto& [x, j] : qb) {
-    while (ie < ev.size() && (int64_t)ev[ie].pos < x) {
+    while (ie < (size_t)n_ev && (int64_t)ev[ie].pos < x) {
       int64_t d_eff = depth & mask;
       if (d_eff >= min_dep) {
         int64_t len = (int64_t)ev[ie].pos - prev;
@@ -3677,12 +3900,12 @@ int64_t pancov_host_finalize(
 
   if (!keep_state) return 0;
   int64_t d2 = 0;
-  for (size_t i = 0; i < ev.size(); i++) {
+  for (size_t i = 0; i < (size_t)n_ev; i++) {
     d2 += ev[i].delta;
     out_pos[i] = (int64_t)ev[i].pos;
     out_depth[i] = (int32_t)(d2 & mask);
   }
-  return (int64_t)ev.size();
+  return n_ev;
 }
 
 }  // extern "C"
