@@ -313,6 +313,18 @@ class HostCoverageEngine:
 
     # ----------------------------------------------------------- feeds
     def _dirty(self) -> None:
+        if getattr(self, "_feeds_released", False):
+            # the staged feeds were dropped when the sorted state was
+            # built (they are redundant then — and at 16M events they
+            # are ~130 MB of the w100 RSS); a LATE feed after that
+            # reconstructs the state as (pos, delta) extras so no
+            # event is lost
+            pos_s, depth = self._state
+            delta = np.diff(depth.astype(np.int64),
+                            prepend=np.int64(0)).astype(np.int32)
+            self._extra.append((pos_s.astype(self.pos_dtype,
+                                             copy=False), delta))
+            self._feeds_released = False
         self._state = None
         self._sweep = None
 
@@ -417,6 +429,13 @@ class HostCoverageEngine:
                 self._stage, xp, xd, self.pos_sentinel,
                 np.zeros(1, np.int64), np.ones(1, np.int64),
                 self.min_dep, self.wrap18, keep_state=True)
+            # the raw feeds are redundant once the sorted state
+            # exists; drop them (at 16M events they are ~130 MB of
+            # the mode-6/site RSS). _dirty() reconstructs the state
+            # as extras if a late feed ever arrives.
+            self._stage = []
+            self._extra = []
+            self._feeds_released = True
         return self._state
 
     def _host_sweep(self):
