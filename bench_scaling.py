@@ -270,7 +270,8 @@ def main() -> None:
                 send_del = jnp.zeros(
                     (n * cap + 1,), jnp.int32).at[flat_i].set(
                     del_s, mode="drop")[: n * cap].reshape(n, cap)
-                return send_pos[None], send_del[None], carry[None]
+                return (send_pos[None], send_del[None],
+                        carry.reshape(1, 1))
 
             def p_exchange(tid, pos, flag, mapq, opc, opl, opr,
                            offsets, limits, bounds):
