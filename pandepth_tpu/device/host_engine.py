@@ -218,7 +218,12 @@ class HostCoverageEngine:
         qlo = np.full(pend.shape[0] + 1, prev, np.int64)
         qhi = np.empty(pend.shape[0] + 1, np.int64)
         qhi[:-1] = pend
-        qhi[-1] = min(cutoff, int(self.pos_sentinel))
+        # the carry query integrates (prev, cutoff] — clamped to the
+        # layout's end: integrals past the last possible boundary are
+        # never read, and an unclamped int64 sentinel here would send
+        # the slabbed >4 Gb path iterating 2^32 coordinate slabs
+        qhi[-1] = max(min(cutoff, int(self.layout.limits[-1])),
+                      int(prev))
         carry_disp = (self._fold_carry_depth & he.WRAP18_MASK) \
             if self.wrap18 else self._fold_carry_depth
         xp = [p for p, _ in self._fold_left] + \

@@ -106,6 +106,39 @@ def test_slab_path_engages_on_int64_tier(monkeypatch):
     assert int(st.cover.sum()) > 0
 
 
+def test_fold_on_int64_tier_matches_plain():
+    """The streaming fold composed with the slabbed >4 Gb finalize:
+    forced-hot folds on an int64 layout must match the plain engine
+    (also guards the final fold's carry-query clamp — an unclamped
+    int64 sentinel once sent the slab path iterating 2^32 slabs)."""
+    rng = np.random.RandomState(5)
+    lengths = np.full(4, 1_700_000_000, np.int64)  # 6.8 Gb
+    layout = GenomeLayout(lengths)
+    n = 3000
+    tid = np.sort(rng.randint(0, 4, n))
+    pos = np.empty(n, np.int64)
+    for t in range(4):
+        m = tid == t
+        pos[m] = np.sort(rng.randint(0, lengths[t] - 500, m.sum()))
+    s = layout.offsets[tid] + pos
+    e = s + rng.randint(1, 400, n)
+    qt = np.repeat(np.arange(4), 10).astype(np.int64)
+    qa = np.tile(np.arange(10) * 170_000_000 + 1, 4)
+    qb = qa + 169_999_999
+    plain = HostCoverageEngine(layout)
+    plain.add_start_end(s, e)
+    fold = HostCoverageEngine(layout)
+    assert fold.pos_dtype is np.int64
+    fold.begin_streaming_fold(qt, qa, qb, threshold_pairs=64)
+    for i in range(0, n, 97):
+        fold.add_start_end(s[i:i + 97], e[i:i + 97])
+    a = plain.segment_stats(qt, qa, qb)
+    b = fold.segment_stats(qt, qa, qb)
+    assert fold._fold_engaged
+    np.testing.assert_array_equal(a.cover, b.cover)
+    np.testing.assert_array_equal(a.depth_sum, b.depth_sum)
+
+
 def test_cli_int64_genome_vs_reference(tmp_path, oracle_bin):
     """Full-CLI byte parity on a 6.6 Gb genome (int64 tier) vs the
     reference binary — the slabbed native path end-to-end."""
