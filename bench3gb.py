@@ -589,6 +589,31 @@ def main():
             results["parity_deep"] = _gz_eq(
                 out + "od.chr.stat.gz", out + "rd.chr.stat.gz")
 
+    # deep-coverage -a site dump (opt-in): the per-contig split path
+    # (run._run_site_split) holds O(max contig events) where the
+    # reference is flat O(genome); one timed run per side (walls are
+    # minutes)
+    if os.environ.get("PANDEPTH_BENCH3GB_DEEPSITE") == "1" or \
+            (only is not None and "deepsite" in only):
+        nd = N_READS * 30
+        bamd = os.path.join(BENCH_DIR, f"bench3gb_deep_{nd}.bam")
+        if not os.path.exists(bamd):
+            _make("deep")
+        w, r = run_child(ours_argv(bamd, out + "ods", ["-a"]))
+        results["ours_deepsite_wall_s"] = round(w, 3)
+        results["ours_deepsite_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", bamd, "-a",
+                                "-o", out + "rds"])
+            results["ref_deepsite_wall_s"] = round(w2, 3)
+            results["ref_deepsite_rss_mb"] = round(r2, 1)
+            results["vs_baseline_deepsite"] = round(w2 / w, 3)
+            results["parity_deepsite"] = (
+                _gz_eq(out + "ods.SiteDepth.gz",
+                       out + "rds.SiteDepth.gz")
+                and _gz_eq(out + "ods.chr.stat.gz",
+                           out + "rds.chr.stat.gz"))
+
     # >4 Gb genome check (opt-in): a 15 Gb / 8-contig layout (int64
     # coordinate tier — wheat-scale pangenome shape) at the north-star
     # read count, proving the slabbed native finalize keeps one-shot

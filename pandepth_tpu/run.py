@@ -674,6 +674,131 @@ class _RegionCursor:
         batch.tid[drop] = -1
 
 
+def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
+                    targets: TargetSet, names: List[str],
+                    lengths: np.ndarray, gc_cols: bool,
+                    stats: RunStats) -> int:
+    """Deep-coverage ``-a``: one ranged pass PER CONTIG.
+
+    The one-shot site dump holds O(events) until the dense write; at
+    deep coverage that overtakes the reference's flat per-base arrays
+    (src/PanDepth.cpp:4129-4145). A coordinate-sorted indexed BAM lets
+    each contig be processed to COMPLETION independently: BAI-ranged
+    streaming feed of just that contig, its segment stats + dense
+    SiteDepth rows written, everything freed before the next contig —
+    memory O(max contig events), total IO still one pass over the
+    file (the ranges tile it). Elected by run_alignment for
+    single-file indexed ``-a`` runs past PANDEPTH_SITE_SPLIT_BYTES
+    (PANDEPTH_SITE_SPLIT=1/0 forces). Output is byte-identical to the
+    one-shot path: same per-contig member framing, same stats."""
+    from pandepth_tpu.device.host_engine import HostCoverageEngine
+
+    layout = GenomeLayout(lengths)
+    prefix = output_prefix(config.out_prefix)
+    site_path = prefix + ".SiteDepth.gz"
+    seg_tid = targets.gene_tid[targets.seg_gene]
+    seg_start = np.asarray(targets.seg_start)
+    seg_end = np.asarray(targets.seg_end)
+    cover = np.zeros(seg_tid.shape[0], np.int64)
+    dsum = np.zeros(seg_tid.shape[0], np.int64)
+    region_tids = targets.tids_with_regions()
+    region_set = set(int(t) for t in region_tids)
+    woff, wstart, wend = targets.fetch_windows(lengths)
+
+    native_write = None
+    try:
+        from pandepth_tpu.io.native import load_library
+
+        lib = load_library()
+        if lib is not None:
+            native_write = lib.pancov_site_depth_write
+    except Exception:
+        pass
+
+    wrote = False
+    open(site_path, "wb").close()
+    n = len(names)
+    for tid in range(n):
+        if tid not in region_set:
+            continue
+        # this contig's fetch windows as a full-shaped regions tuple
+        a, b = int(woff[tid]), int(woff[tid + 1])
+        sub_off = np.zeros(n + 1, np.int64)
+        sub_off[tid + 1:] = b - a
+        regs = (sub_off, wstart[a:b], wend[a:b], 1)
+        engine = HostCoverageEngine(layout,
+                                    flags_mask=config.flags,
+                                    min_mapq=config.min_mapq,
+                                    min_dep=config.min_depth,
+                                    wrap18=True)
+        with phase(stats, "feed"):
+            r = _try_native_load(config.inputs[0], config,
+                                 regions=regs)
+            if r is None:
+                raise RuntimeError(
+                    "site-split pass needs the native ranged loader")
+            _feed_stream(engine, r)
+        stats.reads_seen += engine.n_reads_seen
+        with phase(stats, "segstats"):
+            m = seg_tid == tid
+            engine.keep_state = True
+            st = engine.segment_stats(seg_tid[m], seg_start[m],
+                                      seg_end[m])
+            cover[m] = st.cover
+            dsum[m] = st.depth_sum
+        with phase(stats, "write"):
+            if native_write is not None:
+                # same 64 Mb-member framing + writer pool as the
+                # one-shot write_site_depth (members concatenate
+                # byte-identically); each job expands only its slice
+                from pandepth_tpu.stats.tables import _run_member_jobs
+
+                ln = int(lengths[tid])
+                chunk_bp = 64 << 20
+                jobs = []
+                for lo in range(0, max(ln, 1), chunk_bp):
+                    hi = min(lo + chunk_bp, ln)
+
+                    def job(p, eng=engine, tid=tid, lo=lo, hi=hi):
+                        d = np.ascontiguousarray(
+                            eng.dense_depth(tid, lo, hi), np.int32)
+                        return native_write(p.encode(),
+                                            names[tid].encode(),
+                                            lo, d, d.shape[0], 0)
+
+                    jobs.append(job)
+                _run_member_jobs(site_path, jobs,
+                                 workers=min(4, os.cpu_count() or 1))
+            else:
+                import gzip as _gz
+
+                d = np.ascontiguousarray(engine.dense_depth(tid),
+                                         np.int32)
+                with _gz.open(site_path, "at" if wrote else "wt",
+                              compresslevel=1) as out:
+                    nm = names[tid]
+                    for k, v in enumerate(d.tolist()):
+                        out.write(f"{nm}\t{k}\t{v}\n")
+                del d
+            wrote = True
+        del engine
+
+    if not wrote:
+        # parity with the one-shot writer: an empty dump is still a
+        # valid (empty) gzip member, not a 0-byte file
+        from pandepth_tpu.io.text import GzTextWriter
+
+        with GzTextWriter(site_path):
+            pass
+    print("INFO: Input data read done")
+    with phase(stats, "write"):
+        gene_cover, gene_dsum = aggregate_genes(targets, cover, dsum)
+        write_tables(table_path(prefix, mode), mode, gc_cols, names,
+                     targets, gene_cover, gene_dsum, None)
+    stats.emit()
+    return 0
+
+
 def run_alignment(config: RunConfig) -> int:
     stats = RunStats()
     header: Optional[BamHeader] = _cheap_header(config.inputs[0])
@@ -707,6 +832,27 @@ def run_alignment(config: RunConfig) -> int:
     has_index = index_present(config.inputs[0]) and config.use_index
     wrap18 = (config.site_output or mode == MODE_WIN_SMALL
               or not has_index or len(config.inputs) > 1)
+
+    # deep-coverage -a: past PANDEPTH_SITE_SPLIT_BYTES of compressed
+    # input, process one contig per BAI-ranged pass so site-dump
+    # memory is O(max contig events) instead of O(file events) —
+    # the reference stays flat O(genome) there
+    # (src/PanDepth.cpp:4129-4145); this keeps us bounded too.
+    # PANDEPTH_SITE_SPLIT=1/0 forces.
+    if (config.site_output and len(config.inputs) == 1 and has_index
+            and reader is None
+            and mode not in (MODE_WIN_BIG, MODE_WIN_SMALL)
+            and _want_host_finalize()):
+        force = os.environ.get("PANDEPTH_SITE_SPLIT")
+        split_bytes = int(os.environ.get(
+            "PANDEPTH_SITE_SPLIT_BYTES", 1 << 30))
+        try:
+            big = os.path.getsize(config.inputs[0]) >= split_bytes
+        except OSError:
+            big = False
+        if force == "1" or (force is None and big):
+            return _run_site_split(config, header, mode, targets,
+                                   names, lengths, gc_cols, stats)
 
     # which reads actually count depends on the reference's per-file
     # path: indexed -> region-fetch overlap (mode 1); no index but

@@ -256,6 +256,17 @@ def build_values() -> dict:
                 f"{', byte parity' if dpar else ''}), RSS "
                 f"{_mb(b3.get('ours_deep_rss_mb'))} vs "
                 f"{_mb(b3.get('ref_deep_rss_mb'))}.")
+            if b3.get("ours_deepsite_wall_s"):
+                deep_part += (
+                    f" The deep `-a` site dump runs per-contig "
+                    f"BAI-ranged passes (`run._run_site_split`, "
+                    f"memory O(max contig events)): "
+                    f"{_s(b3['ours_deepsite_wall_s'])} vs "
+                    f"{_s(b3.get('ref_deepsite_wall_s'))} "
+                    f"(**{_x(b3.get('vs_baseline_deepsite'))}**"
+                    f"{', parity' if b3.get('parity_deepsite') else ''}"
+                    f"), RSS {_mb(b3.get('ours_deepsite_rss_mb'))} vs "
+                    f"{_mb(b3.get('ref_deepsite_rss_mb'))}.")
         v["scale10x_par"] = (
             f"Scale checks at depth: {n // 1_000_000}M reads over the "
             f"same 3 Gb genome run {_s(ow)} vs the reference's "
@@ -361,6 +372,17 @@ def build_values() -> dict:
     else:
         v["c_deep"] = ("pending: PANDEPTH_BENCH3GB_DEEP=1 python "
                        "bench3gb.py")
+    if b3.get("ours_deepsite_wall_s"):
+        v["c_deepsite"] = (
+            f"{_x(b3.get('vs_baseline_deepsite'))} "
+            f"({_s(b3.get('ours_deepsite_wall_s'))} vs "
+            f"{_s(b3.get('ref_deepsite_wall_s'))}), RSS "
+            f"{_mb(b3.get('ours_deepsite_rss_mb'))} vs "
+            f"{_mb(b3.get('ref_deepsite_rss_mb'))}, parity "
+            f"{b3.get('parity_deepsite')}")
+    else:
+        v["c_deepsite"] = ("pending: PANDEPTH_BENCH3GB_DEEPSITE=1 "
+                           "python bench3gb.py")
     if b3.get("ours_big_wall_s"):
         v["c_big"] = (
             f"{_x(b3.get('vs_baseline_big'))} on a "
