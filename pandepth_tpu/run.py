@@ -850,7 +850,15 @@ def run_alignment(config: RunConfig) -> int:
             big = os.path.getsize(config.inputs[0]) >= split_bytes
         except OSError:
             big = False
+        native_ok = False
         if force == "1" or (force is None and big):
+            try:
+                from pandepth_tpu.io.native import load_library
+
+                native_ok = load_library() is not None
+            except Exception:
+                native_ok = False
+        if native_ok:
             return _run_site_split(config, header, mode, targets,
                                    names, lengths, gc_cols, stats)
 
