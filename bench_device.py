@@ -60,12 +60,12 @@ def merge_write(updates: dict) -> None:
         fh.write("\n")
 
 
-def time_device_cli(bam: str) -> float:
+def time_device_cli(bam: str, extra=()) -> float:
     from pandepth_tpu.cli import main as cli_main
 
     out = os.path.join(bench_mod.BENCH_DIR, "devout")
     t0 = time.perf_counter()
-    rc = cli_main(["pandepth", "-i", bam, "-o", out])
+    rc = cli_main(["pandepth", "-i", bam, "-o", out] + list(extra))
     wall = time.perf_counter() - t0
     assert rc == 0
     return wall
@@ -138,6 +138,32 @@ def main() -> int:
     wall = statistics.median(walls)
     iqr = (walls[-2] - walls[1]) if N_RUNS >= 4 else walls[-1] - walls[0]
 
+    # ---- gene-mode warm device walls (ranged feed + 168k-segment
+    # query batch through the same fused finalize), when the 3 Gb
+    # campaign's annotation fixture exists ----
+    gene = {}
+    gff = os.path.join(bench_mod.BENCH_DIR, "bench3gb_genes.gff")
+    gene_bam = os.path.join(bench_mod.BENCH_DIR,
+                            "bench3gb_8000000.bam")
+    if os.path.exists(gff) and os.path.exists(gene_bam):
+        time_device_cli(gene_bam, ["-g", gff])  # warm
+        gw = sorted(time_device_cli(gene_bam, ["-g", gff])
+                    for _ in range(3))
+        gene["device_gene_wall_s"] = round(statistics.median(gw), 3)
+        if bench_mod.ensure_reference():
+            import subprocess as sp
+
+            t0 = time.perf_counter()
+            sp.run([bench_mod.REF_BIN, "-i", gene_bam, "-g", gff,
+                    "-o", os.path.join(bench_mod.BENCH_DIR,
+                                       "refgeneout")],
+                   check=True, capture_output=True)
+            rw = time.perf_counter() - t0
+            gene["device_gene_ref_wall_s"] = round(rw, 3)
+            gene["device_gene_vs_baseline"] = round(
+                rw / gene["device_gene_wall_s"], 3)
+        sys.stderr.write(f"bench_device: gene {gene}\n")
+
     # ---- wire throughput ----
     wire = measure_wire_mb_s()
 
@@ -161,6 +187,7 @@ def main() -> int:
         if ref_wall else None,
         "wire_mb_s": round(wire, 1),
         **fin,
+        **gene,
     }
     merge_write(res)
     sys.stderr.write(f"bench_device: wrote {OUT}\n")

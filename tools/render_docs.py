@@ -168,7 +168,11 @@ def build_values() -> dict:
             f"{wire:.1f} MB/s through the tunnel, fused finalize "
             f"re-dispatch {bd.get('finalize_redispatch_ms', 0):.0f} ms "
             f"for {bd.get('finalize_pairs', 0) / 1e6:.1f}M encoded "
-            f"pairs.")
+            f"pairs."
+            + (f" Gene mode (ranged feed + 168k-segment query batch): "
+               f"{bd['device_gene_wall_s']:.2f} s, "
+               f"**{bd.get('device_gene_vs_baseline', 0):.1f}x** the "
+               f"reference." if bd.get("device_gene_wall_s") else ""))
     else:
         v["c_devx"] = ("device engine pending a real-chip capture "
                        "(bench_device.py)")
