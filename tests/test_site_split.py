@@ -60,6 +60,38 @@ def test_site_split_matches_reference_and_oneshot(tmp_path, targets,
         assert gunzip_bytes(sp) == gunzip_bytes(os_), suffix
 
 
+def test_site_split_elects_by_size(tmp_path, monkeypatch):
+    """The default election is by compressed input size: below the
+    threshold the one-shot path runs, above it the split path does
+    (observed via the election's own code path, not timing)."""
+    import pandepth_tpu.run as run_mod
+
+    bam = str(tmp_path / "t.bam")
+    make_bam(bam, n=300, seed=47)
+    calls = []
+    real = run_mod._run_site_split
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(run_mod, "_run_site_split", spy)
+    monkeypatch.setenv("PANDEPTH_HOST_FINALIZE", "1")
+    monkeypatch.delenv("PANDEPTH_SITE_SPLIT", raising=False)
+    from pandepth_tpu.cli import main as cli_main
+
+    # tiny threshold -> split elected
+    monkeypatch.setenv("PANDEPTH_SITE_SPLIT_BYTES", "1")
+    assert cli_main(["pandepth", "-i", bam, "-a",
+                     "-o", str(tmp_path / "a")]) == 0
+    assert calls == [1]
+    # huge threshold -> one-shot
+    monkeypatch.setenv("PANDEPTH_SITE_SPLIT_BYTES", str(1 << 60))
+    assert cli_main(["pandepth", "-i", bam, "-a",
+                     "-o", str(tmp_path / "b")]) == 0
+    assert calls == [1]
+
+
 def test_site_split_mapq_filter(tmp_path, oracle_bin, monkeypatch):
     bam = str(tmp_path / "t.bam")
     make_bam(bam, n=700, seed=43)
