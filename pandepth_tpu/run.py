@@ -689,8 +689,10 @@ def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
     memory O(max contig events), total IO still one pass over the
     file (the ranges tile it). Elected by run_alignment for
     single-file indexed ``-a`` runs past PANDEPTH_SITE_SPLIT_BYTES
-    (PANDEPTH_SITE_SPLIT=1/0 forces). Output is byte-identical to the
-    one-shot path: same per-contig member framing, same stats."""
+    (PANDEPTH_SITE_SPLIT=1/0 forces). Output decompresses
+    byte-identically to the one-shot path (same 64 Mb member framing,
+    same stats; tests/test_site_split.py pins it against both the
+    reference and our one-shot writer)."""
     from pandepth_tpu.device.host_engine import HostCoverageEngine
 
     layout = GenomeLayout(lengths)
