@@ -139,6 +139,38 @@ def test_fold_on_int64_tier_matches_plain():
     np.testing.assert_array_equal(a.depth_sum, b.depth_sum)
 
 
+def test_device_and_sharded_engines_int64_match_host():
+    """The jax engines on a > 4 Gb layout (int64 positions, the wheat
+    tier) must agree with the host engine — the device path is what a
+    locally attached backend would elect there."""
+    from pandepth_tpu.device.engine import CoverageEngine
+    from pandepth_tpu.sharding.engine import ShardedCoverageEngine
+
+    rng = np.random.RandomState(11)
+    lengths = np.full(4, 1_700_000_000, np.int64)
+    layout = GenomeLayout(lengths)
+    n = 1500
+    tid = np.sort(rng.randint(0, 4, n))
+    pos = rng.randint(0, 1_700_000_000 - 500, n)
+    s = layout.offsets[tid] + np.sort(pos)
+    e = np.minimum(s + rng.randint(1, 400, n), layout.limits[tid])
+    qt = np.repeat(np.arange(4), 6).astype(np.int64)
+    qa = np.tile(np.arange(6) * 280_000_000 + 1, 4)
+    qb = qa + 279_999_999
+    host = HostCoverageEngine(layout)
+    host.add_start_end(s, e)
+    want = host.segment_stats(qt, qa, qb)
+    for cls in (CoverageEngine, ShardedCoverageEngine):
+        eng = cls(layout)
+        assert eng.pos_dtype is np.int64, cls.__name__
+        eng.add_start_end(s, e)
+        got = eng.segment_stats(qt, qa, qb)
+        np.testing.assert_array_equal(got.cover, want.cover,
+                                      err_msg=cls.__name__)
+        np.testing.assert_array_equal(got.depth_sum, want.depth_sum,
+                                      err_msg=cls.__name__)
+
+
 def test_cli_int64_genome_vs_reference(tmp_path, oracle_bin):
     """Full-CLI byte parity on a 6.6 Gb genome (int64 tier) vs the
     reference binary — the slabbed native path end-to-end."""
