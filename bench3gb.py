@@ -589,6 +589,34 @@ def main():
             results["parity_deep"] = _gz_eq(
                 out + "od.chr.stat.gz", out + "rd.chr.stat.gz")
 
+    # deep multi-sample .list (opt-in): 400M pooled reads
+    # (240M deep + 2 x 80M) through the per-contig split passes —
+    # pooled depth cannot fold (sum across files), so this is the
+    # bounded-memory path for the tool's namesake pangenome use
+    if os.environ.get("PANDEPTH_BENCH3GB_DEEPLIST") == "1" or \
+            (only is not None and "deeplist" in only):
+        nd = N_READS * 30
+        bamd = os.path.join(BENCH_DIR, f"bench3gb_deep_{nd}.bam")
+        bam10 = os.path.join(BENCH_DIR, f"bench3gb_{N_READS * 10}.bam")
+        if not os.path.exists(bamd):
+            _make("deep")
+        if not os.path.exists(bam10):
+            _make("scale10x")
+        lstd = os.path.join(BENCH_DIR, "bench3gb_deep.list")
+        with open(lstd, "w") as fh:
+            fh.write(f"{bamd}\n{bam10}\n{bam10}\n")
+        results["deeplist_reads"] = nd + 2 * N_READS * 10
+        w, r = run_child(ours_argv(lstd, out + "odl", []))
+        results["ours_deeplist_wall_s"] = round(w, 3)
+        results["ours_deeplist_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", lstd, "-o", out + "rdl"])
+            results["ref_deeplist_wall_s"] = round(w2, 3)
+            results["ref_deeplist_rss_mb"] = round(r2, 1)
+            results["vs_baseline_deeplist"] = round(w2 / w, 3)
+            results["parity_deeplist"] = _gz_eq(
+                out + "odl.chr.stat.gz", out + "rdl.chr.stat.gz")
+
     # deep-coverage -a site dump (opt-in): the per-contig split path
     # (run._run_site_split) holds O(max contig events) where the
     # reference is flat O(genome); one timed run per side (walls are

@@ -678,21 +678,28 @@ def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
                     targets: TargetSet, names: List[str],
                     lengths: np.ndarray, gc_cols: bool,
                     stats: RunStats) -> int:
-    """Deep-coverage ``-a``: one ranged pass PER CONTIG.
+    """Deep-coverage ``-a`` and deep multi-sample ``.list``: one
+    ranged pass PER CONTIG.
 
-    The one-shot site dump holds O(events) until the dense write; at
-    deep coverage that overtakes the reference's flat per-base arrays
-    (src/PanDepth.cpp:4129-4145). A coordinate-sorted indexed BAM lets
-    each contig be processed to COMPLETION independently: BAI-ranged
-    streaming feed of just that contig, its segment stats + dense
-    SiteDepth rows written, everything freed before the next contig —
-    memory O(max contig events), total IO still one pass over the
-    file (the ranges tile it). Elected by run_alignment for
-    single-file indexed ``-a`` runs past PANDEPTH_SITE_SPLIT_BYTES
-    (PANDEPTH_SITE_SPLIT=1/0 forces). Output decompresses
-    byte-identically to the one-shot path (same 64 Mb member framing,
-    same stats; tests/test_site_split.py pins it against both the
-    reference and our one-shot writer)."""
+    The one-shot paths hold O(events) — the site dump until the dense
+    write, the pooled multi-file accumulation until its single stats
+    pass (the streaming fold cannot apply there: pooled depth is the
+    SUM across files, so no boundary is final until every file has
+    contributed, and the indicator depth>=minDep is non-linear in the
+    sum). At deep coverage that overtakes the reference's flat
+    per-base arrays (src/PanDepth.cpp:4129-4145, multi-file
+    :2687-2699). Indexed inputs let each contig be processed to
+    COMPLETION independently instead: BAI-ranged streaming feeds of
+    just that contig from EVERY input (first-file contig space, quirk
+    Q5), pooled into one engine, its segment stats (+ dense SiteDepth
+    rows with ``-a``) emitted, everything freed before the next
+    contig — memory O(max contig pooled events), total IO still one
+    pass over each file (the ranges tile them). Elected by
+    run_alignment past PANDEPTH_SITE_SPLIT_BYTES of total compressed
+    input (PANDEPTH_SITE_SPLIT=1/0 forces). Output decompresses
+    byte-identically to the one-shot paths (same 64 Mb member
+    framing, same stats; tests/test_site_split.py pins it against
+    both the reference and our one-shot writer)."""
     from pandepth_tpu.device.host_engine import HostCoverageEngine
 
     layout = GenomeLayout(lengths)
@@ -718,7 +725,8 @@ def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
         pass
 
     wrote = False
-    open(site_path, "wb").close()
+    if config.site_output:
+        open(site_path, "wb").close()
     n = len(names)
     for tid in range(n):
         if tid not in region_set:
@@ -734,20 +742,32 @@ def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
                                     min_dep=config.min_depth,
                                     wrap18=True)
         with phase(stats, "feed"):
-            r = _try_native_load(config.inputs[0], config,
-                                 regions=regs)
-            if r is None:
-                raise RuntimeError(
-                    "site-split pass needs the native ranged loader")
-            _feed_stream(engine, r)
+            for i, path in enumerate(config.inputs):
+                # later files ride the FIRST file's contig space
+                # (quirk Q5), exactly like the one-shot multi loop
+                r = _try_native_load(
+                    path, config,
+                    ext_offsets=None if i == 0 else layout.offsets,
+                    ext_limits=None if i == 0 else layout.limits,
+                    regions=regs)
+                if r is None:
+                    raise RuntimeError(
+                        "split pass needs the native ranged loader")
+                _feed_stream(engine, r)
         stats.reads_seen += engine.n_reads_seen
         with phase(stats, "segstats"):
             m = seg_tid == tid
-            engine.keep_state = True
+            # the sorted state is only needed for the dense -a rows;
+            # a stats-only pass skips the O(contig events) state
+            # round-trip entirely
+            engine.keep_state = bool(config.site_output)
             st = engine.segment_stats(seg_tid[m], seg_start[m],
                                       seg_end[m])
             cover[m] = st.cover
             dsum[m] = st.depth_sum
+        if not config.site_output:
+            del engine
+            continue
         with phase(stats, "write"):
             if native_write is not None:
                 # same 64 Mb-member framing + writer pool as the
@@ -784,8 +804,18 @@ def _run_site_split(config: RunConfig, header: BamHeader, mode: int,
                 del d
             wrote = True
         del engine
+        # release this contig's freed pages: with M_TRIM/M_MMAP pinned
+        # at 1 GB (boot.disable_thp) the per-pass buffers otherwise
+        # accumulate as retained heap across contigs (measured 8.8 GB
+        # at the 400M-read .list row before trimming)
+        try:
+            import ctypes
 
-    if not wrote:
+            ctypes.CDLL(None).malloc_trim(0)
+        except Exception:
+            pass
+
+    if config.site_output and not wrote:
         # parity with the one-shot writer: an empty dump is still a
         # valid (empty) gzip member, not a 0-byte file
         from pandepth_tpu.io.text import GzTextWriter
@@ -835,21 +865,24 @@ def run_alignment(config: RunConfig) -> int:
     wrap18 = (config.site_output or mode == MODE_WIN_SMALL
               or not has_index or len(config.inputs) > 1)
 
-    # deep-coverage -a: past PANDEPTH_SITE_SPLIT_BYTES of compressed
-    # input, process one contig per BAI-ranged pass so site-dump
-    # memory is O(max contig events) instead of O(file events) —
-    # the reference stays flat O(genome) there
-    # (src/PanDepth.cpp:4129-4145); this keeps us bounded too.
-    # PANDEPTH_SITE_SPLIT=1/0 forces.
-    if (config.site_output and len(config.inputs) == 1 and has_index
-            and reader is None
+    # deep-coverage -a / deep multi-sample .list: past
+    # PANDEPTH_SITE_SPLIT_BYTES of total compressed input, process one
+    # contig per BAI-ranged pass (pooled across every input) so memory
+    # is O(max contig pooled events) instead of O(total events) — the
+    # reference stays flat O(genome) there (src/PanDepth.cpp:4129-4145,
+    # :2687-2699); this keeps us bounded too. PANDEPTH_SITE_SPLIT=1/0
+    # forces.
+    if ((config.site_output or len(config.inputs) > 1)
+            and reader is None and config.use_index
+            and all(index_present(p) for p in config.inputs)
             and mode not in (MODE_WIN_BIG, MODE_WIN_SMALL)
             and _want_host_finalize()):
         force = os.environ.get("PANDEPTH_SITE_SPLIT")
         split_bytes = int(os.environ.get(
             "PANDEPTH_SITE_SPLIT_BYTES", 1 << 30))
         try:
-            big = os.path.getsize(config.inputs[0]) >= split_bytes
+            big = sum(os.path.getsize(p)
+                      for p in config.inputs) >= split_bytes
         except OSError:
             big = False
         native_ok = False

@@ -92,6 +92,62 @@ def test_site_split_elects_by_size(tmp_path, monkeypatch):
     assert calls == [1]
 
 
+@pytest.mark.parametrize("dump", [False, True])
+def test_list_split_matches_reference_and_oneshot(tmp_path, dump,
+                                                  oracle_bin,
+                                                  monkeypatch):
+    """Multi-sample ``.list`` through the per-contig split passes
+    (pooled depth across files, first-file contig space): byte parity
+    vs the reference AND vs our one-shot multi-file loop, with and
+    without ``-a``."""
+    from pandepth_tpu.cli import main as cli_main
+
+    bams = []
+    for k, seed in enumerate((51, 52, 53)):
+        b = str(tmp_path / f"s{k}.bam")
+        # the reference's multi-file arrays only carry +100 slack
+        # cells past each contig (src/PanDepth.cpp:2687-2699)
+        make_bam(b, n=500, seed=seed, end_slack=50)
+        bams.append(b)
+    lst = str(tmp_path / "in.list")
+    with open(lst, "w") as fh:
+        fh.write("\n".join(bams) + "\n")
+    extra = ["-a"] if dump else []
+    ref = str(tmp_path / "ref")
+    subprocess.run([oracle_bin, "-i", lst, "-o", ref] + extra,
+                   check=True, capture_output=True)
+    monkeypatch.setenv("PANDEPTH_HOST_FINALIZE", "1")
+    monkeypatch.setenv("PANDEPTH_SITE_SPLIT", "1")
+    # the election must actually take the split path (an earlier
+    # regression left it one-shot and this test green)
+    import pandepth_tpu.run as run_mod
+
+    calls = []
+    real = run_mod._run_site_split
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(run_mod, "_run_site_split", spy)
+    split = str(tmp_path / "split")
+    assert cli_main(["pandepth", "-i", lst, "-o", split]
+                    + extra) == 0
+    assert calls == [1]
+    monkeypatch.setenv("PANDEPTH_SITE_SPLIT", "0")
+    oneshot = str(tmp_path / "oneshot")
+    assert cli_main(["pandepth", "-i", lst, "-o", oneshot]
+                    + extra) == 0
+    ref_files = sorted(glob.glob(ref + "*.gz"))
+    assert ref_files
+    for rf in ref_files:
+        suffix = os.path.basename(rf)[len("ref"):]
+        assert gunzip_bytes(split + suffix) == gunzip_bytes(rf), \
+            suffix
+        assert gunzip_bytes(split + suffix) == \
+            gunzip_bytes(oneshot + suffix), suffix
+
+
 def test_site_split_mapq_filter(tmp_path, oracle_bin, monkeypatch):
     bam = str(tmp_path / "t.bam")
     make_bam(bam, n=700, seed=43)

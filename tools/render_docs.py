@@ -387,6 +387,18 @@ def build_values() -> dict:
     else:
         v["c_deepsite"] = ("pending: PANDEPTH_BENCH3GB_DEEPSITE=1 "
                            "python bench3gb.py")
+    if b3.get("ours_deeplist_wall_s"):
+        v["c_deeplist"] = (
+            f"{_x(b3.get('vs_baseline_deeplist'))} at "
+            f"{b3.get('deeplist_reads', 0) // 1_000_000}M pooled "
+            f"reads ({_s(b3.get('ours_deeplist_wall_s'))} vs "
+            f"{_s(b3.get('ref_deeplist_wall_s'))}), RSS "
+            f"{_mb(b3.get('ours_deeplist_rss_mb'))} vs "
+            f"{_mb(b3.get('ref_deeplist_rss_mb'))}, parity "
+            f"{b3.get('parity_deeplist')}")
+    else:
+        v["c_deeplist"] = ("pending: PANDEPTH_BENCH3GB_DEEPLIST=1 "
+                           "python bench3gb.py")
     if b3.get("ours_big_wall_s"):
         v["c_big"] = (
             f"{_x(b3.get('vs_baseline_big'))} on a "
