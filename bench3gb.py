@@ -589,6 +589,28 @@ def main():
             results["parity_deep"] = _gz_eq(
                 out + "od.chr.stat.gz", out + "rd.chr.stat.gz")
 
+    # deep-coverage gene mode (opt-in): the streaming fold under a
+    # BAI-ranged gene feed at 30x (168k CDS segments as registered
+    # fold boundaries)
+    if os.environ.get("PANDEPTH_BENCH3GB_DEEPGENE") == "1" or \
+            (only is not None and "deepgene" in only):
+        nd = N_READS * 30
+        bamd = os.path.join(BENCH_DIR, f"bench3gb_deep_{nd}.bam")
+        if not os.path.exists(bamd):
+            _make("deep")
+        run_child(ours_argv(bamd, out + "odg", ["-g", gff]))  # warm
+        w, r = run_child(ours_argv(bamd, out + "odg", ["-g", gff]))
+        results["ours_deepgene_wall_s"] = round(w, 3)
+        results["ours_deepgene_rss_mb"] = round(r, 1)
+        if ref:
+            w2, r2 = run_child([ref, "-i", bamd, "-g", gff,
+                                "-o", out + "rdg"])
+            results["ref_deepgene_wall_s"] = round(w2, 3)
+            results["ref_deepgene_rss_mb"] = round(r2, 1)
+            results["vs_baseline_deepgene"] = round(w2 / w, 3)
+            results["parity_deepgene"] = _gz_eq(
+                out + "odg.gene.stat.gz", out + "rdg.gene.stat.gz")
+
     # deep multi-sample .list (opt-in): 400M pooled reads
     # (240M deep + 2 x 80M) through the per-contig split passes —
     # pooled depth cannot fold (sum across files), so this is the

