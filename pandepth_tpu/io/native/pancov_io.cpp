@@ -1900,7 +1900,12 @@ void* pancov_stream_open(const char* path, int n_threads,
   // ranges share (or nearly share) a compressed block — each range's
   // read budget over-reaches ~66 KB past its end block, so gaps below
   // 128 KB are cheaper to read through than to seek over (and merging
-  // them guarantees no block is ever walked twice)
+  // them guarantees no block is ever walked twice). Measured both
+  // ways at 30x deep-gene density (ranges every ~27 KB): block-exact
+  // ranges pay ~150 us of per-range producer-cycle fixed cost (113k
+  // ranges = +4 s on the SPARSE 8M gene row, no gain on the dense
+  // one), so read-through wins on this host even though merged gap
+  // blocks get inflated + walked.
   if (n_vr > 0 && region_mode == 1 && sb->bgzf) {
     for (int64_t i = 0; i < n_vr; i++) {
       int64_t v0 = vr[2 * i], v1 = vr[2 * i + 1];
